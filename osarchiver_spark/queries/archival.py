@@ -1,0 +1,157 @@
+"""Archival-core queries (reference parity: SURVEY §2.1/2.2/2.6).
+
+``orders`` plays the archivable table: ``o_orderdate`` stands in for
+the soft-delete ``deleted_at`` column. The run's frozen ``{now}`` is
+2001-12-01 with a 36-month retention, giving the cutoff literal
+1998-12-01 (MySQL SUBDATE month semantics — see
+operators/retention.py).
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from osarchiver_spark.operators.retention import (
+    remaining_after_archive,
+    retention_cutoff,
+    retention_filter,
+)
+from osarchiver_spark.sources.parquet import load_table
+
+FROZEN_NOW = datetime(2001, 12, 1)
+RETENTION_MONTHS = 36
+CUTOFF = retention_cutoff(FROZEN_NOW, RETENTION_MONTHS)  # 1998-12-01
+CUTOFF_SQL = "TIMESTAMP '1998-12-01 00:00:00'"
+
+
+def q_retention_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship scan: archivable orders (P2/P3 + S8). The cutoff is a
+    literal so the filter pushes into the parquet row-group stats."""
+    orders = load_table(spark, sf_dir, "orders")
+    return retention_filter(orders, "o_orderdate", CUTOFF)
+
+
+def q_retention_remaining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source after the delete step (S19/J3): anti-join complement of
+    the archived key set."""
+    orders = load_table(spark, sf_dir, "orders")
+    archived = retention_filter(orders, "o_orderdate", CUTOFF)
+    return remaining_after_archive(orders, archived, "o_orderkey")
+
+
+def q_archive_idempotent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Idempotent re-run (S10): archiving the same rows twice then
+    dedup-by-pk yields the single archived set — the Spark rewrite of
+    ``INSERT .. ON DUPLICATE KEY UPDATE pk=pk``."""
+    orders = load_table(spark, sf_dir, "orders")
+    archived = retention_filter(orders, "o_orderdate", CUTOFF)
+    return archived.unionAll(archived).dropDuplicates(["o_orderkey"])
+
+
+def q_keyset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset-pagination emulation (S8/O1/O2): the first 1000-row page
+    in pk order — expressed as a top-k, which Spark executes as
+    TakeOrderedAndProject (no global sort)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.orderBy("o_orderkey").limit(1000)
+
+
+def q_pk_in_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-membership predicate (P7): ``pk IN (literal list)`` as used
+    by the reference's chunked deletes."""
+    orders = load_table(spark, sf_dir, "orders")
+    keys = [1, 2, 3, 5, 8, 13, 21, 34, 55, 89, 144, 233, 377, 610, 987]
+    return orders.filter(F.col("o_orderkey").isin(keys))
+
+
+def q_exclusion_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exclusion-regex filtering (P5/P6) applied to data: events whose
+    type does NOT match the exclusion pattern (reference anchors its
+    regexes: source/db.py:113-118)."""
+    events = load_table(spark, sf_dir, "events")
+    return events.filter(~F.col("event_type").rlike("^(error|login)$"))
+
+
+def q_fk_repair_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FK repair join (J1, common/db.py:521-547): propagate the
+    parent's delete timestamp to live children — here, lineitems
+    shipped after their order date get the order's date as the
+    proposed fix."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    joined = li.join(orders, li.l_orderkey == orders.o_orderkey, "inner")
+    return joined.filter(F.col("l_shipdate") > F.col("o_orderdate")).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("o_orderdate").alias("propagated_deleted_at"),
+    )
+
+
+def q_delete_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunked-delete planning (S19, source/db.py:327-336): assign each
+    archivable pk to a 500-row chunk (in pk order) and report chunk
+    boundaries — the distributed analog of numpy array_split."""
+    orders = load_table(spark, sf_dir, "orders")
+    archived = retention_filter(orders, "o_orderdate", CUTOFF).select("o_orderkey")
+    from pyspark.sql import Window as W
+
+    rn = F.row_number().over(W.orderBy("o_orderkey"))
+    chunked = archived.withColumn("chunk_id", ((rn - F.lit(1)) / F.lit(500)).cast("bigint"))
+    return chunked.groupBy("chunk_id").agg(
+        F.count("*").alias("n_rows"),
+        F.min("o_orderkey").alias("min_pk"),
+        F.max("o_orderkey").alias("max_pk"),
+    )
+
+
+QUERIES = {
+    "retention_filter": q_retention_filter,
+    "retention_remaining": q_retention_remaining,
+    "archive_idempotent": q_archive_idempotent,
+    "keyset_page": q_keyset_page,
+    "pk_in_membership": q_pk_in_membership,
+    "exclusion_regex": q_exclusion_regex,
+    "fk_repair_join": q_fk_repair_join,
+    "delete_chunks": q_delete_chunks,
+}
+
+ORACLES = {
+    "retention_filter": f"SELECT * FROM orders WHERE o_orderdate <= {CUTOFF_SQL}",
+    "retention_remaining": f"""
+        SELECT * FROM orders
+        WHERE o_orderkey NOT IN (
+            SELECT o_orderkey FROM orders WHERE o_orderdate <= {CUTOFF_SQL}
+        )
+    """,
+    "archive_idempotent": f"""
+        SELECT * FROM orders WHERE o_orderdate <= {CUTOFF_SQL}
+    """,
+    "keyset_page": "SELECT * FROM orders ORDER BY o_orderkey LIMIT 1000",
+    "pk_in_membership": """
+        SELECT * FROM orders
+        WHERE o_orderkey IN (1,2,3,5,8,13,21,34,55,89,144,233,377,610,987)
+    """,
+    "exclusion_regex": """
+        SELECT * FROM events
+        WHERE NOT regexp_matches(event_type, '^(error|login)$')
+    """,
+    "fk_repair_join": """
+        SELECT l_orderkey, l_linenumber, o_orderdate AS propagated_deleted_at
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate > o_orderdate
+    """,
+    "delete_chunks": f"""
+        WITH archived AS (
+            SELECT o_orderkey,
+                   CAST(floor((row_number() OVER (ORDER BY o_orderkey) - 1) / 500) AS BIGINT)
+                       AS chunk_id
+            FROM orders WHERE o_orderdate <= {CUTOFF_SQL}
+        )
+        SELECT chunk_id, count(*) AS n_rows,
+               min(o_orderkey) AS min_pk, max(o_orderkey) AS max_pk
+        FROM archived GROUP BY chunk_id
+    """,
+}

@@ -1,0 +1,330 @@
+"""Relational completion (SURVEY §2.3 joins, §2.4 aggregations, §2.6
+sort/top-k, §2.7 set ops, §2.8 scalar functions).
+
+The reference has none of these (its only joins/aggs are generated
+SQL strings); they're required for a complete engine and come from
+Catalyst built-ins. Aggregate columns are rounded on both sides so
+the driver's value-hash is stable across summation orders.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from osarchiver_spark.sources.parquet import load_table
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan + pushdown filter + hash agg (partial/final
+    map-side combine comes free from groupBy)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 2
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join (dimension side broadcastable) +
+    agg + top-k. Catalyst broadcasts customer/orders under AQE."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        cust.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter((F.col("o_orderdate") < F.lit("1998-03-15")) & (F.col("l_shipdate") > F.lit("1998-03-15")))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way star join. region/nation broadcast;
+    supplier-nation = customer-nation co-membership condition."""
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        region.filter(F.col("r_name") == "ASIA")
+        .join(nation, F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(cust, F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(orders, F.col("o_custkey") == F.col("c_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(supp, (F.col("s_suppkey") == F.col("l_suppkey")) & (F.col("s_nationkey") == F.col("c_nationkey")))
+        .filter((F.col("o_orderdate") >= F.lit("1996-01-01")) & (F.col("o_orderdate") < F.lit("1997-01-01")))
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI (EXISTS): customers having at least one urgent order."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT")
+    return cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_semi")
+
+
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI (NOT EXISTS): parts never ordered."""
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    return part.join(li, part.p_partkey == li.l_partkey, "left_anti")
+
+
+def q_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER with null-producing side aggregated."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_spent"),
+        )
+    )
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi range join: price-band classification of orders.
+    Bands are a tiny literal dim — broadcast nested-loop is the right
+    physical plan and Catalyst picks it; at scale, bucketize the range
+    key to convert to equi-join (see operators/asof.py for that path).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(
+        [(0, 0.0, 50_000.0, "low"), (1, 50_000.0, 150_000.0, "mid"), (2, 150_000.0, 1e18, "high")],
+        "band_id int, lo double, hi double, band string",
+    )
+    return (
+        orders.join(bands, (orders.o_totalprice >= bands.lo) & (orders.o_totalprice < bands.hi))
+        .groupBy("band")
+        .agg(F.count("*").alias("n_orders"), F.round(F.avg("o_totalprice"), 2).alias("avg_price"))
+    )
+
+
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ROLLUP with grouping_id so subtotal rows are typed."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count("*").alias("n"),
+            F.grouping_id().alias("gid"),
+        )
+    )
+
+
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY CUBE over two dims."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_extendedprice"), 2).alias("sum_price"), F.grouping_id().alias("gid"))
+    )
+
+
+def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) + plain counts per group."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+def q_pivot_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot expressed as conditional aggregation (portable to ANSI
+    SQL via FILTER) — same plan Spark's .pivot() produces with
+    explicit values."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.sum(F.when(F.col("l_linestatus") == "O", F.col("l_quantity")).otherwise(F.lit(0.0))), 2).alias("qty_open"),
+        F.round(F.sum(F.when(F.col("l_linestatus") == "F", F.col("l_quantity")).otherwise(F.lit(0.0))), 2).alias("qty_fulfilled"),
+    )
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION / INTERSECT / EXCEPT (§2.7): classify custkeys by which
+    order-priority populations they belong to."""
+    orders = load_table(spark, sf_dir, "orders")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey").distinct()
+    high = orders.filter(F.col("o_orderpriority") == "2-HIGH").select("o_custkey").distinct()
+    both = urgent.intersect(high).withColumn("cls", F.lit("both"))
+    only_urgent = urgent.exceptAll(high).withColumn("cls", F.lit("urgent_only"))
+    only_high = high.exceptAll(urgent).withColumn("cls", F.lit("high_only"))
+    return both.unionAll(only_urgent).unionAll(only_high)
+
+
+def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar string/date/math surface (§2.8 F1-F6): the reference's
+    SUBDATE/NOW/formatting equivalents as pushdown-friendly built-ins."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.upper(F.substring("o_orderpriority", 3, 10)).alias("prio_name"),
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("order_ym"),
+        F.add_months(F.col("o_orderdate"), -12).cast("timestamp").alias("subdate_12m"),
+        F.datediff(F.lit("2002-01-01").cast("date"), F.col("o_orderdate").cast("date")).alias("age_days"),
+        F.round(F.log(F.col("o_totalprice") + 1), 6).alias("log_price"),
+        F.round(F.sqrt("o_totalprice"), 6).alias("sqrt_price"),
+        (F.col("o_orderkey") % 7).alias("key_mod7"),
+        F.concat_ws("-", F.col("o_orderstatus"), F.col("o_orderpriority")).alias("status_prio"),
+        F.length("o_orderpriority").alias("prio_len"),
+    )
+
+
+QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_shipping_priority": q3_shipping_priority,
+    "q5_local_supplier": q5_local_supplier,
+    "semi_join": q_semi_join,
+    "anti_join": q_anti_join,
+    "outer_join_agg": q_outer_join,
+    "range_join_bands": q_range_join,
+    "rollup_agg": q_rollup,
+    "cube_agg": q_cube,
+    "distinct_agg": q_distinct_agg,
+    "pivot_conditional": q_pivot_conditional,
+    "set_ops": q_set_ops,
+    "scalar_functions": q_scalar_functions,
+}
+
+ORACLES = {
+    "q1_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+               round(avg(l_quantity), 4) AS avg_qty,
+               round(avg(l_extendedprice), 4) AS avg_price,
+               round(avg(l_discount), 4) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "q3_shipping_priority": """
+        SELECT l_orderkey, o_orderdate, o_orderpriority,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM customer, orders, lineitem
+        WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+          AND o_orderkey = l_orderkey
+          AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+          AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """,
+    "q5_local_supplier": """
+        SELECT n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM region, nation, customer, orders, lineitem, supplier
+        WHERE r_name = 'ASIA' AND n_regionkey = r_regionkey
+          AND c_nationkey = n_nationkey AND o_custkey = c_custkey
+          AND l_orderkey = o_orderkey AND s_suppkey = l_suppkey
+          AND s_nationkey = c_nationkey
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY n_name
+    """,
+    "semi_join": """
+        SELECT * FROM customer WHERE EXISTS (
+            SELECT 1 FROM orders
+            WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+    """,
+    "anti_join": """
+        SELECT * FROM part WHERE NOT EXISTS (
+            SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+    """,
+    "outer_join_agg": """
+        SELECT c_custkey, c_name,
+               count(o_orderkey) AS n_orders,
+               round(coalesce(sum(o_totalprice), 0.0), 2) AS total_spent
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey, c_name
+    """,
+    "range_join_bands": """
+        WITH bands(band_id, lo, hi, band) AS (VALUES
+            (0, 0.0, 50000.0, 'low'),
+            (1, 50000.0, 150000.0, 'mid'),
+            (2, 150000.0, 1e18, 'high'))
+        SELECT band, count(*) AS n_orders, round(avg(o_totalprice), 2) AS avg_price
+        FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+        GROUP BY band
+    """,
+    "rollup_agg": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               count(*) AS n,
+               grouping(l_returnflag) * 2 + grouping(l_linestatus) AS gid
+        FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    "cube_agg": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_extendedprice), 2) AS sum_price,
+               grouping(l_returnflag) * 2 + grouping(l_linestatus) AS gid
+        FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    "distinct_agg": """
+        SELECT l_returnflag,
+               count(DISTINCT l_orderkey) AS n_orders,
+               count(DISTINCT l_partkey) AS n_parts,
+               count(*) AS n_rows
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "pivot_conditional": """
+        SELECT l_returnflag,
+               round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE 0.0 END), 2) AS qty_open,
+               round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0.0 END), 2) AS qty_fulfilled
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "set_ops": """
+        WITH urgent AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+             high AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH')
+        SELECT o_custkey, 'both' AS cls FROM (SELECT * FROM urgent INTERSECT SELECT * FROM high)
+        UNION ALL
+        SELECT o_custkey, 'urgent_only' AS cls FROM (SELECT * FROM urgent EXCEPT SELECT * FROM high)
+        UNION ALL
+        SELECT o_custkey, 'high_only' AS cls FROM (SELECT * FROM high EXCEPT SELECT * FROM urgent)
+    """,
+    "scalar_functions": """
+        SELECT o_orderkey,
+               upper(substring(o_orderpriority, 3, 10)) AS prio_name,
+               CAST(year(o_orderdate) AS INT) AS order_year,
+               CAST(month(o_orderdate) AS INT) AS order_month,
+               strftime(o_orderdate, '%Y-%m') AS order_ym,
+               o_orderdate - INTERVAL 12 MONTH AS subdate_12m,
+               CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS INT) AS age_days,
+               round(ln(o_totalprice + 1), 6) AS log_price,
+               round(sqrt(o_totalprice), 6) AS sqrt_price,
+               o_orderkey % 7 AS key_mod7,
+               concat_ws('-', o_orderstatus, o_orderpriority) AS status_prio,
+               CAST(length(o_orderpriority) AS INT) AS prio_len,
+        FROM orders
+    """,
+}

@@ -1,0 +1,215 @@
+"""Window / time-series queries over ``events`` (SURVEY §2.5, §2.9).
+
+The reference is strictly batch with no window functions; these are
+the Spark-native operators a complete engine needs. Streaming
+variants (watermarked, stateful) live in osarchiver_spark/streaming;
+here are the batch forms with exact DuckDB oracles — tumbling and
+sliding windows are expressed by epoch arithmetic so the oracle is
+plain ANSI SQL instead of Spark's window struct.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from osarchiver_spark.sources.parquet import load_table
+
+
+def q_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number() dedup: each user's most recent event. Ties broken
+    by event_id for determinism."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "ts", "event_type", "value")
+    )
+
+
+def q_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative sum of value per user over time (frame: unbounded
+    preceding → current)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(W.unboundedPreceding, 0)
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.sum("value").over(w), 4).alias("running_value"),
+    )
+
+
+def q_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag(): inter-event gap in seconds per user."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.when(
+            prev_ts.isNull(), F.lit(None).cast("double")
+        ).otherwise(
+            F.round(F.unix_micros(F.col("ts")) / 1e6 - F.unix_micros(prev_ts) / 1e6, 6)
+        ).alias("gap_seconds"),
+    )
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: gap > 30 min starts a new session; report
+    per-user session counts and the largest session length. Classic
+    lag + cumulative-sum-of-boundaries — one shuffle on user_id, all
+    window math stays in the same partitioning."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    new_sess = F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0)
+    sess = ev.withColumn("session_id", F.sum(new_sess).over(w.rowsBetween(W.unboundedPreceding, 0)))
+    per_session = sess.groupBy("user_id", "session_id").agg(F.count("*").alias("n_events"))
+    return per_session.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"),
+        F.max("n_events").alias("max_session_events"),
+    )
+
+
+def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour aggregation per event_type. Epoch-truncation
+    form (identical to F.window(ts, '1 hour').start, but yields a
+    plain timestamp column the oracle can reproduce)."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.timestamp_micros((F.floor(F.unix_micros("ts") / 3_600_000_000) * 3_600_000_000).cast("long"))
+    return (
+        ev.groupBy(bucket.alias("window_start"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+    )
+
+
+def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (1 h window, 30 min slide): each event lands in
+    2 buckets. Expressed as explode over the k=window/slide candidate
+    starts — the same row-expansion Spark's F.window performs."""
+    ev = load_table(spark, sf_dir, "events")
+    slide_us = 30 * 60 * 1_000_000
+    base = (F.floor(F.unix_micros("ts") / slide_us) * slide_us).cast("long")
+    starts = F.array(base, base - F.lit(slide_us))
+    return (
+        ev.withColumn("window_start_us", F.explode(starts))
+        .groupBy(F.timestamp_micros(F.col("window_start_us")).alias("window_start"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+    )
+
+
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 events by value per event_type (rank over desc value)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy(F.col("value").desc(), F.col("event_id"))
+    return (
+        ev.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("event_type", "rk", "event_id", F.round("value", 4).alias("value"))
+    )
+
+
+def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction (§2.8 — absent in reference): pull props.k and
+    aggregate it per event_type."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+QUERIES = {
+    "latest_event_per_user": q_latest_event_per_user,
+    "running_sum": q_running_sum,
+    "lag_delta": q_lag_delta,
+    "sessionize": q_sessionize,
+    "tumbling_window": q_tumbling_window,
+    "sliding_window": q_sliding_window,
+    "topk_per_group": q_topk_per_group,
+    "json_props": q_json_props,
+}
+
+ORACLES = {
+    "latest_event_per_user": """
+        SELECT user_id, event_id, ts, event_type, value FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events) WHERE rn = 1
+    """,
+    "running_sum": """
+        SELECT user_id, event_id,
+               round(sum(value) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+                   AS running_value
+        FROM events
+    """,
+    "lag_delta": """
+        SELECT user_id, event_id,
+               round(epoch_us(ts) / 1e6 - epoch_us(lag(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id)) / 1e6, 6)
+                   AS gap_seconds
+        FROM events
+    """,
+    "sessionize": """
+        WITH gaps AS (
+            SELECT user_id, ts, event_id,
+                   epoch_us(ts) - epoch_us(lag(ts) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id)) AS gap
+            FROM events),
+        marked AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1 ELSE 0 END AS new_sess
+            FROM gaps),
+        sessions AS (
+            SELECT user_id,
+                   sum(new_sess) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+            FROM marked),
+        per_session AS (
+            SELECT user_id, session_id, count(*) AS n_events
+            FROM sessions GROUP BY user_id, session_id)
+        SELECT user_id, count(*) AS n_sessions,
+               CAST(max(n_events) AS BIGINT) AS max_session_events
+        FROM per_session GROUP BY user_id
+    """,
+    "tumbling_window": """
+        SELECT make_timestamp(CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) * 3600000000)
+                   AS window_start,
+               event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+        FROM events GROUP BY 1, 2
+    """,
+    "sliding_window": """
+        WITH expanded AS (
+            SELECT unnest([
+                       CAST(floor(epoch_us(ts) / 1800000000) AS BIGINT) * 1800000000,
+                       CAST(floor(epoch_us(ts) / 1800000000) AS BIGINT) * 1800000000 - 1800000000
+                   ]) AS window_start_us,
+                   event_type, value
+            FROM events)
+        SELECT make_timestamp(window_start_us) AS window_start, event_type,
+               count(*) AS n, round(sum(value), 4) AS sum_value
+        FROM expanded GROUP BY 1, 2
+    """,
+    "topk_per_group": """
+        SELECT event_type, rk, event_id, round(value, 4) AS value FROM (
+            SELECT event_type, event_id, value,
+                   CAST(row_number() OVER (
+                       PARTITION BY event_type ORDER BY value DESC, event_id) AS INT) AS rk
+            FROM events) WHERE rk <= 3
+    """,
+    "json_props": """
+        SELECT event_type, count(*) AS n,
+               CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+               min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+               max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        FROM events GROUP BY event_type
+    """,
+}

@@ -1,0 +1,132 @@
+"""Archival destinations (reference Destination ABC,
+osarchiver/destination/base.py:12-36).
+
+Backends re-expressed Spark-first:
+
+- CsvSink        <- Csv formatter (destination/file/csv.py:20-58):
+  headers/partitioned output/compression are Spark writer options
+  instead of hand-managed file handles.
+- ParquetArchiveSink <- archive-DB destination (destination/db/db.py):
+  a parquet/date-partitioned "archive database" with schema-drift
+  checking (db.py:246-277) and idempotent appends keyed on pk
+  (db.py:374-414's INSERT..ON DUPLICATE KEY UPDATE no-op).
+- SqlDumpSink    <- Sql formatter (destination/file/sql.py:34-84):
+  INSERT-statement text emitted distributed via df.write.text.
+
+A 100 TB note: every sink takes the *same* cached DataFrame — one
+scan feeds N destinations (reference fan-out, archiver.py:44-64) —
+and writes are partitioned by a date column when available, so the
+archive lays out as date-pruned parquet.
+"""
+
+from __future__ import annotations
+
+import os
+from abc import ABC, abstractmethod
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from osarchiver_spark.plans.schema_drift import check_schema_drift
+
+
+class Sink(ABC):
+    """write(table_name, df) once per table per run; idempotent."""
+
+    @abstractmethod
+    def write(self, table: str, df: DataFrame) -> None: ...
+
+
+class CsvSink(Sink):
+    """One CSV dataset per table: ``<root>/<table>.csv/part-*``.
+
+    Reference writes one growing ``db.table.csv`` per table with a
+    header on first batch (destination/file/csv.py:41-50); Spark's
+    distributed writer keeps the header-per-file contract and adds
+    codec compression (reference compresses post-hoc with
+    shutil.make_archive, destination/file/base.py:113-133).
+    """
+
+    def __init__(self, root: str, compression: str | None = None):
+        self.root = root
+        self.compression = compression
+
+    def write(self, table: str, df: DataFrame) -> None:
+        writer = df.write.mode("overwrite").option("header", True)
+        if self.compression:
+            writer = writer.option("compression", self.compression)
+        writer.csv(os.path.join(self.root, f"{table}.csv"))
+
+
+class ParquetArchiveSink(Sink):
+    """The "archive database": parquet per table, append-mode with
+    pk-dedup so re-runs are idempotent (the Spark rewrite of
+    ``ON DUPLICATE KEY UPDATE pk=pk``), plus drift check against the
+    existing archive schema before any write (reference raises
+    OSArchiverNotEqualTableError on drift)."""
+
+    def __init__(self, root: str, primary_keys: dict[str, str], partition_column: str | None = None):
+        self.root = root
+        self.primary_keys = primary_keys
+        self.partition_column = partition_column
+
+    def _path(self, table: str) -> str:
+        return os.path.join(self.root, table)
+
+    def write(self, table: str, df: DataFrame) -> None:
+        path = self._path(table)
+        spark = df.sparkSession
+        pk = self.primary_keys[table]
+        try:
+            existing = spark.read.parquet(path)
+        except Exception:
+            existing = None
+        mode = "overwrite"
+        if existing is not None:
+            incoming = existing.drop("_archive_dt") if "_archive_dt" in existing.columns else existing
+            check_schema_drift(df.schema, incoming.schema)
+            # Idempotent insert-if-absent: drop rows whose pk is
+            # already archived (anti-join replaces the reference's
+            # ON DUPLICATE KEY UPDATE no-op upsert).
+            df = df.join(existing.select(pk), on=pk, how="left_anti")
+            mode = "append"
+        if self.partition_column and self.partition_column in df.columns:
+            # Date-partitioned archive layout: partition pruning on
+            # read, bounded file counts per partition at scale.
+            df = df.withColumn("_archive_dt", F.to_date(F.col(self.partition_column)))
+            df.write.mode(mode).partitionBy("_archive_dt").parquet(path)
+        else:
+            df.write.mode(mode).parquet(path)
+
+    def read(self, spark, table: str) -> DataFrame:
+        df = spark.read.parquet(self._path(table))
+        return df.drop("_archive_dt") if "_archive_dt" in df.columns else df
+
+
+class SqlDumpSink(Sink):
+    """SQL-dump text per table (reference destination/file/sql.py):
+    one idempotent ``INSERT ... ON DUPLICATE KEY UPDATE pk=pk;`` line
+    per row, rendered distributed (no driver collect) and written via
+    the text writer."""
+
+    def __init__(self, root: str, primary_keys: dict[str, str]):
+        self.root = root
+        self.primary_keys = primary_keys
+
+    def write(self, table: str, df: DataFrame) -> None:
+        pk = self.primary_keys[table]
+        cols = df.columns
+        # Render each value: NULL unquoted, strings escaped (reference
+        # sql.py:59-66) — built-in expressions, JVM-side.
+        rendered = [
+            F.when(F.col(c).isNull(), F.lit("NULL")).otherwise(
+                F.concat(F.lit("'"), F.regexp_replace(F.col(c).cast("string"), "'", "''"), F.lit("'"))
+            )
+            for c in cols
+        ]
+        line = F.concat(
+            F.lit(f"INSERT INTO `{table}` (" + ", ".join(f"`{c}`" for c in cols) + ") VALUES ("),
+            F.concat_ws(", ", *rendered),
+            F.lit(f") ON DUPLICATE KEY UPDATE `{pk}` = `{pk}`;"),
+        )
+        df.select(line.alias("value")).write.mode("overwrite").text(os.path.join(self.root, f"{table}.sql"))

@@ -1,0 +1,61 @@
+"""Parquet table catalog over the driver fixtures.
+
+The reference discovers databases/tables with ``SHOW DATABASES`` /
+``SHOW TABLES`` (osarchiver/common/db.py:393-414, S1/S2 in SURVEY §2);
+here the "catalog" is a directory of parquet tables. Reads stay lazy
+and schema'd so Catalyst gets pushdown + pruning for free.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+# Columns stored as TIMESTAMP(NANOS) in the fixtures. Spark reads
+# them as long (spark.sql.legacy.parquet.nanosAsLong); we floor-divide
+# to microseconds — the same truncation DuckDB applies — so oracle
+# comparisons see identical values.
+_NANOS_TS_COLUMNS: dict[str, list[str]] = {"events": ["ts"]}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Lazy parquet scan; filters/projections push down via Catalyst."""
+    df = spark.read.parquet(table_path(sf_dir, name))
+    for col in _NANOS_TS_COLUMNS.get(name, []):
+        if dict(df.dtypes).get(col) == "bigint":
+            df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in (names or TABLES)}
+
+
+def discover_tables(sf_dir: str) -> list[str]:
+    """Table discovery à la SHOW TABLES (reference common/db.py:402-414):
+    enumerate ``*.parquet`` entries in the scale-factor directory."""
+    out = []
+    for entry in sorted(os.listdir(sf_dir)):
+        if entry.endswith(".parquet"):
+            out.append(entry[: -len(".parquet")])
+    return out
