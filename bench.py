@@ -1,0 +1,80 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...}, "sf": <sf>}
+
+Each query is forced end-to-end with the noop writer (full plan
+execution, no driver-side collect) — the number measures the engine,
+not result serialization.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+from osarchiver_spark.queries import all_queries
+from osarchiver_spark.session import get_spark
+
+# Headline set: archival core + heavy relational + window/time-series
+# + north-star ops as they land.
+HEADLINE = [
+    "retention_filter",
+    "retention_remaining",
+    "archive_idempotent",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "outer_join_agg",
+    "distinct_agg",
+    "latest_event_per_user",
+    "sessionize",
+    "tumbling_window",
+    "sliding_window",
+    # north-star (registered as they are implemented)
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "knn_bruteforce",
+    "text_quality",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([\d.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+    spark = get_spark("osarchiver_spark_bench")
+    registry = all_queries()
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        fn = registry.get(name)
+        if fn is None:
+            continue
+        df = fn(spark, sf_dir)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        dt = round(time.perf_counter() - t0, 3)
+        timings[name] = dt
+        total += dt
+    print(
+        json.dumps(
+            {
+                "metric": "osarchiver_spark headline suite wall time",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())
