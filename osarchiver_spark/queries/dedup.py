@@ -1,7 +1,190 @@
-"""Deduplication operators over ``documents`` (north-star; filled in
-incrementally). See osarchiver_spark/operators/dedup.py."""
+"""Deduplication queries over ``documents`` (north-star).
+
+Every operator family — exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine — has an exact DuckDB oracle: sketches are md5-based
+so both engines compute identical signatures, buckets and scores.
+Oracle SQL is generated from the same constants as the Spark ops.
+"""
 
 from __future__ import annotations
 
-QUERIES: dict = {}
-ORACLES: dict = {}
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from osarchiver_spark.operators.dedup import (
+    embedding_neardup_pairs,
+    exact_dedup,
+    exact_dedup_groups,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_candidates,
+)
+from osarchiver_spark.sources.parquet import load_table
+
+NUM_HASHES = 12
+BANDS = 4
+ROWS_PER_BAND = NUM_HASHES // BANDS
+MINHASH_THRESHOLD = 0.5
+NGRAM_THRESHOLD = 0.3
+EMBED_THRESHOLD = 0.45
+NGRAM_SAMPLE_MOD = 1  # full corpus: the fixture plants ~25 near-dup pairs
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup_groups(docs, "doc_id", "text")
+
+
+def q_dedup_exact_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup(docs, "doc_id", "text")
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        docs, "doc_id", "text",
+        shingle_n=3, num_hashes=NUM_HASHES, bands=BANDS, threshold=MINHASH_THRESHOLD,
+    )
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_candidates(docs, "doc_id", "text")
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % NGRAM_SAMPLE_MOD == 0
+    )
+    return ngram_jaccard_pairs(docs, "doc_id", "text", shingle_n=3, threshold=NGRAM_THRESHOLD)
+
+
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_neardup_pairs(emb, "vec_id", "embedding", threshold=EMBED_THRESHOLD)
+
+
+QUERIES = {
+    "dedup_exact": q_dedup_exact,
+    "dedup_exact_rows": q_dedup_exact_rows,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_embedding": q_dedup_embedding,
+}
+
+# ---------------------------------------------------------------- oracles
+
+_SQL_FP = "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))"
+
+_SQL_SHINGLES = """
+    list_distinct([
+        toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        for i in range(1, greatest(len(toks) - 2, 0) + 1)])
+"""
+
+_SQL_TOKS = "list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '')"
+
+_SQL_SIG = (
+    "["
+    + ", ".join(f"list_min(list_transform(sh, s -> md5('{i}|' || s)))" for i in range(NUM_HASHES))
+    + "]"
+)
+
+_SQL_BANDS = (
+    "["
+    + ", ".join(
+        "md5(" + " || '|' || ".join(f"sig[{b * ROWS_PER_BAND + r + 1}]" for r in range(ROWS_PER_BAND)) + ")"
+        for b in range(BANDS)
+    )
+    + "]"
+)
+
+
+def _simhash_sql() -> str:
+    """16-bit simhash mirroring functions/text.py::simhash16."""
+    bit_terms = []
+    for pos in range(16):
+        d, b = pos // 4, pos % 4
+        vote = (
+            f"list_sum(list_transform(toks, t -> CASE WHEN "
+            f"((instr('0123456789abcdef', substr(md5(t), {d + 1}, 1)) - 1) & {1 << b}) != 0 "
+            f"THEN 1 ELSE -1 END))"
+        )
+        bit_terms.append(f"(CASE WHEN {vote} > 0 THEN {1 << pos} ELSE 0 END)")
+    return "CAST(" + " + ".join(bit_terms) + " AS INT)"
+
+
+_JACCARD = """
+    round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6)
+"""
+
+ORACLES = {
+    "dedup_exact": f"""
+        SELECT {_SQL_FP} AS fingerprint,
+               min(doc_id) AS keep_id, count(*) AS n_docs
+        FROM documents GROUP BY 1
+    """,
+    "dedup_exact_rows": f"""
+        SELECT * FROM documents WHERE doc_id IN (
+            SELECT min(doc_id) FROM documents GROUP BY {_SQL_FP})
+    """,
+    "dedup_minhash_lsh": f"""
+        WITH toked AS (
+            SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+        shingled AS (
+            SELECT doc_id, {_SQL_SHINGLES} AS sh FROM toked
+            WHERE len({_SQL_SHINGLES}) > 0),
+        sigs AS (
+            SELECT doc_id, sh, {_SQL_SIG} AS sig FROM shingled),
+        banded AS (
+            SELECT doc_id, unnest({_SQL_BANDS}) AS band_key,
+                   unnest(range(0, {BANDS})) AS band_idx
+            FROM sigs),
+        cands AS (
+            SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+            FROM banded x JOIN banded y
+              ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+            WHERE x.doc_id < y.doc_id)
+        SELECT doc_a, doc_b, {_JACCARD} AS jaccard
+        FROM cands JOIN shingled a ON doc_a = a.doc_id
+                   JOIN shingled b ON doc_b = b.doc_id
+        WHERE {_JACCARD} >= {MINHASH_THRESHOLD}
+    """,
+    "dedup_simhash": f"""
+        WITH sk AS (
+            SELECT doc_id, {_simhash_sql()} AS simhash
+            FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents))
+        SELECT a.simhash, a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sk a JOIN sk b ON a.simhash = b.simhash AND a.doc_id < b.doc_id
+    """,
+    "dedup_ngram_jaccard": f"""
+        WITH toked AS (
+            SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+            WHERE doc_id % {NGRAM_SAMPLE_MOD} = 0),
+        shingled AS (
+            SELECT doc_id, {_SQL_SHINGLES} AS sh FROM toked
+            WHERE len({_SQL_SHINGLES}) > 0),
+        ex AS (SELECT doc_id, unnest(sh) AS s FROM shingled),
+        cands AS (
+            SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+            FROM ex x JOIN ex y ON x.s = y.s WHERE x.doc_id < y.doc_id)
+        SELECT doc_a, doc_b, {_JACCARD} AS jaccard
+        FROM cands JOIN shingled a ON doc_a = a.doc_id
+                   JOIN shingled b ON doc_b = b.doc_id
+        WHERE {_JACCARD} >= {NGRAM_THRESHOLD}
+    """,
+    "dedup_embedding": f"""
+        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               round(list_dot_product(a.e, b.e)
+                     / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6)
+                   AS cosine
+        FROM v a JOIN v b ON a.vec_id < b.vec_id
+        WHERE round(list_dot_product(a.e, b.e)
+                    / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6)
+              >= {EMBED_THRESHOLD}
+    """,
+}

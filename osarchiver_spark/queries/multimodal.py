@@ -1,7 +1,58 @@
-"""Multimodal (binary-column) plumbing (north-star; filled in
-incrementally). See osarchiver_spark/operators/multimodal.py."""
+"""Multimodal-plumbing queries (north-star): binary payloads are
+synthesized from document text (utf-8 bytes), so the mapInPandas
+decode path is exercised for real while DuckDB oracles recompute the
+same metadata from the text characters (ascii == utf-8 byte here)."""
 
 from __future__ import annotations
 
-QUERIES: dict = {}
-ORACLES: dict = {}
+from pyspark.sql import DataFrame, SparkSession
+
+from osarchiver_spark.operators.multimodal import attach_binary, extract_metadata, sample_frames
+from osarchiver_spark.sources.parquet import load_table
+
+FRAME_STRIDE = 16
+
+
+def q_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_metadata(attach_binary(docs, "doc_id", "text"))
+
+
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return sample_frames(attach_binary(docs, "doc_id", "text"), stride=FRAME_STRIDE)
+
+
+QUERIES = {
+    "multimodal_metadata": q_multimodal_metadata,
+    "frame_sample": q_frame_sample,
+}
+
+ORACLES = {
+    "multimodal_metadata": """
+        WITH m AS (
+            SELECT doc_id, length(text) AS byte_len,
+                   ascii(substr(text, 1, 1)) * 16777216
+                   + ascii(substr(text, 2, 1)) * 65536
+                   + ascii(substr(text, 3, 1)) * 256
+                   + ascii(substr(text, 4, 1)) AS magic
+            FROM documents)
+        SELECT doc_id,
+               CAST(byte_len AS INT) AS byte_len,
+               CAST(magic AS BIGINT) AS magic_int,
+               CAST(64 + magic % 960 AS INT) AS fake_width,
+               CAST(64 + (magic // 256) % 960 AS INT) AS fake_height
+        FROM m
+    """,
+    "frame_sample": f"""
+        WITH f AS (
+            SELECT doc_id,
+                   [ascii(substr(text, i, 1))
+                    for i in range(1, length(text) + 1)
+                    if (i - 1) % {FRAME_STRIDE} = 0] AS frames
+            FROM documents)
+        SELECT doc_id, CAST(len(frames) AS INT) AS n_frames,
+               frames::INT[] AS frames
+        FROM f
+    """,
+}

@@ -1,7 +1,110 @@
-"""Similarity search over ``embeddings`` (north-star; filled in
-incrementally). See osarchiver_spark/operators/similarity.py."""
+"""Similarity-search queries over ``embeddings`` (north-star).
+
+Brute-force top-k gets an exact DuckDB oracle (ranking on rounded
+cosine with id tie-break is engine-reproducible). The LSH ANN variant
+is registered without an oracle (driver rows-only check); its recall
+against brute force is asserted in tests/test_similarity.py.
+"""
 
 from __future__ import annotations
 
-QUERIES: dict = {}
-ORACLES: dict = {}
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from osarchiver_spark.functions.vectors import as_double, norm
+from osarchiver_spark.operators.similarity import brute_force_topk, lsh_topk
+from osarchiver_spark.sources.parquet import load_table
+
+QUERY_MOD = 100  # vec_id % 100 == 0 → small deterministic query set
+TOP_K = 5
+EMBED_DIM = 64
+
+
+def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % QUERY_MOD == 0)
+    return brute_force_topk(emb, queries, "vec_id", "embedding", k=TOP_K)
+
+
+def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % QUERY_MOD == 0)
+    return lsh_topk(emb, queries, "vec_id", "embedding", dim=EMBED_DIM, k=TOP_K)
+
+
+def q_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        "label",
+        F.size("embedding").alias("dim"),
+        F.round(norm(as_double(F.col("embedding"))), 6).alias("l2_norm"),
+    )
+
+
+def q_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding stats — the 'cluster profile' aggregation."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = norm(as_double(F.col("embedding")))
+    return (
+        emb.select("label", n.alias("nrm"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("nrm"), 6).alias("avg_norm"),
+            F.round(F.min("nrm"), 6).alias("min_norm"),
+            F.round(F.max("nrm"), 6).alias("max_norm"),
+        )
+    )
+
+
+QUERIES = {
+    "knn_bruteforce": q_knn_bruteforce,
+    "knn_lsh": q_knn_lsh,
+    "vector_norms": q_vector_norms,
+    "label_stats": q_label_stats,
+}
+
+_COS = (
+    "round(list_dot_product(q.e, c.e) / "
+    "(sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e))), 6)"
+)
+
+ORACLES = {
+    "knn_bruteforce": f"""
+        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        scored AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   {_COS} AS cosine
+            FROM v q JOIN v c ON q.vec_id != c.vec_id
+            WHERE q.vec_id % {QUERY_MOD} = 0),
+        ranked AS (
+            SELECT query_id, neighbor_id, cosine,
+                   CAST(row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+            FROM scored)
+        SELECT query_id, rank, neighbor_id, cosine
+        FROM ranked WHERE rank <= {TOP_K}
+    """,
+    # knn_lsh: intentionally no oracle (approximate operator; driver
+    # records rows-only, recall asserted vs brute force in pytest).
+    "vector_norms": """
+        SELECT vec_id, label,
+               CAST(len(embedding) AS INT) AS dim,
+               round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6)
+                   AS l2_norm
+        FROM embeddings
+    """,
+    "label_stats": """
+        WITH n AS (
+            SELECT label,
+                   sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+            FROM embeddings)
+        SELECT label, count(*) AS n,
+               round(avg(nrm), 6) AS avg_norm,
+               round(min(nrm), 6) AS min_norm,
+               round(max(nrm), 6) AS max_norm
+        FROM n GROUP BY label
+    """,
+}

@@ -1,7 +1,193 @@
-"""Text-analysis operators over ``documents`` (north-star; filled in
-incrementally). See osarchiver_spark/functions/text.py."""
+"""Text-analysis queries over ``documents`` (north-star operators:
+language-ID, quality scoring, token counting, fingerprinting).
+
+Every query has an exact DuckDB oracle: tokenization, md5 sketches
+and score formulas are reproduced digit-for-digit in SQL (the marker
+lexicons are embedded from the same LANG_MARKERS constant).
+"""
 
 from __future__ import annotations
 
-QUERIES: dict = {}
-ORACLES: dict = {}
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from osarchiver_spark.functions.text import (
+    LANG_MARKERS,
+    lang_id,
+    lang_scores,
+    normalized_fingerprint,
+    punct_ratio,
+    stopword_ratio,
+    token_count,
+    tokens,
+    winnow_fingerprint,
+)
+from osarchiver_spark.sources.parquet import load_table
+
+# Shared SQL fragments (must mirror functions/text.py exactly).
+_SQL_TOKENS = "list_filter(regexp_split_to_array(trim({col}), '\\s+'), t -> t <> '')"
+_SQL_TOKENS_LOWER = _SQL_TOKENS.format(col="lower(text)")
+
+
+def _sql_in_list(words: list[str]) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    total_len = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        F.length("text").alias("text_len"),
+        F.round(total_len.cast("double") / F.size(toks), 6).alias("avg_token_len"),
+        F.round(F.size(F.array_distinct(toks)).cast("double") / F.size(toks), 6).alias("distinct_ratio"),
+    )
+
+
+def q_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level token frequency: top 20 tokens (count desc, token
+    asc). The whole-corpus groupBy is the canonical map-side-combine
+    aggregation — linear at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokens(F.lower(F.col("text")))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token"))
+        .limit(20)
+    )
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score: stopword presence, length saturation,
+    punctuation penalty — the standard cheap pre-filter of a training
+    data pipeline."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_toks = token_count(F.col("text"))
+    stop_r = stopword_ratio(F.col("text"))
+    punct_r = punct_ratio(F.col("text"))
+    len_score = F.least(n_toks.cast("double") / 100.0, F.lit(1.0))
+    quality = 0.5 * stop_r + 0.3 * len_score + 0.2 * (1.0 - punct_r)
+    return docs.select(
+        "doc_id",
+        n_toks.alias("n_tokens"),
+        F.round(stop_r, 6).alias("stopword_ratio"),
+        F.round(punct_r, 6).alias("punct_ratio"),
+        F.round(quality, 6).alias("quality"),
+    )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    scores = lang_scores(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("lang_label"),
+        lang_id(F.col("text")).alias("lang_pred"),
+        *[scores[lang].alias(f"score_{lang}") for lang in LANG_MARKERS],
+    )
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        normalized_fingerprint(F.col("text")).alias("fp_exact"),
+        winnow_fingerprint(F.col("text")).alias("fp_winnow"),
+    )
+
+
+QUERIES = {
+    "text_stats": q_text_stats,
+    "token_histogram": q_token_histogram,
+    "text_quality": q_text_quality,
+    "lang_id": q_lang_id,
+    "doc_fingerprint": q_doc_fingerprint,
+}
+
+
+def _score_sql(lang: str) -> str:
+    return (
+        f"len(list_filter({_SQL_TOKENS_LOWER}, "
+        f"t -> list_contains({_sql_in_list(LANG_MARKERS[lang])}, t)))"
+    )
+
+
+_LANG_CASE = (
+    "CASE WHEN greatest(score_en, score_de, score_es, score_fr) = 0 THEN 'und' "
+    + " ".join(
+        f"WHEN score_{lang} = greatest(score_en, score_de, score_es, score_fr) THEN '{lang}'"
+        for lang in LANG_MARKERS
+    )
+    + " ELSE 'und' END"
+)
+
+ORACLES = {
+    "text_stats": f"""
+        WITH t AS (SELECT doc_id, length(text) AS text_len,
+                          {_SQL_TOKENS.format(col='text')} AS toks
+                   FROM documents)
+        SELECT doc_id,
+               CAST(len(toks) AS INT) AS n_tokens,
+               CAST(text_len AS INT) AS text_len,
+               round(CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+                     / len(toks), 6) AS avg_token_len,
+               round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6)
+                   AS distinct_ratio
+        FROM t
+    """,
+    "token_histogram": f"""
+        SELECT token, count(*) AS n
+        FROM (SELECT unnest({_SQL_TOKENS_LOWER}) AS token FROM documents)
+        GROUP BY token ORDER BY n DESC, token LIMIT 20
+    """,
+    "text_quality": f"""
+        WITH t AS (
+            SELECT doc_id,
+                   len({_SQL_TOKENS.format(col='text')}) AS n_tokens,
+                   CASE WHEN len({_SQL_TOKENS_LOWER}) > 0 THEN
+                       CAST(len(list_filter({_SQL_TOKENS_LOWER},
+                           t -> list_contains({_sql_in_list(LANG_MARKERS['en'])}, t))) AS DOUBLE)
+                       / len({_SQL_TOKENS_LOWER})
+                   ELSE 0.0 END AS stop_r,
+                   CASE WHEN length(text) > 0 THEN
+                       CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+                       / length(text)
+                   ELSE 0.0 END AS punct_r
+            FROM documents)
+        SELECT doc_id,
+               CAST(n_tokens AS INT) AS n_tokens,
+               round(stop_r, 6) AS stopword_ratio,
+               round(punct_r, 6) AS punct_ratio,
+               round(0.5 * stop_r + 0.3 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+                     + 0.2 * (1.0 - punct_r), 6) AS quality
+        FROM t
+    """,
+    "lang_id": f"""
+        WITH scored AS (
+            SELECT doc_id, lang AS lang_label,
+                   CAST({_score_sql('en')} AS INT) AS score_en,
+                   CAST({_score_sql('de')} AS INT) AS score_de,
+                   CAST({_score_sql('es')} AS INT) AS score_es,
+                   CAST({_score_sql('fr')} AS INT) AS score_fr
+            FROM documents)
+        SELECT doc_id, lang_label, {_LANG_CASE} AS lang_pred,
+               score_en, score_de, score_es, score_fr
+        FROM scored
+    """,
+    "doc_fingerprint": """
+        WITH t AS (
+            SELECT doc_id,
+                   md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp_exact,
+                   list_sort(list_transform(
+                       list_distinct([substr(text, i, 5)
+                           for i in range(1, greatest(length(text) - 4, 1) + 1)]),
+                       s -> md5(s))) AS sorted_hashes
+            FROM documents)
+        SELECT doc_id, fp_exact,
+               array_to_string(array_slice(sorted_hashes, 1, 4), '|') AS fp_winnow
+        FROM t
+    """,
+}
