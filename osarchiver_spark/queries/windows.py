@@ -124,7 +124,18 @@ def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME tumbling aggregation computed by Structured Streaming
+    (watermark + window state, memory sink) — checked against the
+    identical ANSI oracle as the batch form, proving batch/stream
+    agreement."""
+    from osarchiver_spark.streaming.pipeline import streaming_tumbling_agg
+
+    return streaming_tumbling_agg(spark, sf_dir)
+
+
 QUERIES = {
+    "streaming_tumbling": q_streaming_tumbling,
     "latest_event_per_user": q_latest_event_per_user,
     "running_sum": q_running_sum,
     "lag_delta": q_lag_delta,
@@ -136,6 +147,12 @@ QUERIES = {
 }
 
 ORACLES = {
+    "streaming_tumbling": """
+        SELECT make_timestamp(CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) * 3600000000)
+                   AS window_start,
+               event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+        FROM events GROUP BY 1, 2
+    """,
     "latest_event_per_user": """
         SELECT user_id, event_id, ts, event_type, value FROM (
             SELECT *, row_number() OVER (

