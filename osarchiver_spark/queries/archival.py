@@ -107,7 +107,33 @@ def q_delete_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fk_orphan_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integrity diagnostics (S20/J2, the Spark rewrite of the
+    reference's dichotomic fault isolation + child-row lookup,
+    source/db.py:376-426 / common/db.py:505-519): when parents
+    (orders) are archived on o_orderdate but children (lineitem) on
+    l_shipdate, report children left referencing archived parents —
+    a semi-join of remaining children against archived parent keys.
+
+    Unlike the reference (which bisects failing batches at runtime),
+    this is a *pre-flight* set-level check: one join instead of
+    O(log n) retry rounds."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    archived_parents = retention_filter(orders, "o_orderdate", CUTOFF).select("o_orderkey")
+    remaining_children = li.filter(~(F.col("l_shipdate") <= F.lit(CUTOFF)))
+    orphans = remaining_children.join(
+        archived_parents, remaining_children.l_orderkey == archived_parents.o_orderkey, "left_semi"
+    )
+    return orphans.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_orphan_lines"),
+        F.min("l_linenumber").alias("first_line"),
+        F.max("l_shipdate").alias("latest_shipdate"),
+    )
+
+
 QUERIES = {
+    "fk_orphan_report": q_fk_orphan_report,
     "retention_filter": q_retention_filter,
     "retention_remaining": q_retention_remaining,
     "archive_idempotent": q_archive_idempotent,
@@ -119,6 +145,16 @@ QUERIES = {
 }
 
 ORACLES = {
+    "fk_orphan_report": f"""
+        SELECT l_orderkey, count(*) AS n_orphan_lines,
+               min(l_linenumber) AS first_line,
+               max(l_shipdate) AS latest_shipdate
+        FROM lineitem
+        WHERE NOT (l_shipdate <= {CUTOFF_SQL})
+          AND l_orderkey IN (
+              SELECT o_orderkey FROM orders WHERE o_orderdate <= {CUTOFF_SQL})
+        GROUP BY l_orderkey
+    """,
     "retention_filter": f"SELECT * FROM orders WHERE o_orderdate <= {CUTOFF_SQL}",
     "retention_remaining": f"""
         SELECT * FROM orders

@@ -199,7 +199,34 @@ def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (linear interpolation — Spark `percentile`
+    matches ANSI/DuckDB quantile_cont)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(o_totalprice, 0.99)"), 4).alias("p99"),
+        F.count("*").alias("n"),
+    )
+
+
+def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate sketches (HLL++ distinct, GK quantiles): the scale
+    path where exact distinct/percentile shuffles are too expensive.
+    No oracle — sketch values are engine-specific by nature; accuracy
+    vs exact is asserted in tests/test_approx.py."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("approx_p50_price"),
+        F.count("*").alias("n_rows"),
+    )
+
+
 QUERIES = {
+    "percentiles": q_percentiles,
+    "approx_sketches": q_approx_sketches,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_local_supplier": q5_local_supplier,
@@ -216,6 +243,14 @@ QUERIES = {
 }
 
 ORACLES = {
+    "percentiles": """
+        SELECT o_orderpriority,
+               round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+               round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+               round(quantile_cont(o_totalprice, 0.99), 4) AS p99,
+               count(*) AS n
+        FROM orders GROUP BY o_orderpriority
+    """,
     "q1_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
                round(sum(l_quantity), 2) AS sum_qty,

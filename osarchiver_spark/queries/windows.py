@@ -134,8 +134,33 @@ def q_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_tumbling_agg(spark, sf_dir)
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (point-in-time lookup): each purchase event gets the
+    most recent login of the same user at or before it. Composed
+    union+window strategy (operators/asof.py) — one shuffle on
+    user_id, no range explosion."""
+    from osarchiver_spark.operators.asof import asof_join_union
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    logins = ev.filter(F.col("event_type") == "login").select(
+        "user_id", "ts", F.col("event_id").alias("login_id")
+    )
+    return asof_join_union(
+        purchases,
+        logins,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["login_id"],
+        left_tiebreak="event_id",
+        right_tiebreak="login_id",
+    )
+
+
 QUERIES = {
     "streaming_tumbling": q_streaming_tumbling,
+    "asof_join": q_asof_join,
     "latest_event_per_user": q_latest_event_per_user,
     "running_sum": q_running_sum,
     "lag_delta": q_lag_delta,
@@ -147,6 +172,24 @@ QUERIES = {
 }
 
 ORACLES = {
+    "asof_join": """
+        WITH u AS (
+            SELECT user_id, ts, event_id AS tb, 1 AS side,
+                   event_id, ts AS l_ts, NULL::BIGINT AS r_login
+            FROM events WHERE event_type = 'purchase'
+            UNION ALL
+            SELECT user_id, ts, event_id AS tb, 0 AS side,
+                   NULL::BIGINT, NULL::TIMESTAMP, event_id
+            FROM events WHERE event_type = 'login'),
+        c AS (
+            SELECT *, last_value(r_login IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY ts, side, tb
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS asof_login_id
+            FROM u)
+        SELECT event_id, user_id, l_ts AS ts, asof_login_id
+        FROM c WHERE side = 1
+    """,
     "streaming_tumbling": """
         SELECT make_timestamp(CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) * 3600000000)
                    AS window_start,

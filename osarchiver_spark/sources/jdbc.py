@@ -1,0 +1,69 @@
+"""JDBC source: the direct Spark upgrade of the reference's keyset
+pagination (osarchiver/source/db.py:216-277, SURVEY S8).
+
+The reference pages `WHERE pk > last_id LIMIT n` sequentially to
+avoid OFFSET cost; Spark reads the same key ranges IN PARALLEL via
+partitionColumn/lowerBound/upperBound/numPartitions — each executor
+gets a `pk BETWEEN lo AND hi` slice, the retention predicate pushes
+down into each slice's WHERE clause.
+
+No database exists in this container, so `read_table` only *builds*
+the reader (options are unit-tested); executing it requires a real
+JDBC URL + driver jar.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class JdbcTable:
+    url: str  # e.g. jdbc:mysql://host:3306/db
+    table: str
+    primary_key: str
+    user: str = ""
+    password: str = ""
+    fetch_size: int = 10_000
+
+
+def jdbc_read_options(
+    src: JdbcTable,
+    lower_bound: int,
+    upper_bound: int,
+    num_partitions: int,
+    where: str | None = None,
+) -> dict[str, str]:
+    """Partitioned-read option set. ``where`` (the retention
+    predicate) is inlined as a pushdown subquery so the database
+    itself filters — exactly where the reference runs its WHERE
+    (source/db.py:237-248)."""
+    dbtable = src.table if where is None else f"(SELECT * FROM {src.table} WHERE {where}) AS t"
+    return {
+        "url": src.url,
+        "dbtable": dbtable,
+        "user": src.user,
+        "password": src.password,
+        "partitionColumn": src.primary_key,
+        "lowerBound": str(lower_bound),
+        "upperBound": str(upper_bound),
+        "numPartitions": str(num_partitions),
+        "fetchsize": str(src.fetch_size),
+    }
+
+
+def read_table(
+    spark: SparkSession,
+    src: JdbcTable,
+    lower_bound: int,
+    upper_bound: int,
+    num_partitions: int = 32,
+    where: str | None = None,
+) -> DataFrame:
+    """Build the parallel JDBC scan (lazy; caller executes)."""
+    reader = spark.read.format("jdbc")
+    for k, v in jdbc_read_options(src, lower_bound, upper_bound, num_partitions, where).items():
+        reader = reader.option(k, v)
+    return reader.load()
