@@ -49,9 +49,16 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def _with_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    return df.select(
-        F.col(id_col).alias("doc_id"), word_shingles(F.col(text_col), n).alias("shingles")
-    ).filter(F.size("shingles") > 0)
+    # Shingling + hashing is CPU-bound: spread it across all cores
+    # even when the source is a single small parquet split. (At real
+    # scale the scan itself provides the splits and this repartition
+    # is a cheap narrow-ish shuffle of raw text.)
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return (
+        df.repartition(par)
+        .select(F.col(id_col).alias("doc_id"), word_shingles(F.col(text_col), n).alias("shingles"))
+        .filter(F.size("shingles") > 0)
+    )
 
 
 def _pair_jaccard(pairs: DataFrame, shingled: DataFrame) -> DataFrame:
@@ -81,12 +88,20 @@ def minhash_lsh_pairs(
     keys → explode(band_idx, key) → self equi-join on the bucket →
     distinct candidate pairs → exact-Jaccard verify >= threshold.
 
+    Hash-cost note: md5 is used so the DuckDB oracle can reproduce
+    signatures bit-for-bit; a production deployment swaps ``perm`` in
+    functions/text.py::minhash_signature to ``F.xxhash64(F.lit(i),
+    s)`` (~5× cheaper, same operator shape, no oracle parity).
+
     The self-join is on (band_idx, band_key): at 100 TB the bucket
     key is high-cardinality, so the shuffle partitions evenly; AQE
     skew-join splits any hot bucket (e.g. a boilerplate shingle set).
     """
     rows = num_hashes // bands
-    shingled = _with_shingles(df, id_col, text_col, shingle_n)
+    # shingled feeds three consumers (signature + both sides of the
+    # verify join): cache the shingle arrays instead of recomputing
+    # the tokenize+hash pipeline per consumer.
+    shingled = _with_shingles(df, id_col, text_col, shingle_n).cache()
     sig = shingled.select(
         "doc_id", "shingles", minhash_signature(F.col("shingles"), num_hashes).alias("sig")
     )
@@ -133,7 +148,7 @@ def ngram_jaccard_pairs(
     (docs with zero shared shingles can't clear any threshold > 0),
     so even the 'exact' variant avoids a cross join.
     """
-    shingled = _with_shingles(df, id_col, text_col, shingle_n)
+    shingled = _with_shingles(df, id_col, text_col, shingle_n).cache()
     ex = shingled.select("doc_id", F.explode("shingles").alias("s"))
     pairs = (
         ex.alias("x")

@@ -1,0 +1,66 @@
+"""Physical-plan regression tests: the scale properties that make
+this engine viable at 100 TB must be visible in the plan, not just
+hoped for — predicate pushdown into the parquet scan, column pruning,
+broadcast joins for dimensions, partial (map-side) aggregation."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from osarchiver_spark.queries import all_queries
+
+SF = "/root/testdata/sf0.01"
+
+
+def _formatted(spark, name: str) -> str:
+    df = all_queries()[name](spark, SF)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_retention_filter_pushes_down(spark):
+    plan = _formatted(spark, "retention_filter")
+    assert "PushedFilters: [IsNotNull(o_orderdate), LessThanOrEqual(o_orderdate" in plan
+
+
+def test_q1_prunes_columns(spark):
+    plan = _formatted(spark, "q1_pricing_summary")
+    # only the 7 needed columns reach the scan — no l_orderkey etc.
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_orderkey" not in read_schema
+    assert "l_quantity" in read_schema
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+
+
+def test_q1_partial_aggregation(spark):
+    plan = _formatted(spark, "q1_pricing_summary")
+    assert "partial_sum" in plan  # map-side combine before the shuffle
+
+
+def test_star_joins_broadcast(spark):
+    plan = _formatted(spark, "q5_local_supplier")
+    assert plan.count("BroadcastHashJoin") >= 4  # dims broadcast, no sort-merge storm
+    assert "CartesianProduct" not in plan
+
+
+def test_anti_join_delete_strategy(spark):
+    plan = _formatted(spark, "retention_remaining")
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_knn_broadcasts_queries(spark):
+    plan = _formatted(spark, "knn_bruteforce")
+    # bounded query set must broadcast; corpus side streams
+    assert "Broadcast" in plan
+
+
+def test_no_python_udfs_in_core_queries(spark):
+    # dedup/text/vector ops must stay JVM-side (multimodal is the
+    # sanctioned mapInPandas exception)
+    for name in ["dedup_minhash_lsh", "text_quality", "lang_id", "knn_bruteforce", "dedup_simhash"]:
+        plan = _formatted(spark, name)
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
