@@ -91,9 +91,11 @@ class ParquetArchiveSink(Sink):
             df = df.join(existing.select(pk), on=pk, how="left_anti")
             mode = "append"
         if self.partition_column and self.partition_column in df.columns:
-            # Date-partitioned archive layout: partition pruning on
-            # read, bounded file counts per partition at scale.
-            df = df.withColumn("_archive_dt", F.to_date(F.col(self.partition_column)))
+            # Month-partitioned archive layout: partition pruning on
+            # read with bounded partition counts (daily granularity
+            # on a years-long retention column would mean thousands
+            # of tiny partitions — the classic small-files failure).
+            df = df.withColumn("_archive_dt", F.trunc(F.col(self.partition_column), "month"))
             df.write.mode(mode).partitionBy("_archive_dt").parquet(path)
         else:
             df.write.mode(mode).parquet(path)
