@@ -224,7 +224,19 @@ def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt via stack(): wide metric columns to long form."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.selectExpr(
+        "l_orderkey",
+        "l_linenumber",
+        "stack(3, 'quantity', l_quantity, 'discount', l_discount, 'tax', l_tax)"
+        " AS (metric, value)",
+    ).select("l_orderkey", "l_linenumber", "metric", F.round("value", 4).alias("value"))
+
+
 QUERIES = {
+    "unpivot_metrics": q_unpivot,
     "percentiles": q_percentiles,
     "approx_sketches": q_approx_sketches,
     "q1_pricing_summary": q1_pricing_summary,
@@ -243,6 +255,14 @@ QUERIES = {
 }
 
 ORACLES = {
+    "unpivot_metrics": """
+        SELECT l_orderkey, l_linenumber, 'quantity' AS metric,
+               round(l_quantity, 4) AS value FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'discount', round(l_discount, 4) FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'tax', round(l_tax, 4) FROM lineitem
+    """,
     "percentiles": """
         SELECT o_orderpriority,
                round(quantile_cont(o_totalprice, 0.5), 4) AS p50,

@@ -65,9 +65,16 @@ class ParquetArchiveSink(Sink):
     existing archive schema before any write (reference raises
     OSArchiverNotEqualTableError on drift)."""
 
-    def __init__(self, root: str, primary_keys: dict[str, str], partition_column: str | None = None):
+    def __init__(
+        self,
+        root: str,
+        primary_keys: dict[str, str | list[str]],
+        partition_column: str | None = None,
+    ):
         self.root = root
-        self.primary_keys = primary_keys
+        # single or composite keys (e.g. lineitem's (l_orderkey,
+        # l_linenumber)); normalized to lists
+        self.primary_keys = {t: [k] if isinstance(k, str) else list(k) for t, k in primary_keys.items()}
         self.partition_column = partition_column
 
     def _path(self, table: str) -> str:
@@ -88,7 +95,7 @@ class ParquetArchiveSink(Sink):
             # Idempotent insert-if-absent: drop rows whose pk is
             # already archived (anti-join replaces the reference's
             # ON DUPLICATE KEY UPDATE no-op upsert).
-            df = df.join(existing.select(pk), on=pk, how="left_anti")
+            df = df.join(existing.select(*pk), on=pk, how="left_anti")
             mode = "append"
         if self.partition_column and self.partition_column in df.columns:
             # Month-partitioned archive layout: partition pruning on
@@ -111,12 +118,12 @@ class SqlDumpSink(Sink):
     per row, rendered distributed (no driver collect) and written via
     the text writer."""
 
-    def __init__(self, root: str, primary_keys: dict[str, str]):
+    def __init__(self, root: str, primary_keys: dict[str, str | list[str]]):
         self.root = root
-        self.primary_keys = primary_keys
+        self.primary_keys = {t: [k] if isinstance(k, str) else list(k) for t, k in primary_keys.items()}
 
     def write(self, table: str, df: DataFrame) -> None:
-        pk = self.primary_keys[table]
+        pk = self.primary_keys[table][0]
         cols = df.columns
         # Render each value: NULL unquoted, strings escaped (reference
         # sql.py:59-66) — built-in expressions, JVM-side.
