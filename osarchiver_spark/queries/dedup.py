@@ -60,6 +60,28 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, "doc_id", "text", shingle_n=3, threshold=NGRAM_THRESHOLD)
 
 
+def q_dedup_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup executed by the STATEFUL STREAMING operator
+    (applyInPandasWithState): over a single micro-batch of the whole
+    table its output equals batch first-occurrence dedup, so the same
+    SQL oracle applies; cross-batch state is tested in
+    tests/test_streaming_dedup.py."""
+    from pyspark.sql import types as T
+
+    from osarchiver_spark.streaming.dedup import run_streaming_dedup
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    return run_streaming_dedup(spark, sf_dir, schema, path_glob="documents.parquet")
+
+
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return embedding_neardup_pairs(emb, "vec_id", "embedding", threshold=EMBED_THRESHOLD)
@@ -72,6 +94,7 @@ QUERIES = {
     "dedup_simhash": q_dedup_simhash,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_embedding": q_dedup_embedding,
+    "dedup_streaming": q_dedup_streaming,
 }
 
 # ---------------------------------------------------------------- oracles
@@ -130,6 +153,10 @@ ORACLES = {
     "dedup_exact_rows": f"""
         SELECT * FROM documents WHERE doc_id IN (
             SELECT min(doc_id) FROM documents GROUP BY {_SQL_FP})
+    """,
+    "dedup_streaming": f"""
+        SELECT {_SQL_FP} AS fingerprint, min(doc_id) AS keep_id
+        FROM documents GROUP BY 1
     """,
     "dedup_minhash_lsh": f"""
         WITH toked AS (
