@@ -38,8 +38,19 @@ def table_path(sf_dir: str, name: str) -> str:
 _NANOS_TS_COLUMNS: dict[str, list[str]] = {"events": ["ts"]}
 
 
+def ensure_session_defaults(spark: SparkSession) -> None:
+    """Runtime-settable confs the engine's correctness contract
+    assumes, applied defensively for externally-built sessions (the
+    driver passes its own SparkSession): nanos timestamps readable,
+    UTC semantics for timestamp<->naive comparisons."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Lazy parquet scan; filters/projections push down via Catalyst."""
+    if name in _NANOS_TS_COLUMNS:
+        ensure_session_defaults(spark)
     df = spark.read.parquet(table_path(sf_dir, name))
     for col in _NANOS_TS_COLUMNS.get(name, []):
         if dict(df.dtypes).get(col) == "bigint":

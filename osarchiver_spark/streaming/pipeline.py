@@ -43,6 +43,9 @@ EVENTS_RAW_SCHEMA = T.StructType(
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the events fixture with event-time column."""
+    from osarchiver_spark.sources.parquet import ensure_session_defaults
+
+    ensure_session_defaults(spark)
     # The file stream source watches a DIRECTORY; pathGlobFilter picks
     # the events table out of the fixture dir (a real deployment
     # watches a landing dir of arriving parquet files).
