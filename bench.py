@@ -36,11 +36,19 @@ HEADLINE = [
     "sessionize",
     "tumbling_window",
     "sliding_window",
+    "asof_join",
+    "percentiles",
     # north-star (registered as they are implemented)
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_embedding",
     "knn_bruteforce",
+    "knn_lsh",
     "text_quality",
+    "lang_id",
+    "doc_fingerprint",
+    "multimodal_metadata",
 ]
 
 

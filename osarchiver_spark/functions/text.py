@@ -98,31 +98,46 @@ def _hex_digit_value(hex_str: Column, digit_index: int) -> Column:
     return F.instr(F.lit("0123456789abcdef"), ch) - 1
 
 
-def simhash16(text: Column) -> Column:
-    """16-bit SimHash over whitespace tokens.
+def token_hashes(text: Column) -> Column:
+    """md5 per whitespace token — the input of simhash16_from_hashed.
+    Materialize this as a real column (with an optimizer barrier such
+    as repartition) before fanning out into the 16 per-bit votes;
+    otherwise projection collapse re-inlines the md5 into every vote
+    (16× recompute)."""
+    return F.transform(tokens(text), lambda t: F.md5(t))
+
+
+def simhash16_from_hashed(hashes: Column) -> Column:
+    """16-bit SimHash from pre-hashed tokens.
 
     Each token votes +1/-1 on 16 bit positions taken from the first 4
-    hex digits of md5(token) (4 bits per digit); bit p of the result
-    is set when the vote sum is positive. Built-in expressions only;
-    the oracle reproduces it digit-for-digit.
+    hex digits of its md5 (4 bits per digit); bit p of the result is
+    set when the vote sum is positive. Built-in expressions only; the
+    oracle reproduces it digit-for-digit.
     """
-    toks = tokens(text)
 
     def vote_fn(pos: int):
         d, b = divmod(pos, 4)
 
-        def step(acc, t):
+        def step(acc, h):
             return acc + F.when(
-                _hex_digit_value(F.md5(t), d).bitwiseAND(F.lit(1 << b)) != 0, F.lit(1)
+                _hex_digit_value(h, d).bitwiseAND(F.lit(1 << b)) != 0, F.lit(1)
             ).otherwise(F.lit(-1))
 
         return step
 
-    votes = [F.aggregate(toks, F.lit(0), vote_fn(pos)) for pos in range(16)]
+    votes = [F.aggregate(hashes, F.lit(0), vote_fn(pos)) for pos in range(16)]
     out = F.lit(0)
     for p, v in enumerate(votes):
         out = out + F.when(v > 0, F.lit(1 << p)).otherwise(F.lit(0))
     return out
+
+
+def simhash16(text: Column) -> Column:
+    """Single-expression form (re-hashes per bit position; prefer
+    token_hashes + simhash16_from_hashed around an optimizer barrier
+    in hot paths — see operators/dedup.py::simhash_candidates)."""
+    return simhash16_from_hashed(token_hashes(text))
 
 
 def punct_ratio(text: Column) -> Column:

@@ -24,7 +24,8 @@ from osarchiver_spark.functions.text import (
     lsh_band_keys,
     minhash_signature,
     normalized_fingerprint,
-    simhash16,
+    simhash16_from_hashed,
+    token_hashes,
     word_shingles,
 )
 
@@ -125,7 +126,14 @@ def simhash_candidates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     sketch. Candidates come from a groupable equi-join on the sketch
     value — the classic 'hamming distance 0 block' of a
     multi-probe scheme (rotations would add distance 1-2 probes)."""
-    sk = df.select(F.col(id_col).alias("doc_id"), simhash16(F.col(text_col)).alias("simhash"))
+    par = df.sparkSession.sparkContext.defaultParallelism
+    # token_hashes materialized below a repartition: the barrier both
+    # spreads the md5 work across cores and stops projection collapse
+    # from re-inlining the hashing into each of the 16 bit votes.
+    hashed = df.select(
+        F.col(id_col).alias("doc_id"), token_hashes(F.col(text_col)).alias("toks_h")
+    ).repartition(par)
+    sk = hashed.select("doc_id", simhash16_from_hashed(F.col("toks_h")).alias("simhash"))
     a = sk.select(F.col("doc_id").alias("doc_a"), "simhash")
     b = sk.select(F.col("doc_id").alias("doc_b"), "simhash")
     return (
@@ -168,8 +176,11 @@ def embedding_neardup_pairs(df: DataFrame, id_col: str, vec_col: str, threshold:
     from osarchiver_spark.functions.vectors import as_double, cosine
 
     base = df.select(F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("v"))
-    a = base.select(F.col("vid").alias("vec_a"), F.col("v").alias("va"))
-    b = base.select(F.col("vid").alias("vec_b"), F.col("v").alias("vb"))
+    # one side spread across cores (a small parquet file is a single
+    # split — a serial cross join otherwise), the other broadcast
+    par = df.sparkSession.sparkContext.defaultParallelism
+    a = base.repartition(par).select(F.col("vid").alias("vec_a"), F.col("v").alias("va"))
+    b = F.broadcast(base.select(F.col("vid").alias("vec_b"), F.col("v").alias("vb")))
     sim = F.round(cosine(F.col("va"), F.col("vb")), 6)
     return (
         a.crossJoin(b)

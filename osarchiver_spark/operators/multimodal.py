@@ -31,8 +31,11 @@ FRAMES_SCHEMA = "doc_id bigint, n_frames int, frames array<int>"
 
 def attach_binary(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Synthesize the opaque payload column (in production this is the
-    raw bytes from the object store / parquet binary column)."""
-    return df.select(
+    raw bytes from the object store / parquet binary column). Spread
+    across cores so the Arrow decode stage below parallelizes even
+    from a single-split source file."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(par).select(
         F.col(id_col).alias("doc_id"),
         F.encode(F.col(text_col), "utf-8").alias("payload"),
         F.lit("application/octet-stream").alias("content_type"),

@@ -91,7 +91,10 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    # char-shingle hashing is CPU-bound: spread the single-split scan
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return docs.select(
         "doc_id",
         normalized_fingerprint(F.col("text")).alias("fp_exact"),
