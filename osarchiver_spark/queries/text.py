@@ -102,7 +102,32 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data pre-filter: quality gate + language
+    gate + near-dup removal in one plan. Documents survive when
+    (a) quality >= 0.5, (b) predicted language is 'en', and (c) they
+    are not the higher-id member of any >=0.5-Jaccard near-dup pair.
+    One declarative plan: Catalyst fuses the scalar gates into the
+    scan and the dedup anti-join runs on the LSH pair set only."""
+    from osarchiver_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_toks = token_count(F.col("text"))
+    stop_r = stopword_ratio(F.col("text"))
+    punct_r = punct_ratio(F.col("text"))
+    len_score = F.least(n_toks.cast("double") / 100.0, F.lit(1.0))
+    quality = 0.5 * stop_r + 0.3 * len_score + 0.2 * (1.0 - punct_r)
+    gated = docs.filter((F.round(quality, 6) >= 0.5) & (lang_id(F.col("text")) == "en"))
+    dup_losers = (
+        minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    return gated.join(dup_losers, "doc_id", "left_anti").select("doc_id", "lang", "source")
+
+
 QUERIES = {
+    "corpus_pipeline": q_corpus_pipeline,
     "text_stats": q_text_stats,
     "token_histogram": q_token_histogram,
     "text_quality": q_text_quality,
@@ -126,6 +151,62 @@ _LANG_CASE = (
     )
     + " ELSE 'und' END"
 )
+
+def _corpus_pipeline_sql() -> str:
+    from osarchiver_spark.queries.dedup import (
+        _JACCARD,
+        _SQL_BANDS,
+        _SQL_SHINGLES,
+        _SQL_SIG,
+        BANDS,
+        MINHASH_THRESHOLD,
+    )
+
+    return f"""
+        WITH toked AS (
+            SELECT doc_id, {_SQL_TOKENS.format(col='text')} AS toks FROM documents),
+        shingled AS (
+            SELECT doc_id, {_SQL_SHINGLES} AS sh FROM toked
+            WHERE len({_SQL_SHINGLES}) > 0),
+        sigs AS (SELECT doc_id, sh, {_SQL_SIG} AS sig FROM shingled),
+        banded AS (
+            SELECT doc_id, unnest({_SQL_BANDS}) AS band_key,
+                   unnest(range(0, {BANDS})) AS band_idx
+            FROM sigs),
+        cands AS (
+            SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+            FROM banded x JOIN banded y
+              ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+            WHERE x.doc_id < y.doc_id),
+        losers AS (
+            SELECT DISTINCT doc_b AS doc_id
+            FROM cands JOIN shingled a ON doc_a = a.doc_id
+                       JOIN shingled b ON doc_b = b.doc_id
+            WHERE {_JACCARD} >= {MINHASH_THRESHOLD}),
+        scored AS (
+            SELECT doc_id, lang, source,
+                   CASE WHEN len({_SQL_TOKENS_LOWER}) > 0 THEN
+                       CAST(len(list_filter({_SQL_TOKENS_LOWER},
+                           t -> list_contains({_sql_in_list(LANG_MARKERS['en'])}, t))) AS DOUBLE)
+                       / len({_SQL_TOKENS_LOWER})
+                   ELSE 0.0 END AS stop_r,
+                   CASE WHEN length(text) > 0 THEN
+                       CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+                       / length(text)
+                   ELSE 0.0 END AS punct_r,
+                   len({_SQL_TOKENS.format(col='text')}) AS n_tokens,
+                   CAST({_score_sql('en')} AS INT) AS score_en,
+                   CAST({_score_sql('de')} AS INT) AS score_de,
+                   CAST({_score_sql('es')} AS INT) AS score_es,
+                   CAST({_score_sql('fr')} AS INT) AS score_fr
+            FROM documents)
+        SELECT doc_id, lang, source FROM scored
+        WHERE round(0.5 * stop_r + 0.3 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+                    + 0.2 * (1.0 - punct_r), 6) >= 0.5
+          AND ({_LANG_CASE}) = 'en'
+          AND doc_id NOT IN (SELECT doc_id FROM losers)
+    """
+
 
 ORACLES = {
     "text_stats": f"""
@@ -194,3 +275,5 @@ ORACLES = {
         FROM t
     """,
 }
+
+ORACLES["corpus_pipeline"] = _corpus_pipeline_sql()
