@@ -45,6 +45,8 @@ HEADLINE = [
     "dedup_embedding",
     "knn_bruteforce",
     "knn_lsh",
+    "knn_ivf",
+    "corpus_pipeline",
     "text_quality",
     "lang_id",
     "doc_fingerprint",

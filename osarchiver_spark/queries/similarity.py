@@ -32,6 +32,17 @@ def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb, queries, "vec_id", "embedding", dim=EMBED_DIM, k=TOP_K)
 
 
+def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (k-means inverted file, nprobe probing) — approximate
+    by design, so rows-only for the driver; recall vs brute force is
+    asserted in tests/test_ivf.py."""
+    from osarchiver_spark.operators.ivf import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % QUERY_MOD == 0)
+    return ivf_topk(emb, queries, "vec_id", "embedding", k=TOP_K, n_clusters=16, nprobe=6)
+
+
 def q_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return emb.select(
@@ -61,6 +72,7 @@ def q_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "knn_bruteforce": q_knn_bruteforce,
     "knn_lsh": q_knn_lsh,
+    "knn_ivf": q_knn_ivf,
     "vector_norms": q_vector_norms,
     "label_stats": q_label_stats,
 }
