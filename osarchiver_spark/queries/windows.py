@@ -124,6 +124,21 @@ def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_map_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface (§2.8): parse the JSON props column into
+    map<string,bigint>, explode entries, aggregate per key."""
+    ev = load_table(spark, sf_dir, "events")
+    entries = ev.select(
+        "event_id", F.explode(F.from_json("props", "map<string,bigint>")).alias("key", "value")
+    )
+    return entries.groupBy("key").agg(
+        F.count("*").alias("n"),
+        F.sum("value").alias("sum_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+
+
 def q_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SAME tumbling aggregation computed by Structured Streaming
     (watermark + window state, memory sink) — checked against the
@@ -169,6 +184,7 @@ QUERIES = {
     "sliding_window": q_sliding_window,
     "topk_per_group": q_topk_per_group,
     "json_props": q_json_props,
+    "map_entries": q_map_entries,
 }
 
 ORACLES = {
@@ -264,6 +280,17 @@ ORACLES = {
                    CAST(row_number() OVER (
                        PARTITION BY event_type ORDER BY value DESC, event_id) AS INT) AS rk
             FROM events) WHERE rk <= 3
+    """,
+    "map_entries": """
+        WITH entries AS (
+            SELECT event_id, unnest(json_keys(props)) AS key,
+                   CAST(json_extract_string(props, '$.' || unnest(json_keys(props))) AS BIGINT)
+                       AS value
+            FROM events)
+        SELECT key, count(*) AS n,
+               CAST(sum(value) AS BIGINT) AS sum_value,
+               min(value) AS min_value, max(value) AS max_value
+        FROM entries GROUP BY key
     """,
     "json_props": """
         SELECT event_type, count(*) AS n,
