@@ -235,7 +235,43 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("l_orderkey", "l_linenumber", "metric", F.round("value", 4).alias("value"))
 
 
+def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape — correlated scalar subquery (avg quantity per
+    part) decorrelated into an aggregate + join, the plan Catalyst
+    (and any warehouse optimizer) targets; the oracle keeps the
+    correlated form and DuckDB decorrelates it itself."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    avg_qty = li.groupBy(F.col("l_partkey").alias("p_key")).agg(
+        (F.avg("l_quantity") * 0.5).alias("half_avg_qty")
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(avg_qty, li.l_partkey == avg_qty.p_key)
+        .filter((F.col("p_brand") == "Brand#1") & (F.col("l_quantity") < F.col("half_avg_qty")))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"))
+    )
+
+
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS through the SQL API (same Catalyst plan
+    as the DataFrame rollup/cube, arbitrary set list)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("lineitem_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               count(*) AS n
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )
+
+
 QUERIES = {
+    "q17_small_quantity": q17_small_quantity,
+    "grouping_sets": q_grouping_sets,
     "unpivot_metrics": q_unpivot,
     "percentiles": q_percentiles,
     "approx_sketches": q_approx_sketches,
@@ -255,6 +291,21 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q17_small_quantity": """
+        SELECT round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly
+        FROM lineitem, part
+        WHERE p_partkey = l_partkey AND p_brand = 'Brand#1'
+          AND l_quantity < (
+              SELECT 0.5 * avg(l_quantity) FROM lineitem l2
+              WHERE l2.l_partkey = lineitem.l_partkey)
+    """,
+    "grouping_sets": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               count(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
     "unpivot_metrics": """
         SELECT l_orderkey, l_linenumber, 'quantity' AS metric,
                round(l_quantity, 4) AS value FROM lineitem
