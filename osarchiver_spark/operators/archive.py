@@ -36,7 +36,7 @@ from osarchiver_spark.operators.retention import (
     retention_predicate,
 )
 from osarchiver_spark.plans.jobspec import ArchiveJobSpec, TableSpec
-from osarchiver_spark.plans.toposort import sort_tables
+from osarchiver_spark.plans.toposort import table_generations
 from osarchiver_spark.sinks.base import Sink
 
 
@@ -62,6 +62,11 @@ class Archiver:
     # receives (table, remaining_df); persists the rewritten source.
     source_rewriter: object | None = None
 
+    # run tables of the same FK generation concurrently (Spark's
+    # scheduler interleaves the jobs across executors); FK ordering
+    # is preserved BETWEEN generations.
+    max_parallel_tables: int = 1
+
     def run(self, dataframes: dict[str, DataFrame]) -> list[TableRunResult]:
         if not self.spec.archive_data and not self.spec.delete_data:
             # Reference short-circuit (archiver.py:87-90).
@@ -69,8 +74,19 @@ class Archiver:
         now = self.spec.now or frozen_now()
         cutoff = retention_cutoff(now, self.spec.retention_months)
         results: list[TableRunResult] = []
-        for tspec in sort_tables(self.spec.eligible_tables()):
-            results.append(self._run_table(tspec, dataframes[tspec.name], cutoff))
+        for gen in table_generations(self.spec.eligible_tables()):
+            if self.max_parallel_tables > 1 and len(gen) > 1:
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(max_workers=self.max_parallel_tables) as ex:
+                    results.extend(
+                        ex.map(
+                            lambda t: self._run_table(t, dataframes[t.name], cutoff), gen
+                        )
+                    )
+            else:
+                for tspec in gen:
+                    results.append(self._run_table(tspec, dataframes[tspec.name], cutoff))
         return results
 
     def _run_table(self, tspec: TableSpec, df: DataFrame, cutoff: datetime) -> TableRunResult:

@@ -18,11 +18,18 @@ from graphlib import CycleError, TopologicalSorter
 from osarchiver_spark.plans.jobspec import TableSpec
 
 
-def sort_tables(tables: list[TableSpec]) -> list[TableSpec]:
-    """Children-first topological order over declared FK edges.
+def table_generations(tables: list[TableSpec]) -> list[list[TableSpec]]:
+    """Children-first topological GENERATIONS over declared FK edges:
+    every table in generation g only has parents in generations > g,
+    so all tables within one generation are mutually independent and
+    can run as concurrent Spark job groups (the reference is strictly
+    sequential, main.py:89-91 — parallel generations is the cluster
+    upgrade).
 
-    Edge child -> parent means "child must run before parent".
-    Deterministic: ties broken by the input order.
+    Deterministic: within a generation, input order is kept. Circular
+    FK groups can't be ordered; like the reference's escape hatch
+    (source/db.py:354-357) the whole list degrades to one sequential
+    generation each.
     """
     by_name = {t.name: t for t in tables}
     index = {t.name: i for i, t in enumerate(tables)}
@@ -36,13 +43,17 @@ def sort_tables(tables: list[TableSpec]) -> list[TableSpec]:
     try:
         ts.prepare()
     except CycleError:
-        # Circular FKs: fall back to input order (caller must disable
-        # strict ordering for the cycle, as the reference does).
-        return list(tables)
-    ordered: list[str] = []
+        # Circular FKs: fall back to input order, fully sequential.
+        return [[t] for t in tables]
+    gens: list[list[TableSpec]] = []
     while ts.is_active():
         ready = sorted(ts.get_ready(), key=lambda n: index[n])
+        gens.append([by_name[n] for n in ready])
         for n in ready:
-            ordered.append(n)
             ts.done(n)
-    return [by_name[n] for n in ordered]
+    return gens
+
+
+def sort_tables(tables: list[TableSpec]) -> list[TableSpec]:
+    """Children-first topological order (flattened generations)."""
+    return [t for gen in table_generations(tables) for t in gen]
