@@ -37,12 +37,15 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = tokens(F.col("text"))
     total_len = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    n = F.size(toks)
+    # div-by-zero guards: ANSI mode errors on x/0, and an all-
+    # whitespace doc in a future fixture would otherwise kill the scan
     return docs.select(
         "doc_id",
         token_count(F.col("text")).alias("n_tokens"),
         F.length("text").alias("text_len"),
-        F.round(total_len.cast("double") / F.size(toks), 6).alias("avg_token_len"),
-        F.round(F.size(F.array_distinct(toks)).cast("double") / F.size(toks), 6).alias("distinct_ratio"),
+        F.when(n > 0, F.round(total_len.cast("double") / n, 6)).alias("avg_token_len"),
+        F.when(n > 0, F.round(F.size(F.array_distinct(toks)).cast("double") / n, 6)).alias("distinct_ratio"),
     )
 
 
@@ -216,10 +219,12 @@ ORACLES = {
         SELECT doc_id,
                CAST(len(toks) AS INT) AS n_tokens,
                CAST(text_len AS INT) AS text_len,
-               round(CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
-                     / len(toks), 6) AS avg_token_len,
-               round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6)
-                   AS distinct_ratio
+               CASE WHEN len(toks) > 0 THEN
+                   round(CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+                         / len(toks), 6) END AS avg_token_len,
+               CASE WHEN len(toks) > 0 THEN
+                   round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6)
+               END AS distinct_ratio
         FROM t
     """,
     "token_histogram": f"""

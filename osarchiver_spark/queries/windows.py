@@ -124,6 +124,58 @@ def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame (value-based, tie-inclusive — unlike ROWS): per
+    user, sum of value over the trailing 1 hour of event time."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.sum("value").over(w), 4).alias("trailing_1h_value"),
+    )
+
+
+def q_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-function family: rank/dense_rank/ntile/percent_rank/
+    cume_dist over order value per priority class."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance fuzzy matching (levenshtein is built into both
+    engines): near-miss pairs among distinct event types."""
+    ev = load_table(spark, sf_dir, "events")
+    types = ev.select("event_type").distinct()
+    a = types.select(F.col("event_type").alias("type_a"))
+    b = types.select(F.col("event_type").alias("type_b"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("type_a") < F.col("type_b"))
+        .select(
+            "type_a",
+            "type_b",
+            F.levenshtein("type_a", "type_b").alias("edit_distance"),
+        )
+        .filter(F.col("edit_distance") <= 5)
+    )
+
+
 def q_map_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MapType surface (§2.8): parse the JSON props column into
     map<string,bigint>, explode entries, aggregate per key."""
@@ -185,6 +237,9 @@ QUERIES = {
     "topk_per_group": q_topk_per_group,
     "json_props": q_json_props,
     "map_entries": q_map_entries,
+    "range_frame": q_range_frame,
+    "rank_functions": q_rank_functions,
+    "fuzzy_match": q_fuzzy_match,
 }
 
 ORACLES = {
@@ -280,6 +335,32 @@ ORACLES = {
                    CAST(row_number() OVER (
                        PARTITION BY event_type ORDER BY value DESC, event_id) AS INT) AS rk
             FROM events) WHERE rk <= 3
+    """,
+    "range_frame": """
+        SELECT user_id, event_id,
+               round(sum(value) OVER (
+                   PARTITION BY user_id ORDER BY epoch_us(ts)
+                   RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW), 4)
+                   AS trailing_1h_value
+        FROM events
+    """,
+    "rank_functions": """
+        SELECT o_orderkey, o_orderpriority,
+               CAST(rank() OVER w AS INT) AS rnk,
+               CAST(dense_rank() OVER w AS INT) AS drnk,
+               CAST(ntile(4) OVER w AS INT) AS quartile,
+               round(percent_rank() OVER w, 6) AS pct_rank,
+               round(cume_dist() OVER w, 6) AS cume
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderpriority
+                     ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+    "fuzzy_match": """
+        WITH t AS (SELECT DISTINCT event_type FROM events)
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               CAST(levenshtein(a.event_type, b.event_type) AS INT) AS edit_distance
+        FROM t a JOIN t b ON a.event_type < b.event_type
+        WHERE levenshtein(a.event_type, b.event_type) <= 5
     """,
     "map_entries": """
         WITH entries AS (
