@@ -225,8 +225,17 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows computed by the streaming engine; same oracle
+    as the batch sliding query."""
+    from osarchiver_spark.streaming.pipeline import streaming_sliding_agg
+
+    return streaming_sliding_agg(spark, sf_dir)
+
+
 QUERIES = {
     "streaming_tumbling": q_streaming_tumbling,
+    "streaming_sliding": q_streaming_sliding,
     "asof_join": q_asof_join,
     "latest_event_per_user": q_latest_event_per_user,
     "running_sum": q_running_sum,
@@ -260,6 +269,18 @@ ORACLES = {
             FROM u)
         SELECT event_id, user_id, l_ts AS ts, asof_login_id
         FROM c WHERE side = 1
+    """,
+    "streaming_sliding": """
+        WITH expanded AS (
+            SELECT unnest([
+                       CAST(floor(epoch_us(ts) / 1800000000) AS BIGINT) * 1800000000,
+                       CAST(floor(epoch_us(ts) / 1800000000) AS BIGINT) * 1800000000 - 1800000000
+                   ]) AS window_start_us,
+                   event_type, value
+            FROM events)
+        SELECT make_timestamp(window_start_us) AS window_start, event_type,
+               count(*) AS n, round(sum(value), 4) AS sum_value
+        FROM expanded GROUP BY 1, 2
     """,
     "streaming_tumbling": """
         SELECT make_timestamp(CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) * 3600000000)

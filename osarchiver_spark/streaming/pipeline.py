@@ -91,6 +91,29 @@ def streaming_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(out.collect(), out.schema)
 
 
+def streaming_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window (1 h window / 30 min slide) count+sum per
+    event_type via the streaming engine — each event contributes to 2
+    window states; matches the batch explode-formulation
+    (queries/windows.py::q_sliding_window) and its oracle."""
+    agg = (
+        events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour", "30 minutes"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+    )
+    name = f"stream_slide_{uuid.uuid4().hex[:8]}"
+    q = agg.writeStream.outputMode("complete").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.table(name).select(
+        F.col("window.start").alias("window_start"), "event_type", "n", "sum_value"
+    )
+    return spark.createDataFrame(out.collect(), out.schema)
+
+
 def stream_archive(
     spark: SparkSession,
     sf_dir: str,
