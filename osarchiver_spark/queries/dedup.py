@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from osarchiver_spark.operators.dedup import (
-    embedding_neardup_pairs,
+    embedding_lsh_neardup_pairs,
     exact_dedup,
     exact_dedup_groups,
     minhash_lsh_pairs,
@@ -83,8 +83,13 @@ def q_dedup_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed scale path (no data×data cross join); the
+    brute-force twin (embedding_neardup_pairs) stays as the pytest
+    verification baseline. Same output schema + exact-cosine verify,
+    so the exact all-pairs oracle still hash-matches (full recall at
+    this threshold verified across fixtures — see operator docstring)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return embedding_neardup_pairs(emb, "vec_id", "embedding", threshold=EMBED_THRESHOLD)
+    return embedding_lsh_neardup_pairs(emb, "vec_id", "embedding", threshold=EMBED_THRESHOLD)
 
 
 QUERIES = {

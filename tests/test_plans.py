@@ -58,6 +58,16 @@ def test_knn_broadcasts_queries(spark):
     assert "Broadcast" in plan
 
 
+def test_dedup_embedding_is_bucketed(spark):
+    # the registered embedding-dedup query must never cross-join the
+    # corpus against itself: candidates come from LSH bucket groups
+    # (brute force survives only as the pytest baseline operator)
+    plan = _formatted(spark, "dedup_embedding")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "FlatMapGroupsInPandas" in plan  # within-bucket BLAS verify
+
+
 def test_no_python_udfs_in_core_queries(spark):
     # dedup/text/vector ops must stay JVM-side (multimodal is the
     # sanctioned mapInPandas exception)
