@@ -16,7 +16,12 @@ from osarchiver_spark.operators.dedup import (
 )
 from osarchiver_spark.operators.ivf import ivf_topk, kmeans_fit
 from osarchiver_spark.operators.merge import merge_insert_if_absent, merge_upsert
-from osarchiver_spark.operators.multimodal import attach_binary, extract_metadata, sample_frames
+from osarchiver_spark.operators.multimodal import (
+    attach_binary,
+    extract_metadata,
+    extract_metadata_codec,
+    sample_frames,
+)
 from osarchiver_spark.operators.scd import scd2_apply, scd2_as_of, scd2_current, scd2_init
 from osarchiver_spark.operators.similarity import brute_force_topk, lsh_topk
 from osarchiver_spark.operators.skew import key_skew_profile, salted_count_sum, salted_join
@@ -43,6 +48,7 @@ __all__ = [
     "merge_upsert",
     "attach_binary",
     "extract_metadata",
+    "extract_metadata_codec",
     "sample_frames",
     "scd2_apply",
     "scd2_as_of",

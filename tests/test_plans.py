@@ -69,8 +69,16 @@ def test_dedup_embedding_is_bucketed(spark):
 
 
 def test_no_python_udfs_in_core_queries(spark):
-    # dedup/text/vector ops must stay JVM-side (multimodal is the
-    # sanctioned mapInPandas exception)
-    for name in ["dedup_minhash_lsh", "text_quality", "lang_id", "knn_bruteforce", "dedup_simhash"]:
+    # dedup/text/vector/metadata ops must stay JVM-side (frame_sample
+    # and the codec decode path are the sanctioned mapInPandas
+    # exceptions; dedup_embedding's BLAS verify is pinned separately)
+    for name in [
+        "dedup_minhash_lsh",
+        "text_quality",
+        "lang_id",
+        "knn_bruteforce",
+        "dedup_simhash",
+        "multimodal_metadata",
+    ]:
         plan = _formatted(spark, name)
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name

@@ -51,6 +51,18 @@ def test_multimodal_metadata_matches_python(spark, sf_small):
         assert r.fake_height == 64 + (magic // 256) % 960
 
 
+def test_codec_path_matches_builtin_metadata(spark, sf_small):
+    # the mapInPandas codec fence must derive the same metadata as
+    # the JVM built-in path (deterministic-fake decode)
+    from osarchiver_spark.operators.multimodal import extract_metadata_codec
+
+    docs = load_table(spark, sf_small, "documents").limit(50)
+    payload = attach_binary(docs, "doc_id", "text")
+    jvm = {tuple(r) for r in extract_metadata(payload).collect()}
+    codec = {tuple(r) for r in extract_metadata_codec(payload).collect()}
+    assert jvm == codec
+
+
 def test_frame_sample_shape(spark, sf_small):
     docs = load_table(spark, sf_small, "documents").limit(10)
     out = sample_frames(attach_binary(docs, "doc_id", "text"), stride=16).collect()
