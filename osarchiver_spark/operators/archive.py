@@ -51,6 +51,10 @@ class TableRunResult:
     archived_rows: int
     remaining_rows: int | None
     dry_run: bool
+    # set when this table's archiving failed: the delete was
+    # suppressed and the run continued with the other tables
+    # (reference archiver.py:97-103)
+    error: str | None = None
 
 
 @dataclass
@@ -73,6 +77,8 @@ class Archiver:
             return []
         now = self.spec.now or frozen_now()
         cutoff = retention_cutoff(now, self.spec.retention_months)
+        for sink in self.sinks:
+            sink.begin_run(now)  # dated per-run namespace for file sinks
         results: list[TableRunResult] = []
         for gen in table_generations(self.spec.eligible_tables()):
             if self.max_parallel_tables > 1 and len(gen) > 1:
@@ -104,25 +110,37 @@ class Archiver:
                     try:
                         sink.write(tspec.name, archived)
                     except Exception as exc:  # noqa: BLE001
-                        raise ArchivingFailed(
-                            f"sink {type(sink).__name__} failed for {tspec.name}: {exc}"
-                        ) from exc
+                        # Suppress this table's delete, keep the run
+                        # going: other tables' completed work stands
+                        # (reference archiver.py:97-103).
+                        return TableRunResult(
+                            tspec.name,
+                            n_archived,
+                            None,
+                            dry_run=False,
+                            error=f"sink {type(sink).__name__} failed for {tspec.name}: {exc}",
+                        )
                 remaining_n = None
                 if self.spec.delete_data:
                     # Negated-predicate rewrite: a second pushdown scan,
-                    # no join/shuffle (see module docstring).
+                    # no join/shuffle (see module docstring). Counts are
+                    # materialized BEFORE the rewriter touches the
+                    # source path — both scans are lazy over it.
                     remaining = df.filter(~pred | df[tspec.deleted_column].isNull())
+                    remaining_n = remaining.count()
                     if self.source_rewriter is not None:
                         self.source_rewriter(tspec.name, remaining)  # type: ignore[operator]
-                    remaining_n = remaining.count()
                 return TableRunResult(tspec.name, n_archived, remaining_n, dry_run=False)
             finally:
                 archived.unpersist()
-        # delete-only mode
+        # delete-only mode: evaluate both counts before any rewrite of
+        # the source path (they are lazy scans of the original source)
         remaining = df.filter(~pred | df[tspec.deleted_column].isNull())
+        archived_n = archived.count()
+        remaining_n = remaining.count()
         if self.source_rewriter is not None:
             self.source_rewriter(tspec.name, remaining)  # type: ignore[operator]
-        return TableRunResult(tspec.name, archived.count(), remaining.count(), dry_run=False)
+        return TableRunResult(tspec.name, archived_n, remaining_n, dry_run=False)
 
 
 def archive_and_remaining(

@@ -92,17 +92,28 @@ def asof_join_pandas(
     rsel = right.select(key, right_ts, *value_cols)
 
     def merge(ldf: pd.DataFrame, rdf: pd.DataFrame) -> pd.DataFrame:
-        ldf = ldf.sort_values(left_ts)
-        rdf = rdf.sort_values(right_ts)[[right_ts, *value_cols]].rename(
-            columns={c: f"asof_{c}" for c in value_cols}
-        )
+        ldf = ldf.sort_values(left_ts, kind="stable")
+        if rdf.empty:
+            # a key with no right-side rows cogroups an EMPTY (even
+            # column-less) frame: every asof value is null
+            out = ldf.copy()
+            for c in value_cols:
+                out[f"asof_{c}"] = None
+            return out
+        # secondary sort on the value cols: merge_asof picks the LAST
+        # right row at an equal timestamp, so this resolves ties to
+        # the max value — same rule as asof_join_union's tiebreak
+        rdf = rdf.sort_values([right_ts, *value_cols], kind="stable")[
+            [right_ts, *value_cols]
+        ].rename(columns={c: f"asof_{c}" for c in value_cols})
         merged = pd.merge_asof(
             ldf, rdf, left_on=left_ts, right_on=right_ts, direction="backward"
         )
         return merged[[*ldf.columns, *[f"asof_{c}" for c in value_cols]]]
 
-    def apply_fn(_key, pdfs):
-        ldf, rdf = pdfs
+    def apply_fn(ldf: pd.DataFrame, rdf: pd.DataFrame) -> pd.DataFrame:
+        # cogrouped applyInPandas dispatches the 2-arg form as
+        # f(left_pdf, right_pdf); the key would need the 3-arg form
         return merge(ldf, rdf)
 
     return left.groupBy(key).cogroup(rsel.groupBy(key)).applyInPandas(apply_fn, out_fields)

@@ -23,10 +23,12 @@ from __future__ import annotations
 
 import os
 from abc import ABC, abstractmethod
+from datetime import datetime
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from osarchiver_spark.plans.naming import render_suffix
 from osarchiver_spark.plans.schema_drift import check_schema_drift
 
 
@@ -36,9 +38,45 @@ class Sink(ABC):
     @abstractmethod
     def write(self, table: str, df: DataFrame) -> None: ...
 
+    def begin_run(self, now: datetime) -> None:
+        """Per-run namespace hook: the Archiver calls this with the
+        run's frozen ``now`` so file sinks derive a dated output
+        directory (reference {date}-templated directories,
+        destination/file/base.py:49-50)."""
 
-class CsvSink(Sink):
-    """One CSV dataset per table: ``<root>/<table>.csv/part-*``.
+
+def _hadoop_path_exists(spark: SparkSession, path: str) -> bool:
+    """Existence probe through the Hadoop FileSystem API — works for
+    any scheme (file://, s3a://, ...) without read-and-catch."""
+    sc = spark.sparkContext
+    hpath = sc._jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(sc._jsc.hadoopConfiguration())
+    return bool(fs.exists(hpath))
+
+
+class _DatedFileSink(Sink):
+    """Shared per-run dated-directory logic for file-format sinks.
+
+    Run N+1 must never clobber run N's archive (those rows are gone
+    from the source after the delete step): each run writes under
+    ``<root>/<rendered {date} suffix>/``. A re-run with the SAME
+    frozen now overwrites its own directory — idempotent."""
+
+    def __init__(self, root: str, run_template: str = "{date}"):
+        self.root = root
+        self.run_template = run_template
+        self._run_dir: str | None = None
+
+    def begin_run(self, now: datetime) -> None:
+        self._run_dir = render_suffix(self.run_template, now)
+
+    def _out_path(self, leaf: str) -> str:
+        run_dir = self._run_dir or render_suffix(self.run_template, datetime.now())
+        return os.path.join(self.root, run_dir, leaf)
+
+
+class CsvSink(_DatedFileSink):
+    """One CSV dataset per table per run: ``<root>/<run>/<table>.csv``.
 
     Reference writes one growing ``db.table.csv`` per table with a
     header on first batch (destination/file/csv.py:41-50); Spark's
@@ -47,15 +85,15 @@ class CsvSink(Sink):
     shutil.make_archive, destination/file/base.py:113-133).
     """
 
-    def __init__(self, root: str, compression: str | None = None):
-        self.root = root
+    def __init__(self, root: str, compression: str | None = None, run_template: str = "{date}"):
+        super().__init__(root, run_template)
         self.compression = compression
 
     def write(self, table: str, df: DataFrame) -> None:
         writer = df.write.mode("overwrite").option("header", True)
         if self.compression:
             writer = writer.option("compression", self.compression)
-        writer.csv(os.path.join(self.root, f"{table}.csv"))
+        writer.csv(self._out_path(f"{table}.csv"))
 
 
 class ParquetArchiveSink(Sink):
@@ -84,10 +122,11 @@ class ParquetArchiveSink(Sink):
         path = self._path(table)
         spark = df.sparkSession
         pk = self.primary_keys[table]
-        try:
-            existing = spark.read.parquet(path)
-        except Exception:
-            existing = None
+        # Explicit existence probe: ONLY a missing archive falls
+        # through to first-write mode. A transient/corrupt read of an
+        # EXISTING archive must raise — silently overwriting would
+        # drop previously archived rows whose source copies are gone.
+        existing = spark.read.parquet(path) if _hadoop_path_exists(spark, path) else None
         mode = "overwrite"
         if existing is not None:
             incoming = existing.drop("_archive_dt") if "_archive_dt" in existing.columns else existing
@@ -112,14 +151,14 @@ class ParquetArchiveSink(Sink):
         return df.drop("_archive_dt") if "_archive_dt" in df.columns else df
 
 
-class SqlDumpSink(Sink):
+class SqlDumpSink(_DatedFileSink):
     """SQL-dump text per table (reference destination/file/sql.py):
     one idempotent ``INSERT ... ON DUPLICATE KEY UPDATE pk=pk;`` line
     per row, rendered distributed (no driver collect) and written via
-    the text writer."""
+    the text writer, under the per-run dated directory."""
 
-    def __init__(self, root: str, primary_keys: dict[str, str | list[str]]):
-        self.root = root
+    def __init__(self, root: str, primary_keys: dict[str, str | list[str]], run_template: str = "{date}"):
+        super().__init__(root, run_template)
         self.primary_keys = {t: [k] if isinstance(k, str) else list(k) for t, k in primary_keys.items()}
 
     def write(self, table: str, df: DataFrame) -> None:
@@ -138,4 +177,4 @@ class SqlDumpSink(Sink):
             F.concat_ws(", ", *rendered),
             F.lit(f") ON DUPLICATE KEY UPDATE `{pk}` = `{pk}`;"),
         )
-        df.select(line.alias("value")).write.mode("overwrite").text(os.path.join(self.root, f"{table}.sql"))
+        df.select(line.alias("value")).write.mode("overwrite").text(self._out_path(f"{table}.sql"))

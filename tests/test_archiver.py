@@ -11,7 +11,7 @@ from datetime import datetime
 import pytest
 from pyspark.sql import functions as F
 
-from osarchiver_spark.operators.archive import Archiver, ArchivingFailed, archive_and_remaining
+from osarchiver_spark.operators.archive import Archiver, archive_and_remaining
 from osarchiver_spark.operators.retention import retention_cutoff, retention_filter
 from osarchiver_spark.plans.jobspec import ArchiveJobSpec, TableSpec
 from osarchiver_spark.plans.schema_drift import SchemaDriftError, check_schema_drift
@@ -100,13 +100,34 @@ def _spec(dry_run=False):
     )
 
 
-def test_sink_failure_suppresses_delete(spark, sf_small):
+def test_sink_failure_suppresses_delete_and_run_continues(spark, sf_small):
     orders = load_table(spark, sf_small, "orders")
+    customer = load_table(spark, sf_small, "customer").withColumn(
+        "c_deleted", F.to_timestamp(F.lit("1999-01-01"))
+    )
     deleted = []
-    arch = Archiver(_spec(), [_FailingSink()], source_rewriter=lambda t, df: deleted.append(t))
-    with pytest.raises(ArchivingFailed):
-        arch.run({"orders": orders})
-    assert deleted == []  # no-data-loss invariant
+    spec = ArchiveJobSpec(
+        tables=[
+            TableSpec("orders", "o_orderkey", "o_orderdate"),
+            TableSpec("customer", "c_custkey", "c_deleted"),
+        ],
+        retention_months=36,
+        now=NOW,
+    )
+
+    class _FailsForOrders(Sink):
+        def write(self, table, df):
+            if table == "orders":
+                raise RuntimeError("disk full")
+
+    arch = Archiver(spec, [_FailsForOrders()], source_rewriter=lambda t, df: deleted.append(t))
+    results = {r.table: r for r in arch.run({"orders": orders, "customer": customer})}
+    # failed table: delete suppressed, error recorded, run not aborted
+    assert results["orders"].error and results["orders"].remaining_rows is None
+    assert "orders" not in deleted  # no-data-loss invariant
+    # healthy table completed normally in the same run
+    assert results["customer"].error is None
+    assert "customer" in deleted
 
 
 def test_dry_run_writes_nothing(spark, sf_small, tmp_path):

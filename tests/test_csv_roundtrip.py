@@ -11,13 +11,17 @@ from osarchiver_spark.sources.parquet import load_table
 
 
 def test_csv_roundtrip_orders(spark, sf_small, tmp_path):
+    from datetime import datetime
+
     orders = load_table(spark, sf_small, "orders")
-    CsvSink(str(tmp_path)).write("orders", orders)
+    sink = CsvSink(str(tmp_path))
+    sink.begin_run(datetime(2001, 12, 1))
+    sink.write("orders", orders)
     back = (
         spark.read.schema(orders.schema)
         .option("header", True)
         .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSXXX")
-        .csv(str(tmp_path / "orders.csv"))
+        .csv(str(tmp_path / "2001-12-01_00-00-00" / "orders.csv"))
     )
     assert back.count() == orders.count()
     assert back.schema == orders.schema

@@ -37,5 +37,24 @@ def test_csv_sink_compression(spark, sf_small, tmp_path):
 
     orders = load_table(spark, sf_small, "orders")
     CsvSink(str(tmp_path), compression="gzip").write("orders", orders)
-    parts = glob.glob(str(tmp_path / "orders.csv" / "part-*.csv.gz"))
-    assert parts, "expected gzip-compressed csv parts"
+    parts = glob.glob(str(tmp_path / "*" / "orders.csv" / "part-*.csv.gz"))
+    assert parts, "expected gzip-compressed csv parts under the dated run dir"
+
+
+def test_file_sinks_do_not_clobber_previous_runs(spark, sf_small, tmp_path):
+    # run N+1 must not overwrite run N's archive (those rows are gone
+    # from the source after the delete step)
+    import glob
+    from datetime import datetime
+
+    from osarchiver_spark.sinks.base import CsvSink
+    from osarchiver_spark.sources.parquet import load_table
+
+    orders = load_table(spark, sf_small, "orders").limit(10)
+    sink = CsvSink(str(tmp_path))
+    sink.begin_run(datetime(2001, 1, 1))
+    sink.write("orders", orders)
+    sink.begin_run(datetime(2001, 2, 1))
+    sink.write("orders", orders)
+    runs = glob.glob(str(tmp_path / "*" / "orders.csv"))
+    assert len(runs) == 2, runs
