@@ -1,0 +1,87 @@
+"""CLI entry point (reference osarchiver/main.py:17-56 shape):
+
+    python -m osarchiver_spark --config archiver.ini [--dry-run]
+        [--log-level info] [--log-file path] [--debug]
+
+Each enabled ``[archiver:*]`` section runs as one Archiver over its
+parquet catalog; results print per table. Exit code 1 if any table
+recorded an error (run continues across tables either way — the
+per-table isolation contract)."""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import sys
+
+from osarchiver_spark.operators.archive import Archiver
+from osarchiver_spark.plans.config import load_config
+from osarchiver_spark.session import get_spark
+
+
+def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
+    parser = argparse.ArgumentParser(prog="osarchiver_spark")
+
+    def file_exists(one_file: str) -> str:
+        if not os.path.exists(one_file):
+            raise argparse.ArgumentTypeError(f"{one_file} no such file")
+        return one_file
+
+    parser.add_argument("--config", required=True, type=file_exists,
+                        help="INI configuration file to read")
+    parser.add_argument("--log-file", default=None, help="Append log to the specified file")
+    parser.add_argument("--log-level", choices=["info", "warn", "error", "debug"],
+                        default="info", help="Set log level")
+    parser.add_argument("--debug", action="store_true", default=False)
+    parser.add_argument("--dry-run", action="store_true", default=False,
+                        help="Display what would be done without deleting or writing data")
+    args = parser.parse_args(argv)
+    if args.debug:
+        args.log_level = "debug"
+    return args
+
+
+def configure_logger(level: str = "info", log_file: str | None = None) -> None:
+    logger = logging.getLogger()
+    for h in list(logger.handlers):  # re-entrant (tests, repeated runs)
+        logger.removeHandler(h)
+    logger.setLevel(getattr(logging, "WARNING" if level == "warn" else level.upper()))
+    formatter = logging.Formatter(fmt="%(asctime)s %(levelname)s: %(message)s")
+    handler = logging.StreamHandler(stream=sys.stdout)
+    handler.setFormatter(formatter)
+    logger.addHandler(handler)
+    if log_file is not None:
+        fh = logging.FileHandler(filename=log_file, encoding="utf-8")
+        fh.setFormatter(formatter)
+        logger.addHandler(fh)
+
+
+def run(argv: list[str] | None = None) -> int:
+    args = parse_args(argv)
+    configure_logger(args.log_level, args.log_file)
+    archivers = load_config(path=args.config, dry_run=args.dry_run)
+    if not archivers:
+        logging.warning("no enabled [archiver:*] sections in %s", args.config)
+        return 0
+    spark = get_spark("osarchiver_spark_cli")
+    rc = 0
+    for configured in archivers:
+        logging.info("running archiver %s (src %s)", configured.name, configured.src_name)
+        archiver = Archiver(configured.spec, configured.sinks)
+        results = archiver.run(configured.dataframes(spark))
+        for r in results:
+            if r.error:
+                rc = 1
+                logging.error("%s.%s FAILED: %s", configured.name, r.table, r.error)
+            else:
+                logging.info(
+                    "%s.%s archived=%d remaining=%s%s",
+                    configured.name, r.table, r.archived_rows, r.remaining_rows,
+                    " (dry run)" if r.dry_run else "",
+                )
+    return rc
+
+
+if __name__ == "__main__":
+    sys.exit(run())

@@ -1,0 +1,241 @@
+"""INI configuration front end (the reference's "query language").
+
+The reference drives everything from an INI file with interpolated
+sections (osarchiver/config.py:19-156, archiver_sample.ini): a
+``[archiver:<name>]`` section names one ``src`` and N ``dst``
+sections, ``[DEFAULT]`` carries overridable options, booleans coerce
+through configparser, and the retention predicate is the templated
+``where=${deleted_column} <= SUBDATE('{now}', INTERVAL ${retention})``
+with ``{now}`` frozen once per run.
+
+This module parses the same shape into the Spark-native plan objects:
+``ArchiveJobSpec`` + ``Sink`` list + a parquet table catalog. The
+deliberate differences (documented, not accidental):
+
+- ``backend=parquet`` sources read a directory of parquet tables
+  (``directory=``) instead of a MySQL host; primary/foreign keys are
+  declared in the section (``primary_keys=table:col``,
+  ``foreign_keys=child.col=parent.col``) because parquet carries no
+  key metadata (SURVEY §1.4).
+- ``where`` accepts either the reference's canonical SUBDATE pattern
+  (translated to the engine's month-clamped retention cutoff) or any
+  Spark SQL boolean expression with ``{now}`` templating.
+- ``now=`` (our extension) pins the frozen run timestamp for
+  reproducible runs/tests; absent, it freezes UTC now exactly like
+  the reference (source/db.py:59-65).
+"""
+
+from __future__ import annotations
+
+import configparser
+import re
+from dataclasses import dataclass, field
+from datetime import datetime
+
+from pyspark.sql import DataFrame, SparkSession
+
+from osarchiver_spark.plans.jobspec import ArchiveJobSpec, TableSpec
+from osarchiver_spark.sinks.base import CsvSink, ParquetArchiveSink, Sink, SqlDumpSink
+from osarchiver_spark.sources.parquet import load_table
+
+BOOLEAN_OPTIONS = {"delete_data", "archive_data", "enable", "dry_run"}
+
+# the reference's default where, archiver_sample.ini:35
+_CANONICAL_WHERE = re.compile(
+    r"^\s*(?P<col>\w+)\s*<=\s*SUBDATE\(\s*'\{now\}'\s*,\s*INTERVAL\s+"
+    r"(?P<n>\d+)\s+(?P<unit>MONTH|YEAR)\s*\)\s*$",
+    re.IGNORECASE,
+)
+_RETENTION = re.compile(r"^\s*(?P<n>\d+)\s+(?P<unit>MONTH|YEAR)S?\s*$", re.IGNORECASE)
+
+
+class ConfigError(ValueError):
+    """Malformed INI configuration."""
+
+
+@dataclass
+class ConfiguredArchiver:
+    """One runnable pipeline parsed from ``[archiver:<name>]``."""
+
+    name: str
+    src_name: str
+    directory: str
+    spec: ArchiveJobSpec
+    sinks: list[Sink]
+    where_sql: str | None = None  # non-canonical where, {now} rendered
+    tables_filter: list[str] = field(default_factory=list)
+
+    def dataframes(self, spark: SparkSession) -> dict[str, DataFrame]:
+        """The source catalog: one lazy parquet scan per eligible
+        table (pushdown/pruning intact)."""
+        out = {}
+        for t in self.spec.eligible_tables():
+            df = load_table(spark, self.directory, t.name)
+            if self.where_sql:
+                df = df.filter(self.where_sql)
+            out[t.name] = df
+        return out
+
+
+def parse_retention_months(text: str) -> int:
+    m = _RETENTION.match(text)
+    if not m:
+        raise ConfigError(
+            f"unsupported retention {text!r}: the Spark engine computes month-"
+            "clamped cutoffs, declare 'N MONTH' or 'N YEAR'"
+        )
+    n = int(m.group("n"))
+    return n * 12 if m.group("unit").upper().startswith("YEAR") else n
+
+
+def _split_list(text: str) -> list[str]:
+    return [x.strip() for x in re.split(r"\n|,|;", text or "") if x.strip()]
+
+
+def _parse_keys(section: dict[str, str]) -> tuple[dict[str, str], dict[str, dict[str, tuple[str, str]]]]:
+    """primary_keys=orders:o_orderkey, lineitem:l_orderkey
+    foreign_keys=lineitem.l_orderkey=orders.o_orderkey"""
+    pks: dict[str, str] = {}
+    for item in _split_list(section.get("primary_keys", "")):
+        table, _, col = item.partition(":")
+        if not col:
+            raise ConfigError(f"primary_keys entry {item!r} must be table:column")
+        pks[table.strip()] = col.strip()
+    fks: dict[str, dict[str, tuple[str, str]]] = {}
+    for item in _split_list(section.get("foreign_keys", "")):
+        child, _, parent = item.partition("=")
+        try:
+            ctab, ccol = child.strip().split(".")
+            ptab, pcol = parent.strip().split(".")
+        except ValueError as exc:
+            raise ConfigError(
+                f"foreign_keys entry {item!r} must be child.col=parent.col"
+            ) from exc
+        fks.setdefault(ctab, {})[ccol] = (ptab, pcol)
+    return pks, fks
+
+
+def _render_where(where: str, now: datetime) -> tuple[int | None, str | None]:
+    """Canonical SUBDATE pattern -> retention months (engine cutoff);
+    anything else -> Spark SQL with {now} templated in."""
+    m = _CANONICAL_WHERE.match(where)
+    if m:
+        n = int(m.group("n"))
+        months = n * 12 if m.group("unit").upper() == "YEAR" else n
+        return months, None
+    return None, where.replace("{now}", now.strftime("%Y-%m-%d %H:%M:%S"))
+
+
+def load_config(
+    text: str | None = None, path: str | None = None, dry_run: bool = False
+) -> list[ConfiguredArchiver]:
+    """Parse an INI (string or file) into runnable archivers —
+    the counterpart of reference Config.archivers (config.py:80-156)."""
+    parser = configparser.ConfigParser(interpolation=configparser.ExtendedInterpolation())
+    if text is not None:
+        parser.read_string(text)
+    elif path is not None:
+        if not parser.read(path):
+            raise ConfigError(f"config file not found or unreadable: {path}")
+    else:
+        raise ConfigError("need text or path")
+
+    def section(name: str) -> dict[str, str]:
+        if not parser.has_section(name):
+            raise ConfigError(f"missing section [{name}]")
+        return dict(parser.items(name))
+
+    archivers: list[ConfiguredArchiver] = []
+    for sec in parser.sections():
+        if not sec.startswith("archiver:"):
+            continue
+        if not parser.getboolean(sec, "enable", fallback=True):
+            continue
+        arch = dict(parser.items(sec))
+        name = sec.removeprefix("archiver:")
+        for src_name in _split_list(arch.get("src", "")):
+            src = section(f"src:{src_name}")
+            backend = src.get("backend", "parquet")
+            if backend != "parquet":
+                raise ConfigError(
+                    f"src backend {backend!r} not supported by the Spark engine "
+                    "(parquet directory catalogs only)"
+                )
+            directory = src.get("directory")
+            if not directory:
+                raise ConfigError(f"[src:{src_name}] needs directory=")
+            now = (
+                datetime.fromisoformat(src["now"])
+                if "now" in src
+                else datetime.utcnow().replace(microsecond=0)
+            )
+            deleted_column = src.get("deleted_column", "deleted_at")
+            retention_months = parse_retention_months(src.get("retention", "12 MONTH"))
+            where_sql = None
+            if "where" in src:
+                canon_months, where_sql = _render_where(src["where"], now)
+                if canon_months is not None:
+                    retention_months = canon_months
+            pks, fks = _parse_keys(src)
+            tables = _split_list(src.get("tables", "*"))
+            names = list(pks) if tables == ["*"] else tables
+            tspecs = [
+                TableSpec(
+                    t,
+                    primary_key=pks.get(t, "id"),
+                    deleted_column=src.get(f"deleted_column_{t}", deleted_column),
+                    foreign_keys=fks.get(t, {}),
+                )
+                for t in names
+            ]
+            spec = ArchiveJobSpec(
+                tables=tspecs,
+                retention_months=retention_months,
+                now=now,
+                db_exclusions=_split_list(src.get("excluded_databases", "")),
+                table_exclusions=_split_list(src.get("excluded_tables", "")),
+                archive_data=parser.getboolean(f"src:{src_name}", "archive_data", fallback=True),
+                delete_data=parser.getboolean(f"src:{src_name}", "delete_data", fallback=False),
+                dry_run=dry_run,
+            )
+            sinks: list[Sink] = []
+            for dst_name in _split_list(arch.get("dst", "")):
+                sinks.extend(_build_sinks(section(f"dst:{dst_name}"), dst_name, pks))
+            archivers.append(
+                ConfiguredArchiver(
+                    name=name,
+                    src_name=src_name,
+                    directory=directory,
+                    spec=spec,
+                    sinks=sinks,
+                    where_sql=where_sql,
+                )
+            )
+    return archivers
+
+
+def _build_sinks(dst: dict[str, str], dst_name: str, pks: dict[str, str]) -> list[Sink]:
+    backend = dst.get("backend", "file")
+    directory = dst.get("directory")
+    if not directory:
+        raise ConfigError(f"[dst:{dst_name}] needs directory=")
+    if backend == "file":
+        sinks: list[Sink] = []
+        for fmt in _split_list(dst.get("formats", "csv")):
+            if fmt == "csv":
+                sinks.append(CsvSink(directory, compression=dst.get("compression")))
+            elif fmt == "sql":
+                sinks.append(SqlDumpSink(directory, primary_keys=dict(pks)))
+            else:
+                raise ConfigError(f"[dst:{dst_name}] unknown file format {fmt!r}")
+        return sinks
+    if backend in ("db", "parquet"):
+        # the "archive database" backend is a parquet namespace here
+        return [
+            ParquetArchiveSink(
+                directory,
+                primary_keys=dict(pks),
+                partition_column=dst.get("partition_column"),
+            )
+        ]
+    raise ConfigError(f"[dst:{dst_name}] unsupported backend {backend!r}")

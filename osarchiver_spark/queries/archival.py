@@ -132,7 +132,42 @@ def q_fk_orphan_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_config_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The INI front end driving the retention scan (reference entry
+    shape, config.py:89-156): parse an interpolated config — DEFAULT
+    inheritance, boolean coercion, the canonical SUBDATE where with a
+    pinned frozen {now} — and return the archivable set its spec
+    selects. 24-month retention (distinct from retention_filter's 36)
+    so the oracle proves the config path computed its own cutoff."""
+    from osarchiver_spark.operators.retention import retention_cutoff, retention_filter as rf
+    from osarchiver_spark.plans.config import load_config
+
+    ini = f"""
+[DEFAULT]
+deleted_column=o_orderdate
+retention=24 MONTH
+where=${{deleted_column}} <= SUBDATE('{{now}}', INTERVAL ${{retention}})
+
+[archiver:orders]
+src=orders_src
+enable=true
+
+[src:orders_src]
+backend=parquet
+directory={sf_dir}
+now=2001-12-01T00:00:00
+primary_keys=orders:o_orderkey
+tables=orders
+"""
+    (configured,) = load_config(text=ini)
+    spec = configured.spec
+    cutoff = retention_cutoff(spec.now, spec.retention_months)
+    (orders,) = configured.dataframes(spark).values()
+    return rf(orders, spec.tables[0].deleted_column, cutoff)
+
+
 QUERIES = {
+    "config_pipeline": q_config_pipeline,
     "fk_orphan_report": q_fk_orphan_report,
     "retention_filter": q_retention_filter,
     "retention_remaining": q_retention_remaining,
@@ -145,6 +180,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "config_pipeline": "SELECT * FROM orders WHERE o_orderdate <= TIMESTAMP '1999-12-01 00:00:00'",
     "fk_orphan_report": f"""
         SELECT l_orderkey, count(*) AS n_orphan_lines,
                min(l_linenumber) AS first_line,
