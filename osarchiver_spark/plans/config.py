@@ -200,7 +200,12 @@ def load_config(
             )
             sinks: list[Sink] = []
             for dst_name in _split_list(arch.get("dst", "")):
-                sinks.extend(_build_sinks(section(f"dst:{dst_name}"), dst_name, pks))
+                dst = section(f"dst:{dst_name}")
+                sinks.extend(_build_sinks(dst, dst_name, pks))
+                if dst.get("remote_store"):
+                    sinks.append(
+                        _build_remote_store(section(f"remote_store:{dst['remote_store']}"))
+                    )
             archivers.append(
                 ConfiguredArchiver(
                     name=name,
@@ -239,3 +244,21 @@ def _build_sinks(dst: dict[str, str], dst_name: str, pks: dict[str, str]) -> lis
             )
         ]
     raise ConfigError(f"[dst:{dst_name}] unsupported backend {backend!r}")
+
+
+def _build_remote_store(sec: dict[str, str]) -> Sink:
+    """[remote_store:<name>] -> direct object-store writes. The
+    reference's container + file_name_prefix + opt_* shape
+    (archiver_sample.ini:112-131) maps to a URI + Hadoop conf."""
+    from osarchiver_spark.sinks.remote import RemoteStoreSink
+
+    base_uri = sec.get("base_uri") or sec.get("container")
+    if not base_uri:
+        raise ConfigError("[remote_store:*] needs base_uri= (or container=)")
+    return RemoteStoreSink(
+        base_uri,
+        file_name_prefix=sec.get("file_name_prefix", ""),
+        fmt=sec.get("format", "parquet"),
+        compression=sec.get("compression"),
+        store_options={k: v for k, v in sec.items() if k.startswith("opt_")},
+    )
