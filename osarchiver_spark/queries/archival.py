@@ -166,8 +166,31 @@ tables=orders
     return rf(orders, spec.tables[0].deleted_column, cutoff)
 
 
+def q_fk_repair_patch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FK repair artifact (reference common/db.py:505-547): the patch
+    DataFrame marking each still-live lineitem of an archived order
+    with the deletion date it should inherit — the set-level form of
+    the reference's logged repair UPDATE. Applying it empties
+    fk_orphan_report (pinned in tests/test_fk_repair.py)."""
+    from osarchiver_spark.operators.fk_repair import fk_repair_patch
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return fk_repair_patch(
+        li,
+        orders,
+        fk="l_orderkey",
+        parent_key="o_orderkey",
+        child_keys=["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"],
+        child_deleted="l_shipdate",
+        parent_deleted="o_orderdate",
+        cutoff=CUTOFF,
+    )
+
+
 QUERIES = {
     "config_pipeline": q_config_pipeline,
+    "fk_repair_patch": q_fk_repair_patch,
     "fk_orphan_report": q_fk_orphan_report,
     "retention_filter": q_retention_filter,
     "retention_remaining": q_retention_remaining,
@@ -181,6 +204,13 @@ QUERIES = {
 
 ORACLES = {
     "config_pipeline": "SELECT * FROM orders WHERE o_orderdate <= TIMESTAMP '1999-12-01 00:00:00'",
+    "fk_repair_patch": f"""
+        SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+               o_orderdate AS patched_deleted
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderdate <= {CUTOFF_SQL}
+          AND (l_shipdate IS NULL OR NOT l_shipdate <= {CUTOFF_SQL})
+    """,
     "fk_orphan_report": f"""
         SELECT l_orderkey, count(*) AS n_orphan_lines,
                min(l_linenumber) AS first_line,
