@@ -18,6 +18,7 @@ from osarchiver_spark.operators.dedup import (
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash_candidates,
+    simhash_multiprobe_pairs,
 )
 from osarchiver_spark.sources.parquet import load_table
 
@@ -53,6 +54,14 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return simhash_candidates(docs, "doc_id", "text")
+
+
+def q_dedup_simhash_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming<=2 simhash pairs via block-pigeonhole candidates
+    (guaranteed recall — see operators/dedup.py docstring); the
+    oracle verifies against exact all-pairs bit_count(xor)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_multiprobe_pairs(docs, "doc_id", "text", max_hamming=2)
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -97,6 +106,7 @@ QUERIES = {
     "dedup_exact_rows": q_dedup_exact_rows,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_simhash_multiprobe": q_dedup_simhash_multiprobe,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_embedding": q_dedup_embedding,
     "dedup_streaming": q_dedup_streaming,
@@ -191,6 +201,15 @@ ORACLES = {
             FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents))
         SELECT a.simhash, a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM sk a JOIN sk b ON a.simhash = b.simhash AND a.doc_id < b.doc_id
+    """,
+    "dedup_simhash_multiprobe": f"""
+        WITH sk AS (
+            SELECT doc_id, {_simhash_sql()} AS simhash
+            FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents))
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.simhash::BIGINT, b.simhash::BIGINT)) AS INT) AS hamming
+        FROM sk a JOIN sk b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash::BIGINT, b.simhash::BIGINT)) <= 2
     """,
     "dedup_ngram_jaccard": f"""
         WITH toked AS (

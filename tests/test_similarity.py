@@ -38,6 +38,36 @@ def test_minhash_lsh_finds_planted_neardups(spark, sf_small):
     assert len(l) / len(e) >= 0.9, f"MinHash-LSH recall {len(l)}/{len(e)}"
 
 
+def test_simhash_multiprobe_recall_is_total(spark, sf_small):
+    # block-pigeonhole candidates guarantee recall for hamming <= 2:
+    # the multiprobe result must EQUAL exact all-pairs filtering, and
+    # strictly contain the hamming-0 blocking as hamming=0 rows
+    from osarchiver_spark.operators.dedup import simhash_candidates, simhash_multiprobe_pairs
+
+    docs = load_table(spark, sf_small, "documents")
+    multi = simhash_multiprobe_pairs(docs, "doc_id", "text", max_hamming=2)
+    got = {(r.doc_a, r.doc_b): r.hamming for r in multi.collect()}
+
+    # exact reference: compute sketches once, compare all pairs driver-side
+    from osarchiver_spark.functions.text import simhash16_from_hashed, token_hashes
+
+    sk_rows = docs.select(
+        F.col("doc_id"), simhash16_from_hashed(token_hashes(F.col("text"))).alias("s")
+    ).collect()
+    vals = [(r.doc_id, r.s) for r in sk_rows]
+    expect = {}
+    for i in range(len(vals)):
+        for j in range(i + 1, len(vals)):
+            a, b = vals[i], vals[j]
+            lo, hi = min(a[0], b[0]), max(a[0], b[0])
+            h = bin(a[1] ^ b[1]).count("1")
+            if h <= 2:
+                expect[(lo, hi)] = h
+    assert got == expect
+    zero = {(r.doc_a, r.doc_b) for r in simhash_candidates(docs, "doc_id", "text").collect()}
+    assert zero <= set(got)
+
+
 def test_multimodal_metadata_matches_python(spark, sf_small):
     docs = load_table(spark, sf_small, "documents").limit(20)
     out = extract_metadata(attach_binary(docs, "doc_id", "text")).collect()
