@@ -38,10 +38,15 @@ HEADLINE = [
     "sliding_window",
     "asof_join",
     "percentiles",
+    "q17_small_quantity",
+    "range_frame",
+    "streaming_tumbling",
     # north-star (registered as they are implemented)
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_simhash_multiprobe",
+    "dedup_ngram_jaccard",
     "dedup_embedding",
     "knn_bruteforce",
     "knn_lsh",

@@ -15,6 +15,16 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _det_salt(df: DataFrame, salt_buckets: int) -> Column:
+    """Deterministic row salt: pmod(hash(all columns), n). Unlike
+    F.rand(seed), which seeds PER PARTITION, this is a pure function
+    of the row — re-runs are bit-stable under any repartitioning. A
+    hot key's rows spread as long as they differ in any column;
+    fully-identical duplicate rows share a bucket (if that's the
+    skew shape, dedup or count-collapse them first)."""
+    return F.pmod(F.hash(*[F.col(c) for c in df.columns]), F.lit(salt_buckets))
+
+
 def salted_count_sum(
     df: DataFrame,
     keys: list[str],
@@ -27,7 +37,7 @@ def salted_count_sum(
     salt additionally splits the *reduce side* of one giant key.)
 
     Returns (keys..., n, total) with total rounded to 4."""
-    salted = df.withColumn("_salt", (F.rand(seed=42) * salt_buckets).cast("int"))
+    salted = df.withColumn("_salt", _det_salt(df, salt_buckets))
     partial = salted.groupBy(*keys, "_salt").agg(
         F.count("*").alias("_n"), F.sum(value_col).alias("_s")
     )
@@ -50,7 +60,7 @@ def salted_join(
     Cost model: dim is replicated ``salt_buckets``× — use only when
     dim is too big to broadcast but small enough to replicate.
     """
-    salted_fact = skewed.withColumn("_salt", (F.rand(seed=42) * salt_buckets).cast("int"))
+    salted_fact = skewed.withColumn("_salt", _det_salt(skewed, salt_buckets))
     exploded_dim = dim.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
     )

@@ -13,7 +13,6 @@ form keeps state forever (retention == run length).
 
 from __future__ import annotations
 
-import uuid
 from collections.abc import Iterator
 
 import pandas as pd
@@ -75,12 +74,7 @@ def run_streaming_dedup(
     if path_glob:
         reader = reader.option("pathGlobFilter", path_glob)
     stream = reader.load(watch_dir)
+    from osarchiver_spark.streaming.pipeline import drain_stream_to_parquet
+
     out = streaming_dedup_first_seen(stream, "doc_id", "text")
-    name = f"sdedup_{uuid.uuid4().hex[:8]}"
-    q = out.writeStream.outputMode("append").format("memory").queryName(name).start()
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    result = spark.table(name)
-    return spark.createDataFrame(result.collect(), result.schema)
+    return drain_stream_to_parquet(out, "append", "sdedup")

@@ -18,6 +18,8 @@ the whole pipeline restartable — the moral upgrade of the reference's
 
 from __future__ import annotations
 
+import os
+import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -25,6 +27,36 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from osarchiver_spark.sources.parquet import table_path
+
+
+def drain_stream_to_parquet(
+    df: DataFrame, output_mode: str, name_prefix: str
+) -> DataFrame:
+    """Run a streaming DataFrame to completion and hand back its
+    output as a BATCH DataFrame — without copying results through the
+    driver: each micro-batch writes parquet via foreachBatch
+    (overwrite for complete mode, append otherwise), and the result
+    is a lazy scan of that directory.
+
+    Scratch location: $SPARK_GRAFT_STREAM_SCRATCH or the local temp
+    dir — on a multi-node cluster point it at a shared filesystem URI
+    (executors write the parts there directly)."""
+    spark = df.sparkSession
+    base = os.environ.get("SPARK_GRAFT_STREAM_SCRATCH", tempfile.gettempdir())
+    out_dir = os.path.join(base, f"{name_prefix}_{uuid.uuid4().hex[:8]}")
+    write_mode = "overwrite" if output_mode == "complete" else "append"
+
+    def write_batch(batch_df: DataFrame, _epoch_id: int) -> None:
+        batch_df.write.mode(write_mode).parquet(out_dir)
+
+    q = df.writeStream.outputMode(output_mode).foreachBatch(write_batch).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    if not os.path.exists(out_dir):  # stream produced no batches
+        return spark.createDataFrame([], df.schema)
+    return spark.read.parquet(out_dir)
 
 # Explicit schema: streaming sources never infer. ts is TIMESTAMP
 # (NANOS) in the fixture parquet → read as long (nanosAsLong), then
@@ -73,22 +105,9 @@ def streaming_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "1 hour"), "event_type")
         .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
     )
-    name = f"stream_out_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    out = spark.table(name).select(
+    return drain_stream_to_parquet(agg, "complete", "stream_out").select(
         F.col("window.start").alias("window_start"), "event_type", "n", "sum_value"
     )
-    # Materialize before the memory sink table goes away.
-    return spark.createDataFrame(out.collect(), out.schema)
 
 
 def streaming_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -102,16 +121,9 @@ def streaming_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "1 hour", "30 minutes"), "event_type")
         .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
     )
-    name = f"stream_slide_{uuid.uuid4().hex[:8]}"
-    q = agg.writeStream.outputMode("complete").format("memory").queryName(name).start()
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    out = spark.table(name).select(
+    return drain_stream_to_parquet(agg, "complete", "stream_slide").select(
         F.col("window.start").alias("window_start"), "event_type", "n", "sum_value"
     )
-    return spark.createDataFrame(out.collect(), out.schema)
 
 
 def stream_archive(
