@@ -39,6 +39,23 @@ def token_count(text: Column) -> Column:
     return F.size(tokens(text))
 
 
+# BPE-ish pre-tokenization pattern (the GPT-2 regex's RE2-safe core):
+# letter runs, digit runs, punctuation runs — what a byte-pair
+# tokenizer splits before merging. Same pattern runs in Java regex
+# (Spark) and RE2 (DuckDB) — no lookarounds, no \p classes.
+BPE_LIKE_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\r]+"
+
+
+def bpe_like_tokens(text: Column) -> Column:
+    return F.regexp_extract_all(text, F.lit(BPE_LIKE_PATTERN), 0)
+
+
+def bpe_like_token_count(text: Column) -> Column:
+    """Pre-tokenizer token count — the LLM-pipeline cost estimate
+    (≈ tokens-before-merges; an upper bound on BPE tokens)."""
+    return F.size(bpe_like_tokens(text))
+
+
 def word_shingles(text: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles — the unit of MinHash/Jaccard
     dedup. array_distinct because shingle *sets* define similarity.

@@ -62,6 +62,7 @@ _FRONT = [
     "vector_norms",
     # new this round — also unverified until a driver row appears
     "dedup_simhash_multiprobe", "fk_repair_patch", "config_pipeline",
+    "token_count_bpe",
 ]
 
 _DEMOTE = [

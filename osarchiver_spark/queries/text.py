@@ -129,8 +129,27 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gated.join(dup_losers, "doc_id", "left_anti").select("doc_id", "lang", "source")
 
 
+def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace vs BPE-ish pre-tokenizer counts per document — the
+    LLM-pipeline cost estimate (functions/text.py::BPE_LIKE_PATTERN
+    runs identically under Java regex and RE2)."""
+    from osarchiver_spark.functions.text import bpe_like_token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_bpe = bpe_like_token_count(F.col("text"))
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_ws_tokens"),
+        n_bpe.alias("n_bpe_tokens"),
+        F.when(n_bpe > 0, F.round(F.length("text").cast("double") / n_bpe, 6)).alias(
+            "chars_per_token"
+        ),
+    )
+
+
 QUERIES = {
     "corpus_pipeline": q_corpus_pipeline,
+    "token_count_bpe": q_token_count_bpe,
     "text_stats": q_text_stats,
     "token_histogram": q_token_histogram,
     "text_quality": q_text_quality,
@@ -265,6 +284,21 @@ ORACLES = {
         SELECT doc_id, lang_label, {_LANG_CASE} AS lang_pred,
                score_en, score_de, score_es, score_fr
         FROM scored
+    """,
+    "token_count_bpe": f"""
+        WITH t AS (
+            SELECT doc_id,
+                   len({_SQL_TOKENS.format(col='text')}) AS n_ws,
+                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\r]+'))
+                       AS n_bpe,
+                   length(text) AS n_chars
+            FROM documents)
+        SELECT doc_id,
+               CAST(n_ws AS INT) AS n_ws_tokens,
+               CAST(n_bpe AS INT) AS n_bpe_tokens,
+               CASE WHEN n_bpe > 0 THEN round(CAST(n_chars AS DOUBLE) / n_bpe, 6) END
+                   AS chars_per_token
+        FROM t
     """,
     "doc_fingerprint": """
         WITH t AS (

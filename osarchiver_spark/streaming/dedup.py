@@ -6,9 +6,14 @@ emitted once.
 
 This is the streaming twin of operators/dedup.py::exact_dedup: state
 is one boolean per fingerprint group, partitioned by the groupBy —
-at scale the state store shards with the shuffle, and a TTL (state
-timeout) would bound it for unbounded streams; the fixture-driven
-form keeps state forever (retention == run length).
+at scale the state store shards with the shuffle. For unbounded
+streams, state is bounded via ``streaming_dedup_watermarked``:
+``withWatermark`` + ``dropDuplicates`` lets Spark evict fingerprint
+state older than the lateness bound entirely JVM-side (a
+processing-time GroupStateTimeout on the applyInPandasWithState path
+was tried and abandoned: the timeout-only "cleaning up state"
+micro-batch hangs in this Spark build — the watermark form is the
+idiomatic and faster answer anyway).
 """
 
 from __future__ import annotations
@@ -48,7 +53,9 @@ def _dedup_fn(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState) -> It
 
 def streaming_dedup_first_seen(stream: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """stream → (fingerprint, keep_id), one row per fingerprint ever
-    seen, emitted on first arrival."""
+    seen, emitted on first arrival. State lives for the run's
+    lifetime (retention == run length); see
+    ``streaming_dedup_watermarked`` for the bounded-state form."""
     fp = stream.select(
         F.col(id_col).alias("doc_id"), normalized_fingerprint(F.col(text_col)).alias("fingerprint")
     )
@@ -58,6 +65,31 @@ def streaming_dedup_first_seen(stream: DataFrame, id_col: str, text_col: str) ->
         stateStructType=STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def streaming_dedup_watermarked(
+    stream: DataFrame, id_col: str, text_col: str, ts_col: str, delay: str = "10 minutes"
+) -> DataFrame:
+    """Bounded-state streaming dedup: first row per fingerprint within
+    the watermark window; fingerprint state older than ``delay`` is
+    evicted by the engine, so a re-arrival after the window re-emits.
+
+    This is the 100 TB shape for unbounded streams —
+    dropDuplicatesWithinWatermark keeps the state store at
+    O(distinct fingerprints per window), sharded with the shuffle,
+    with eviction handled JVM-side (no Python in the loop). Plain
+    dropDuplicates would never evict here: it only cleans state when
+    the event-time column is part of the dedup key."""
+    fp = stream.select(
+        F.col(id_col).alias("keep_id"),
+        F.col(ts_col).alias("event_ts"),
+        normalized_fingerprint(F.col(text_col)).alias("fingerprint"),
+    )
+    return (
+        fp.withWatermark("event_ts", delay)
+        .dropDuplicatesWithinWatermark(["fingerprint"])
+        .select("fingerprint", "keep_id", "event_ts")
     )
 
 

@@ -48,3 +48,52 @@ def test_streaming_dedup_across_batches(spark, tmp_path):
         assert {k for _, k in final} == {1, 3, 11}
     finally:
         q.stop()
+
+
+def test_streaming_dedup_watermark_evicts_state(spark, tmp_path):
+    """Bounded-state dedup: a fingerprint whose state aged past the
+    watermark is evicted, so a late re-arrival re-emits."""
+    import datetime as dt
+    import uuid
+
+    from osarchiver_spark.streaming.dedup import streaming_dedup_watermarked
+
+    ts_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    watch = tmp_path / "landing"
+    watch.mkdir()
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+
+    def write_batch(rows, name):
+        spark.createDataFrame(rows, ts_schema).coalesce(1).write.mode("append").parquet(
+            str(watch / name)
+        )
+
+    stream = spark.readStream.format("parquet").schema(ts_schema).load(str(watch) + "/*")
+    out = streaming_dedup_watermarked(stream, "doc_id", "text", "ts", delay="10 minutes")
+    name = f"sd_wm_{uuid.uuid4().hex[:6]}"
+    q = out.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try:
+        # b1: emit 'alpha beta'; duplicate within batch dropped
+        write_batch([(1, "alpha beta", t0), (2, "alpha beta", t0)], "b1")
+        q.processAllAvailable()
+        # b2: event time jumps 1h → watermark advances past t0+10min.
+        # Eviction is applied at the END of the batch that *runs with*
+        # the advanced watermark, so b2 advances it and b3 purges
+        # b1's fingerprint state.
+        write_batch([(50, "unrelated text", t0 + dt.timedelta(hours=1))], "b2")
+        q.processAllAvailable()
+        write_batch([(51, "filler text", t0 + dt.timedelta(hours=1, seconds=1))], "b3")
+        q.processAllAvailable()
+        # b4: same text re-arrives after eviction → re-emitted
+        write_batch([(60, "alpha beta", t0 + dt.timedelta(hours=1, seconds=5))], "b4")
+        q.processAllAvailable()
+        keeps = {r.keep_id for r in spark.table(name).collect()}
+        assert keeps == {1, 50, 51, 60}
+    finally:
+        q.stop()
