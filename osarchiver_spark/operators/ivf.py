@@ -2,42 +2,64 @@
 scale path for similarity search next to hyperplane LSH
 (operators/similarity.py).
 
-Index build = k-means (Lloyd's) expressed as DataFrame iterations:
-assignment is a JVM expression over broadcast centroid literals
-(argmin of k dot-product distances), the update step is a
-posexplode + groupBy(cluster, dim) average. Only the MODEL (k × dim
-floats) ever touches the driver — the data never does, so the same
-loop runs unchanged against 10^11 rows.
+Index build = k-means (Lloyd's) as DataFrame passes. Dense per-row
+linear algebra (distance-to-centroid, in-cluster cosine grams) is
+the sanctioned Arrow/Pandas case — the JVM higher-order-function
+form evaluates interpreted outside whole-stage codegen and its plan
+carries k×dim literals, which benched ~4× slower at sf0.1. So:
 
-Search = assign each query to its ``nprobe`` nearest centroids,
-equi-join candidates on cluster id, exact cosine re-rank. Fan-out is
-nprobe/k of the corpus instead of all of it.
+- assignment: mapInPandas, one BLAS matmul per Arrow batch against
+  the (k × dim) centroid matrix carried in the task closure —
+  model-sized, the same thing a broadcast would ship.
+- update: per-batch partial (cid, sum_vec, n) rows — a tree
+  aggregation; only batches × k model-sized rows reach the driver,
+  never the data.
+- search: probe each query's ``nprobe`` nearest centroids, cogroup
+  queries and corpus on cluster id, one matmul per cluster, emit the
+  per-cluster top-k, then a global window picks the final k. Fan-out
+  is nprobe/k of the corpus instead of all of it, and only
+  candidate *ids* (k per query per probed cluster) leave Python.
 
 Determinism: centroids initialize from the k lowest-id vectors and
-every step is a fixed-order float64 reduction, so results are
+np.argmin/argsort tie-break by first index, so results are
 reproducible run-to-run (recall asserted in tests/test_ivf.py).
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
-from osarchiver_spark.functions.vectors import as_double, cosine
-
-
-def _sq_dist(vec, centroid_literal):
-    diff = F.zip_with(vec, centroid_literal, lambda x, c: (x - c) * (x - c))
-    return F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x)
+from osarchiver_spark.functions.vectors import as_double
 
 
-def _centroid_array(c: list[float]):
-    return F.array(*[F.lit(float(x)) for x in c])
+def _vec_matrix(series: pd.Series) -> np.ndarray:
+    return np.stack([np.asarray(v, dtype="float64") for v in series.to_numpy()])
 
 
-def _assign(base: DataFrame, centroids: list[list[float]]) -> DataFrame:
-    dists = F.array(*[_sq_dist(F.col("v"), _centroid_array(c)) for c in centroids])
-    return base.withColumn("cid", F.array_position(dists, F.array_min(dists)) - 1)
+def _assign_pandas(base: DataFrame, centroids: list[list[float]]) -> DataFrame:
+    """Add a ``cid`` column: index of the nearest centroid (squared
+    euclidean, ties to the lowest cid). One matmul per Arrow batch."""
+    C = np.asarray(centroids, dtype="float64")  # k × dim, model-sized
+    c_sq = (C * C).sum(axis=1)
+    schema = T.StructType(base.schema.fields + [T.StructField("cid", T.IntegerType())])
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = _vec_matrix(pdf["v"])
+            # argmin of |v-c|^2 == argmin of -2 v.C^T + |c|^2
+            d = -2.0 * (V @ C.T) + c_sq
+            pdf = pdf.copy()
+            pdf["cid"] = d.argmin(axis=1).astype("int32")
+            yield pdf
+
+    return base.mapInPandas(assign, schema=schema)
 
 
 def kmeans_fit(
@@ -49,19 +71,43 @@ def kmeans_fit(
         init = base.orderBy("vid").limit(k).collect()
         centroids = [list(r.v) for r in init]
         dim = len(centroids[0])
+        partial_schema = T.StructType(
+            [
+                T.StructField("cid", T.IntegerType()),
+                T.StructField("s", T.ArrayType(T.DoubleType())),
+                T.StructField("n", T.LongType()),
+            ]
+        )
         for _ in range(iters):
-            assigned = _assign(base, centroids)
-            sums = (
-                assigned.select("cid", F.posexplode("v").alias("pos", "x"))
-                .groupBy("cid", "pos")
-                .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
-                .collect()
-            )
-            by_cid: dict[int, list[float]] = {}
-            for r in sums:
-                by_cid.setdefault(r.cid, [0.0] * dim)[r.pos] = r.s / r.n
+            C = np.asarray(centroids, dtype="float64")
+            c_sq = (C * C).sum(axis=1)
+
+            def partials(batches):
+                sums = np.zeros((k, dim))
+                counts = np.zeros(k, dtype="int64")
+                for pdf in batches:
+                    if len(pdf) == 0:
+                        continue
+                    V = _vec_matrix(pdf["v"])
+                    cid = (-2.0 * (V @ C.T) + c_sq).argmin(axis=1)
+                    np.add.at(sums, cid, V)
+                    counts += np.bincount(cid, minlength=k)
+                live = np.flatnonzero(counts)
+                yield pd.DataFrame(
+                    {"cid": live.astype("int32"), "s": list(sums[live]), "n": counts[live]}
+                )
+
+            # tree-aggregate: one model-sized row per (task, live cid)
+            rows = base.mapInPandas(partials, schema=partial_schema).collect()
+            sums = np.zeros((k, dim))
+            counts = np.zeros(k, dtype="int64")
+            for r in rows:
+                sums[r.cid] += np.asarray(r.s)
+                counts[r.cid] += r.n
             # empty clusters keep their previous centroid
-            centroids = [by_cid.get(i, centroids[i]) for i in range(k)]
+            centroids = [
+                (sums[i] / counts[i]).tolist() if counts[i] else centroids[i] for i in range(k)
+            ]
         return centroids
     finally:
         base.unpersist()
@@ -80,39 +126,85 @@ def ivf_topk(
     """Approximate top-k neighbors via IVF probing."""
     if centroids is None:
         centroids = kmeans_fit(corpus, id_col, vec_col, k=n_clusters)
-    c_assigned = _assign(
+    C = np.asarray(centroids, dtype="float64")
+    c_sq = (C * C).sum(axis=1)
+
+    c_assigned = _assign_pandas(
         corpus.select(F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("v")),
         centroids,
-    ).select("neighbor_id", F.col("v").alias("cv"), "cid")
-
-    qbase = queries.select(F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv"))
-    dists = F.array(*[_sq_dist(F.col("qv"), _centroid_array(c)) for c in centroids])
-    ranked_cids = F.slice(
-        F.transform(
-            F.array_sort(
-                F.zip_with(
-                    dists,
-                    F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
-                    lambda d, i: F.struct(d.alias("d"), i.alias("i")),
-                )
-            ),
-            lambda s: s.getField("i"),
-        ),
-        1,
-        nprobe,
     )
-    probed = qbase.withColumn("cid", F.explode(ranked_cids))
 
-    sim = F.round(cosine(F.col("qv"), F.col("cv")), 6)
-    scored = (
-        F.broadcast(probed)
-        .join(c_assigned, "cid")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", sim.alias("cosine"))
+    probe_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("qv", T.ArrayType(T.DoubleType())),
+            T.StructField("cid", T.IntegerType()),
+        ]
+    )
+
+    def probe(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            Q = _vec_matrix(pdf["qv"])
+            d = -2.0 * (Q @ C.T) + c_sq
+            near = np.argsort(d, axis=1, kind="stable")[:, :nprobe]  # ties to lowest cid
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].to_numpy().repeat(nprobe),
+                    "qv": pdf["qv"].to_numpy().repeat(nprobe),
+                    "cid": near.reshape(-1).astype("int32"),
+                }
+            )
+
+    qbase = queries.select(
+        F.col(id_col).cast("long").alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+    )
+    probed = qbase.mapInPandas(probe, schema=probe_schema)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+
+    def score_cluster(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        # left = queries probing this cid, right = corpus members.
+        # Empty cogroup sides arrive column-less.
+        if len(left) == 0 or len(right) == 0:
+            return pd.DataFrame({"query_id": [], "neighbor_id": [], "cosine": []}).astype(
+                {"query_id": "int64", "neighbor_id": "int64", "cosine": "float64"}
+            )
+        Q = _vec_matrix(left["qv"])
+        V = _vec_matrix(right["v"])
+        qn = np.sqrt((Q * Q).sum(axis=1))
+        vn = np.sqrt((V * V).sum(axis=1))
+        qn = np.where(qn > 0, qn, np.inf)  # zero-norm -> cosine 0, like vectors.cosine
+        vn = np.where(vn > 0, vn, np.inf)
+        S = np.round((Q @ V.T) / np.outer(qn, vn), 6)  # n_q × n_v
+        qids = left["query_id"].to_numpy()
+        nids = right["neighbor_id"].to_numpy()
+        # order corpus by (-cosine, neighbor_id) per query; keep top k
+        order = np.lexsort((np.broadcast_to(nids, S.shape), -S), axis=1)[:, : k + 1]
+        rows_q = np.repeat(qids, order.shape[1])
+        rows_n = nids[order].reshape(-1)
+        rows_s = np.take_along_axis(S, order, axis=1).reshape(-1)
+        keep = rows_q != rows_n  # drop self-matches (k+1 headroom above)
+        return pd.DataFrame(
+            {"query_id": rows_q[keep], "neighbor_id": rows_n[keep], "cosine": rows_s[keep]}
+        )
+
+    local = (
+        probed.groupBy("cid")
+        .cogroup(c_assigned.groupBy("cid"))
+        .applyInPandas(score_cluster, schema=out_schema)
     )
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        local.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "cosine")
     )
