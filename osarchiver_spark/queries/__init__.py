@@ -19,6 +19,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 _MODULES = [
     "archival",
     "relational",
+    "tpch",
     "windows",
     "dedup",
     "similarity",
@@ -63,6 +64,10 @@ _FRONT = [
     # new this round — also unverified until a driver row appears
     "dedup_simhash_multiprobe", "fk_repair_patch", "config_pipeline",
     "token_count_bpe",
+    "q7_volume_shipping", "q8_market_share", "q9_product_profit",
+    "q10_returned_items", "q13_customer_distribution", "q15_top_supplier",
+    "q18_large_volume_customer", "q21_waiting_supplier",
+    "q22_global_sales_opportunity",
 ]
 
 _DEMOTE = [
