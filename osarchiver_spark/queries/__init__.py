@@ -24,6 +24,7 @@ _MODULES = [
     "dedup",
     "similarity",
     "text",
+    "sampling",
     "multimodal",
 ]
 
@@ -68,6 +69,7 @@ _FRONT = [
     "q10_returned_items", "q13_customer_distribution", "q15_top_supplier",
     "q18_large_volume_customer", "q21_waiting_supplier",
     "q22_global_sales_opportunity",
+    "sample_split", "class_cap_sample", "tfidf_top_terms",
 ]
 
 _DEMOTE = [

@@ -1,0 +1,128 @@
+"""Corpus sampling / splitting / weighting operators (north-star:
+what a training-data pipeline does between dedup and tokenization).
+
+All sampling here is DETERMINISTIC — membership is a pure function
+of the row key via md5 (the one hash Spark and DuckDB share), never
+rand(). That is the 100 TB-correct design: the split survives
+re-runs, repartitioning, and incremental arrivals, and needs no
+state. Buckets compare as hex *strings* (both engines order ASCII
+hex identically), so no hex→int conversion is needed anywhere.
+
+- sample_split: 80/10/10 train/val/test assignment from the first
+  two md5 hex digits (256 buckets: < 'cd' → train ≈ 80.1 %,
+  < 'e6' → val ≈ 9.4 %, rest test). Narrow scan, no shuffle at all.
+- class_cap_sample: cap documents per source at K in md5 order —
+  per-group reservoir-style downsampling with one hash-partition
+  shuffle (the skew-safe way to balance classes).
+- tfidf_top_terms: explode → two hash aggs (map-side partial
+  combine) → shuffle join on term → per-doc window top-k. The
+  vocabulary join is a shuffle equi-join, never a broadcast of the
+  corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from osarchiver_spark.functions.text import tokens
+from osarchiver_spark.sources.parquet import load_table
+
+# 80/10/10 boundaries over 256 two-hex-digit buckets (205/24/27).
+_TRAIN_UB = "cd"
+_VAL_UB = "e6"
+
+
+def q_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = (
+        F.when(bucket < _TRAIN_UB, "train").when(bucket < _VAL_UB, "val").otherwise("test")
+    )
+    return docs.select("doc_id", "source", bucket.alias("bucket"), split.alias("split"))
+
+
+def q_class_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source cap: keep the 5 documents with the lowest
+    md5(doc_id) per source — a deterministic class-balancing
+    downsample (doc_id tie-break makes the order total)."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    w = W.partitionBy("source").orderBy(h, F.col("doc_id"))
+    return (
+        docs.select("doc_id", "source", h.alias("h"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("doc_id", "source", F.col("rk").cast("int").alias("rk"))
+    )
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (smooth idf:
+    ln((N+1)/(df+1)) + 1)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    score = F.round(
+        F.col("tf") * (F.log((F.col("n_docs") + 1) / (F.col("df") + 1)) + 1), 6
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select("doc_id", "term", score.alias("tfidf"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", F.col("rk").cast("int").alias("rk"), "term", "tfidf")
+    )
+
+
+QUERIES = {
+    "sample_split": q_sample_split,
+    "class_cap_sample": q_class_cap_sample,
+    "tfidf_top_terms": q_tfidf_top_terms,
+}
+
+_SQL_TOKENS_LOWER = "list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), t -> t <> '')"
+
+ORACLES = {
+    "sample_split": f"""
+        SELECT doc_id, source,
+               substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket,
+               CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{_TRAIN_UB}' THEN 'train'
+                    WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{_VAL_UB}' THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    """,
+    "class_cap_sample": """
+        SELECT doc_id, source, CAST(rk AS INT) AS rk FROM (
+            SELECT doc_id, source,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+            FROM documents)
+        WHERE rk <= 5
+    """,
+    "tfidf_top_terms": f"""
+        WITH tf AS (
+            SELECT doc_id, t.term, count(*) AS tf
+            FROM (SELECT doc_id, unnest({_SQL_TOKENS_LOWER}) AS term FROM documents) t
+            GROUP BY 1, 2
+        ),
+        dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        n AS (SELECT count(*) AS n_docs FROM documents)
+        SELECT doc_id, CAST(rk AS INT) AS rk, term, tfidf FROM (
+            SELECT tf.doc_id, tf.term,
+                   round(tf.tf * (ln((n.n_docs + 1.0) / (dfreq.df + 1.0)) + 1), 6) AS tfidf,
+                   row_number() OVER (PARTITION BY tf.doc_id
+                                      ORDER BY round(tf.tf * (ln((n.n_docs + 1.0) / (dfreq.df + 1.0)) + 1), 6) DESC,
+                                               tf.term) AS rk
+            FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+        WHERE rk <= 3
+    """,
+}
