@@ -56,9 +56,9 @@ def bpe_like_token_count(text: Column) -> Column:
     return F.size(bpe_like_tokens(text))
 
 
-def word_shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles — the unit of MinHash/Jaccard
-    dedup. array_distinct because shingle *sets* define similarity.
+def word_grams(text: Column, n: int = 3) -> Column:
+    """Word n-grams WITH multiplicity (one per position) — the unit of
+    repetition scoring, where duplicate grams are the signal.
 
     Built by zipping shifted slices of the token array (toks is
     referenced n times total). The naive per-index formulation
@@ -68,7 +68,7 @@ def word_shingles(text: Column, n: int = 3) -> Column:
 
     zip_with pads the shorter side with NULL and ``concat`` propagates
     NULL, so incomplete tail grams vanish in the filter; shorter-than-n
-    docs yield an empty set — same semantics as the index form.
+    docs yield an empty list — same semantics as the index form.
     """
     toks = tokens(text)
     grams = toks
@@ -78,7 +78,13 @@ def word_shingles(text: Column, n: int = 3) -> Column:
             F.slice(toks, j + 1, 1 << 30),
             lambda g, t: F.concat(g, F.lit(" "), t),
         )
-    return F.array_distinct(F.filter(grams, lambda g: g.isNotNull()))
+    return F.filter(grams, lambda g: g.isNotNull())
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles — the unit of MinHash/Jaccard
+    dedup. array_distinct because shingle *sets* define similarity."""
+    return F.array_distinct(word_grams(text, n))
 
 
 def char_shingles(text: Column, n: int = 5) -> Column:

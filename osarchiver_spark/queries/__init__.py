@@ -70,6 +70,7 @@ _FRONT = [
     "q18_large_volume_customer", "q21_waiting_supplier",
     "q22_global_sales_opportunity",
     "sample_split", "class_cap_sample", "tfidf_top_terms",
+    "contamination_check", "repetition_filter",
 ]
 
 _DEMOTE = [

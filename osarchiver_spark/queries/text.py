@@ -147,9 +147,59 @@ def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus documents sharing any word
+    3-gram shingle with a held-out benchmark slice (doc_id % 10 == 0
+    stands in for the eval set). The shingle-share equi-join is the
+    decontamination shape at 100 TB — candidates come from an
+    explode + shuffle join on the shingle, never a cross join; the
+    benchmark side is the small one and broadcasts."""
+    from osarchiver_spark.functions.text import word_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", F.explode(word_shingles(F.col("text"), 3)).alias("sh"))
+    bench = sh.filter(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("bench_id"), "sh"
+    )
+    corp = sh.filter(F.col("doc_id") % 10 != 0)
+    return (
+        corp.join(F.broadcast(bench), "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("sh").alias("n_shared_shingles"),
+            F.countDistinct("bench_id").alias("n_bench_docs"),
+        )
+    )
+
+
+def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality rule: fraction of duplicate
+    word 3-grams per document (1 - distinct/total). Pure codegen'd
+    array expressions — no shuffle, no Python."""
+    from osarchiver_spark.functions.text import word_grams
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = word_grams(F.col("text"), 3)
+    n_total = F.size(grams)
+    n_distinct = F.size(F.array_distinct(grams))
+    ratio = F.when(
+        n_total > 0,
+        F.round(1.0 - n_distinct.cast("double") / n_total.cast("double"), 6),
+    )
+    return docs.select(
+        "doc_id",
+        n_total.alias("n_grams"),
+        n_distinct.alias("n_distinct_grams"),
+        ratio.alias("rep_ratio"),
+        F.coalesce(ratio <= 0.2, F.lit(True)).alias("keep"),
+    )
+
+
 QUERIES = {
     "corpus_pipeline": q_corpus_pipeline,
     "token_count_bpe": q_token_count_bpe,
+    "contamination_check": q_contamination_check,
+    "repetition_filter": q_repetition_filter,
     "text_stats": q_text_stats,
     "token_histogram": q_token_histogram,
     "text_quality": q_text_quality,
@@ -230,7 +280,40 @@ def _corpus_pipeline_sql() -> str:
     """
 
 
+_SQL_GRAMS = """
+    [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+     for i in range(1, greatest(len(toks) - 2, 0) + 1)]
+"""
+
 ORACLES = {
+    "contamination_check": f"""
+        WITH toked AS (
+            SELECT doc_id, {_SQL_TOKENS.format(col='text')} AS toks FROM documents),
+        sh AS (
+            SELECT doc_id, unnest(list_distinct({_SQL_GRAMS})) AS sh FROM toked),
+        bench AS (SELECT doc_id AS bench_id, sh FROM sh WHERE doc_id % 10 = 0),
+        corp AS (SELECT doc_id, sh FROM sh WHERE doc_id % 10 <> 0)
+        SELECT corp.doc_id,
+               count(DISTINCT corp.sh) AS n_shared_shingles,
+               count(DISTINCT bench.bench_id) AS n_bench_docs
+        FROM corp JOIN bench USING (sh)
+        GROUP BY 1
+    """,
+    "repetition_filter": f"""
+        WITH t AS (
+            SELECT doc_id, {_SQL_GRAMS.replace('toks', _SQL_TOKENS.format(col='text'))} AS grams
+            FROM documents)
+        SELECT doc_id,
+               CAST(len(grams) AS INT) AS n_grams,
+               CAST(len(list_distinct(grams)) AS INT) AS n_distinct_grams,
+               CASE WHEN len(grams) > 0
+                    THEN round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams), 6)
+               END AS rep_ratio,
+               coalesce(CASE WHEN len(grams) > 0
+                             THEN round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams), 6)
+                        END <= 0.2, TRUE) AS keep
+        FROM t
+    """,
     "text_stats": f"""
         WITH t AS (SELECT doc_id, length(text) AS text_len,
                           {_SQL_TOKENS.format(col='text')} AS toks
