@@ -39,6 +39,8 @@ HEADLINE = [
     "asof_join",
     "percentiles",
     "q17_small_quantity",
+    "q9_product_profit",
+    "q21_waiting_supplier",
     "range_frame",
     "streaming_tumbling",
     # north-star (registered as they are implemented)
@@ -52,6 +54,8 @@ HEADLINE = [
     "knn_lsh",
     "knn_ivf",
     "corpus_pipeline",
+    "tfidf_top_terms",
+    "contamination_check",
     "text_quality",
     "lang_id",
     "doc_fingerprint",

@@ -61,7 +61,10 @@ def q_class_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF terms per document (smooth idf:
     ln((N+1)/(df+1)) + 1)."""
-    docs = load_table(spark, sf_dir, "documents")
+    # tokenization + explode is CPU-bound: spread the single-split scan
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     tf = (
         docs.select("doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("term"))
         .groupBy("doc_id", "term")

@@ -156,7 +156,10 @@ def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     benchmark side is the small one and broadcasts."""
     from osarchiver_spark.functions.text import word_shingles
 
-    docs = load_table(spark, sf_dir, "documents")
+    # shingling is CPU-bound: spread the single-split fixture scan
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     sh = docs.select("doc_id", F.explode(word_shingles(F.col("text"), 3)).alias("sh"))
     bench = sh.filter(F.col("doc_id") % 10 == 0).select(
         F.col("doc_id").alias("bench_id"), "sh"

@@ -68,6 +68,50 @@ def test_dedup_embedding_is_bucketed(spark):
     assert "FlatMapGroupsInPandas" in plan  # within-bucket BLAS verify
 
 
+def test_tpch_star_joins_have_no_cartesian(spark):
+    # q7/q8/q9: multi-nation star joins must resolve to hash joins
+    # with broadcast dims — a cross product would explode at scale
+    for name in ["q7_volume_shipping", "q8_market_share", "q9_product_profit"]:
+        plan = _formatted(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastHashJoin" in plan, name
+
+
+def test_q21_self_joins_are_semi_anti(spark):
+    plan = _formatted(spark, "q21_waiting_supplier")
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q18_having_filter_before_join(spark):
+    # the grouped-having output is small: it must join hash-style,
+    # and lineitem's scan must not drag unneeded columns
+    plan = _formatted(spark, "q18_large_volume_customer")
+    assert "CartesianProduct" not in plan
+    assert "partial_sum" in plan  # map-side combine in the having agg
+
+
+def test_contamination_join_broadcasts_benchmark(spark):
+    plan = _formatted(spark, "contamination_check")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_sampling_queries_stay_jvm_side(spark):
+    for name in ["sample_split", "class_cap_sample", "tfidf_top_terms",
+                 "repetition_filter", "contamination_check", "token_count_bpe"]:
+        plan = _formatted(spark, name)
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+
+
+def test_sample_split_has_no_shuffle(spark):
+    # split assignment is a pure row-local projection — any Exchange
+    # means someone added an accidental shuffle
+    plan = _formatted(spark, "sample_split")
+    assert "Exchange" not in plan
+
+
 def test_no_python_udfs_in_core_queries(spark):
     # dedup/text/vector/metadata ops must stay JVM-side (frame_sample
     # and the codec decode path are the sanctioned mapInPandas
