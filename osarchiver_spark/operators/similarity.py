@@ -31,20 +31,61 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact top-k cosine neighbors per query vector.
 
-    queries: (id_col, vec_col) — expected small; Spark broadcasts it
-    (AQE promotes automatically under the 64 MB threshold we set).
-    Ranking uses the ROUNDED similarity with id tie-break so results
-    are engine-reproducible.
+    queries: (id_col, vec_col) — bounded-small by definition (it's
+    the probe set), so it ships to every task as a dense matrix in
+    the mapInPandas closure — the same bytes a broadcast join would
+    ship, minus a per-pair Arrow row for every (query, corpus)
+    combination. Each corpus batch is one BLAS matmul; only the
+    per-batch top-(k+1) candidate IDS leave Python, and a global
+    window finishes the selection (top-k is associative under the
+    same (rounded cosine desc, id asc) order, so batch-local
+    pre-selection is exact). Ranking uses the ROUNDED similarity
+    with id tie-break so results are engine-reproducible.
     """
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv"))
-    q = queries.select(F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv"))
-    sim = F.round(cosine(F.col("qv"), F.col("cv")), 6)
-    scored = (
-        F.broadcast(q)
-        .crossJoin(c)
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", sim.alias("cosine"))
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    q_rows = queries.select(
+        F.col(id_col).cast("long").alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+    ).collect()  # bounded query set — model-sized by contract
+    qids = np.array([r.query_id for r in q_rows], dtype="int64")
+    Q = np.stack([np.asarray(r.qv, dtype="float64") for r in q_rows])
+    qn = np.sqrt((Q * Q).sum(axis=1))
+    qn = np.where(qn > 0, qn, np.inf)  # zero-norm -> cosine 0, like vectors.cosine
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
     )
+    take = k + 1  # headroom for the self-match row
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack([np.asarray(v, dtype="float64") for v in pdf["cv"].to_numpy()])
+            vn = np.sqrt((V * V).sum(axis=1))
+            vn = np.where(vn > 0, vn, np.inf)
+            S = np.round((Q @ V.T) / np.outer(qn, vn), 6)  # n_q × n_batch
+            nids = pdf["neighbor_id"].to_numpy()
+            n_take = min(take, S.shape[1])
+            order = np.lexsort((np.broadcast_to(nids, S.shape), -S), axis=1)[:, :n_take]
+            rows_q = np.repeat(qids, n_take)
+            rows_n = nids[order].reshape(-1)
+            rows_s = np.take_along_axis(S, order, axis=1).reshape(-1)
+            keep = rows_q != rows_n
+            yield pd.DataFrame(
+                {"query_id": rows_q[keep], "neighbor_id": rows_n[keep], "cosine": rows_s[keep]}
+            )
+
+    c = corpus.select(
+        F.col(id_col).cast("long").alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
+    )
+    scored = c.mapInPandas(score, schema=out_schema)
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -52,10 +52,14 @@ def test_anti_join_delete_strategy(spark):
     assert "CartesianProduct" not in plan
 
 
-def test_knn_broadcasts_queries(spark):
+def test_knn_bruteforce_streams_corpus_once(spark):
     plan = _formatted(spark, "knn_bruteforce")
-    # bounded query set must broadcast; corpus side streams
-    assert "Broadcast" in plan
+    # bounded query set rides in the task closure; the corpus streams
+    # through one BLAS scoring pass — no join of any kind, and no
+    # per-pair row blowup
+    assert "MapInPandas" in plan
+    assert "CartesianProduct" not in plan
+    assert "Join" not in plan
 
 
 def test_dedup_embedding_is_bucketed(spark):
@@ -113,14 +117,14 @@ def test_sample_split_has_no_shuffle(spark):
 
 
 def test_no_python_udfs_in_core_queries(spark):
-    # dedup/text/vector/metadata ops must stay JVM-side (frame_sample
-    # and the codec decode path are the sanctioned mapInPandas
-    # exceptions; dedup_embedding's BLAS verify is pinned separately)
+    # dedup/text/vector/metadata ops must stay JVM-side (frame_sample,
+    # the codec decode path, and the dense-linear-algebra BLAS ops —
+    # dedup_embedding, knn_bruteforce, knn_ivf — are the sanctioned
+    # Pandas exceptions, pinned separately)
     for name in [
         "dedup_minhash_lsh",
         "text_quality",
         "lang_id",
-        "knn_bruteforce",
         "dedup_simhash",
         "multimodal_metadata",
     ]:
