@@ -70,7 +70,7 @@ _FRONT = [
     "q18_large_volume_customer", "q21_waiting_supplier",
     "q22_global_sales_opportunity",
     "sample_split", "class_cap_sample", "tfidf_top_terms",
-    "contamination_check", "repetition_filter",
+    "contamination_check", "repetition_filter", "streaming_interval_join",
 ]
 
 _DEMOTE = [

@@ -233,9 +233,19 @@ def q_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_sliding_agg(spark, sf_dir)
 
 
+def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (views → purchases within 4h per
+    user) computed by the streaming engine; checked against the batch
+    interval-join SQL."""
+    from osarchiver_spark.streaming.pipeline import streaming_interval_join
+
+    return streaming_interval_join(spark, sf_dir)
+
+
 QUERIES = {
     "streaming_tumbling": q_streaming_tumbling,
     "streaming_sliding": q_streaming_sliding,
+    "streaming_interval_join": q_streaming_interval_join,
     "asof_join": q_asof_join,
     "latest_event_per_user": q_latest_event_per_user,
     "running_sum": q_running_sum,
@@ -252,6 +262,14 @@ QUERIES = {
 }
 
 ORACLES = {
+    "streaming_interval_join": """
+        SELECT v.event_id AS view_id, p.event_id AS purchase_id,
+               v.user_id, v.ts AS view_ts, p.ts AS purchase_ts
+        FROM events v JOIN events p
+          ON v.user_id = p.user_id
+         AND v.event_type = 'view' AND p.event_type = 'purchase'
+         AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 4 HOUR
+    """,
     "asof_join": """
         WITH u AS (
             SELECT user_id, ts, event_id AS tb, 1 AS side,

@@ -126,6 +126,44 @@ def streaming_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: each view joined to the same
+    user's purchases within the following 4 hours, computed BY THE
+    STREAMING ENGINE (both sides watermarked; the range condition
+    gives Spark the bound it needs to expire join state — per-key
+    state is O(events inside the watermark window), not the stream).
+
+    The driver checks it against the equivalent batch interval-join
+    SQL, proving the streaming state machine agrees with the batch
+    plan."""
+    ev = events_stream(spark, sf_dir)
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "4 hours")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "8 hours")
+    )
+    joined = views.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (F.col("purchase_ts") <= F.col("view_ts") + F.expr("INTERVAL 4 HOURS")),
+    ).select("view_id", "purchase_id", "user_id", "view_ts", "purchase_ts")
+    return drain_stream_to_parquet(joined, "append", "stream_ij")
+
+
 def stream_archive(
     spark: SparkSession,
     sf_dir: str,
