@@ -381,3 +381,53 @@ def embedding_neardup_pairs(df: DataFrame, id_col: str, vec_col: str, threshold:
         .select("vec_a", "vec_b", sim.alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Transitive closure of a near-dup pair graph: (doc_id,
+    cluster_rep) for every vertex, rep = min doc_id in the component.
+    This is what turns pairwise dedup output into keep/drop decisions
+    (keep the rep, drop the rest of each cluster).
+
+    Min-label propagation as DataFrame iterations: each round joins
+    the symmetric edge list against current labels and takes the
+    per-vertex min — O(component diameter) rounds, each one shuffle
+    on the vertex id. Near-dup components are shallow (dup clusters
+    are cliques or stars), so 2-3 rounds converge; the loop stops at
+    the first round with zero label changes. localCheckpoint()
+    truncates the growing lineage each round (on a cluster, point
+    spark.checkpoint at shared storage instead for fault tolerance).
+    For planet-scale graphs with deep components, swap the loop body
+    for the large-star/small-star formulation — same join primitive.
+    """
+    edges = pairs.select("doc_a", "doc_b")
+    sym = edges.union(
+        edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    )
+    labels = (
+        sym.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("lbl", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        neighbor_lbls = (
+            sym.join(labels, sym["doc_b"] == labels["doc_id"])
+            .select(F.col("doc_a").alias("doc_id"), F.col("lbl"))
+        )
+        new_labels = (
+            labels.unionByName(neighbor_lbls)
+            .groupBy("doc_id")
+            .agg(F.min("lbl").alias("lbl"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.withColumnRenamed("lbl", "lbl_new")
+            .join(labels, "doc_id")
+            .filter(F.col("lbl_new") != F.col("lbl"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("doc_id", F.col("lbl").alias("cluster_rep"))

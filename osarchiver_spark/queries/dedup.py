@@ -101,9 +101,25 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_lsh_neardup_pairs(emb, "vec_id", "embedding", threshold=EMBED_THRESHOLD)
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive closure over the MinHash-LSH pair graph: one
+    (doc_id, cluster_rep) row per document in any near-dup pair —
+    the keep/drop decision layer above pairwise dedup. Oracle is the
+    same closure via a recursive CTE over the identical pair SQL."""
+    from osarchiver_spark.operators.dedup import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text",
+        shingle_n=3, num_hashes=NUM_HASHES, bands=BANDS, threshold=MINHASH_THRESHOLD,
+    )
+    return connected_components(pairs)
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_exact_rows": q_dedup_exact_rows,
+    "dedup_clusters": q_dedup_clusters,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_multiprobe": q_dedup_simhash_multiprobe,
@@ -239,3 +255,21 @@ ORACLES = {
               >= {EMBED_THRESHOLD}
     """,
 }
+
+# Transitive closure over the identical pair SQL: the minhash oracle
+# becomes a (nested-WITH) CTE, the closure is a recursive
+# min-label reachability, component rep = min reachable doc_id.
+ORACLES["dedup_clusters"] = f"""
+    WITH RECURSIVE pairs AS ({ORACLES["dedup_minhash_lsh"]}),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION ALL
+        SELECT doc_b AS a, doc_a AS b FROM pairs),
+    verts AS (SELECT DISTINCT a AS doc_id FROM edges),
+    reach AS (
+        SELECT doc_id, doc_id AS r FROM verts
+        UNION
+        SELECT e.b AS doc_id, reach.r
+        FROM reach JOIN edges e ON e.a = reach.doc_id)
+    SELECT doc_id, min(r) AS cluster_rep FROM reach GROUP BY doc_id
+"""
