@@ -73,6 +73,25 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native F.session_window (30-min gap) per user — the engine's
+    session operator (works unchanged under readStream + watermark;
+    SURVEY §2.9). window.start = first event, window.end = last event
+    + gap; the oracle rebuilds both via gaps-and-islands."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour aggregation per event_type. Epoch-truncation
     form (identical to F.window(ts, '1 hour').start, but yields a
@@ -247,6 +266,7 @@ QUERIES = {
     "streaming_sliding": q_streaming_sliding,
     "streaming_interval_join": q_streaming_interval_join,
     "asof_join": q_asof_join,
+    "session_window": q_session_window,
     "latest_event_per_user": q_latest_event_per_user,
     "running_sum": q_running_sum,
     "lag_delta": q_lag_delta,
@@ -326,6 +346,29 @@ ORACLES = {
                    PARTITION BY user_id ORDER BY ts, event_id)) / 1e6, 6)
                    AS gap_seconds
         FROM events
+    """,
+    "session_window": """
+        WITH gaps AS (
+            SELECT user_id, ts, event_id, value,
+                   epoch_us(ts) - epoch_us(lag(ts) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id)) AS gap
+            FROM events),
+        marked AS (
+            SELECT user_id, ts, event_id, value,
+                   CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1 ELSE 0 END AS new_sess
+            FROM gaps),
+        sessions AS (
+            SELECT user_id, ts, value,
+                   sum(new_sess) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+            FROM marked)
+        SELECT user_id,
+               min(ts) AS session_start,
+               max(ts) + INTERVAL 30 MINUTE AS session_end,
+               count(*) AS n_events,
+               round(sum(value), 4) AS sum_value
+        FROM sessions GROUP BY user_id, session_id
     """,
     "sessionize": """
         WITH gaps AS (
