@@ -1,0 +1,73 @@
+"""Shared Arrow/BLAS scoring kernel for ANN operators.
+
+Dense per-row linear algebra is the sanctioned Pandas case: the JVM
+higher-order-function cosine evaluates interpreted outside
+whole-stage codegen, which benches 3-4× slower than one matmul per
+group (see operators/ivf.py and the round-1 dedup_embedding
+measurement). This module holds the one cogroup scorer both IVF and
+hyperplane-LSH re-ranking share.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+
+def vec_matrix(series: pd.Series) -> np.ndarray:
+    return np.stack([np.asarray(v, dtype="float64") for v in series.to_numpy()])
+
+
+COSINE_PAIR_SCHEMA = T.StructType(
+    [
+        T.StructField("query_id", T.LongType()),
+        T.StructField("neighbor_id", T.LongType()),
+        T.StructField("cosine", T.DoubleType()),
+    ]
+)
+
+
+def cogroup_topk_cosine(queries: DataFrame, corpus: DataFrame, key: str, k: int) -> DataFrame:
+    """Per-``key`` group BLAS re-rank: for every key group, score the
+    group's queries (columns query_id, qv) against the group's corpus
+    members (columns neighbor_id, v) with one matmul and emit each
+    query's local top-(k+1) by (rounded cosine desc, neighbor_id asc),
+    self-matches dropped. Only candidate IDS leave Python; the caller
+    finishes with a global window (top-k selection is associative
+    under the same ordering, so group-local pre-selection is exact).
+    """
+    take = k + 1  # headroom for the self-match row
+
+    def score_group(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        # empty cogroup sides arrive column-less
+        if len(left) == 0 or len(right) == 0:
+            return pd.DataFrame({"query_id": [], "neighbor_id": [], "cosine": []}).astype(
+                {"query_id": "int64", "neighbor_id": "int64", "cosine": "float64"}
+            )
+        Q = vec_matrix(left["qv"])
+        V = vec_matrix(right["v"])
+        qn = np.sqrt((Q * Q).sum(axis=1))
+        vn = np.sqrt((V * V).sum(axis=1))
+        qn = np.where(qn > 0, qn, np.inf)  # zero-norm -> cosine 0, like vectors.cosine
+        vn = np.where(vn > 0, vn, np.inf)
+        S = np.round((Q @ V.T) / np.outer(qn, vn), 6)  # n_q × n_v
+        qids = left["query_id"].to_numpy()
+        nids = right["neighbor_id"].to_numpy()
+        n_take = min(take, S.shape[1])
+        order = np.lexsort((np.broadcast_to(nids, S.shape), -S), axis=1)[:, :n_take]
+        rows_q = np.repeat(qids, n_take)
+        rows_n = nids[order].reshape(-1)
+        rows_s = np.take_along_axis(S, order, axis=1).reshape(-1)
+        keep = rows_q != rows_n
+        return pd.DataFrame(
+            {"query_id": rows_q[keep], "neighbor_id": rows_n[keep], "cosine": rows_s[keep]}
+        )
+
+    return (
+        queries.groupBy(key)
+        .cogroup(corpus.groupBy(key))
+        .applyInPandas(score_group, schema=COSINE_PAIR_SCHEMA)
+    )

@@ -163,45 +163,9 @@ def ivf_topk(
     )
     probed = qbase.mapInPandas(probe, schema=probe_schema)
 
-    out_schema = T.StructType(
-        [
-            T.StructField("query_id", T.LongType()),
-            T.StructField("neighbor_id", T.LongType()),
-            T.StructField("cosine", T.DoubleType()),
-        ]
-    )
+    from osarchiver_spark.operators.blas import cogroup_topk_cosine
 
-    def score_cluster(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-        # left = queries probing this cid, right = corpus members.
-        # Empty cogroup sides arrive column-less.
-        if len(left) == 0 or len(right) == 0:
-            return pd.DataFrame({"query_id": [], "neighbor_id": [], "cosine": []}).astype(
-                {"query_id": "int64", "neighbor_id": "int64", "cosine": "float64"}
-            )
-        Q = _vec_matrix(left["qv"])
-        V = _vec_matrix(right["v"])
-        qn = np.sqrt((Q * Q).sum(axis=1))
-        vn = np.sqrt((V * V).sum(axis=1))
-        qn = np.where(qn > 0, qn, np.inf)  # zero-norm -> cosine 0, like vectors.cosine
-        vn = np.where(vn > 0, vn, np.inf)
-        S = np.round((Q @ V.T) / np.outer(qn, vn), 6)  # n_q × n_v
-        qids = left["query_id"].to_numpy()
-        nids = right["neighbor_id"].to_numpy()
-        # order corpus by (-cosine, neighbor_id) per query; keep top k
-        order = np.lexsort((np.broadcast_to(nids, S.shape), -S), axis=1)[:, : k + 1]
-        rows_q = np.repeat(qids, order.shape[1])
-        rows_n = nids[order].reshape(-1)
-        rows_s = np.take_along_axis(S, order, axis=1).reshape(-1)
-        keep = rows_q != rows_n  # drop self-matches (k+1 headroom above)
-        return pd.DataFrame(
-            {"query_id": rows_q[keep], "neighbor_id": rows_n[keep], "cosine": rows_s[keep]}
-        )
-
-    local = (
-        probed.groupBy("cid")
-        .cogroup(c_assigned.groupBy("cid"))
-        .applyInPandas(score_cluster, schema=out_schema)
-    )
+    local = cogroup_topk_cosine(probed, c_assigned, "cid", k)
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
         local.withColumn("rank", F.row_number().over(w))

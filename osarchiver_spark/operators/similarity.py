@@ -118,13 +118,15 @@ def lsh_topk(
     Real clustered embeddings (near-dups at cosine ≥ 0.9, p ≥ 0.85)
     support more planes and shallower probing at much higher recall.
     """
+    from osarchiver_spark.operators.blas import cogroup_topk_cosine
+
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        as_double(F.col(vec_col)).alias("cv"),
+        F.col(id_col).cast("long").alias("neighbor_id"),
+        as_double(F.col(vec_col)).alias("v"),
         hyperplane_sign_bits(F.col(vec_col), n_planes, dim).alias("bucket"),
     )
     q = queries.select(
-        F.col(id_col).alias("query_id"),
+        F.col(id_col).cast("long").alias("query_id"),
         as_double(F.col(vec_col)).alias("qv"),
         hyperplane_sign_bits(F.col(vec_col), n_planes, dim).alias("qbucket"),
     )
@@ -135,14 +137,11 @@ def lsh_topk(
         masks += [(1 << p) | (1 << q) for p in range(n_planes) for q in range(p + 1, n_planes)]
     probes = F.array(*[F.col("qbucket").bitwiseXOR(F.lit(m)) for m in masks])
     q_probed = q.select("query_id", "qv", F.explode(probes).alias("bucket"))
-    sim = F.round(cosine(F.col("qv"), F.col("cv")), 6)
-    scored = (
-        F.broadcast(q_probed)
-        .join(c, "bucket")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", sim.alias("cosine"))
-        .distinct()
-    )
+    # candidate generation stays a bucket equi-cogroup (never a cross
+    # join); scoring is one matmul per bucket (a corpus vector lives in
+    # exactly one bucket, so (query, neighbor) pairs are unique across
+    # groups and the group-local top-k merge is exact)
+    scored = cogroup_topk_cosine(q_probed, c, "bucket", k)
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
