@@ -69,6 +69,10 @@ def main() -> None:
     sf = float(m.group(1)) if m else -1.0
     spark = get_spark("osarchiver_spark_bench")
     registry = all_queries()
+    # warm the session (JVM codegen, noop datasource registration,
+    # Python worker pool) so query timings measure the engine, not
+    # first-use setup
+    spark.range(1_000).selectExpr("sum(id) as s").write.format("noop").mode("overwrite").save()
     timings: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
