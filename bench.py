@@ -41,6 +41,7 @@ HEADLINE = [
     "q17_small_quantity",
     "q9_product_profit",
     "q21_waiting_supplier",
+    "q2_min_cost_supplier",
     "range_frame",
     "streaming_tumbling",
     # north-star (registered as they are implemented)

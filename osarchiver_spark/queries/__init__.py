@@ -65,6 +65,8 @@ _FRONT = [
     # new this round — also unverified until a driver row appears
     "dedup_simhash_multiprobe", "fk_repair_patch", "config_pipeline",
     "token_count_bpe",
+    "q2_min_cost_supplier", "q11_important_stock",
+    "q16_parts_supplier_relationship", "q20_potential_promotion",
     "q7_volume_shipping", "q8_market_share", "q9_product_profit",
     "q10_returned_items", "q13_customer_distribution", "q15_top_supplier",
     "q18_large_volume_customer", "q21_waiting_supplier",

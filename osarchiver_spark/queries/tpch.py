@@ -246,7 +246,132 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived partsupp: the fixtures have no partsupp table, so the
+    distinct (l_partkey, l_suppkey) pairs stand in for it and the
+    minimum observed unit price is the supply-cost estimate. One
+    hash-aggregate shuffle; min() is order-independent so the value
+    is bit-stable across engines before rounding."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_partkey", "l_suppkey").agg(
+        F.round(F.min(F.col("l_extendedprice") / F.col("l_quantity")), 2).alias("supplycost")
+    )
+
+
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (adapted: supply cost derived per _partsupp):
+    for each small STANDARD part, the EUROPE supplier(s) offering the
+    minimum supply cost. The correlated MIN subquery is a rank()==1
+    window over p_partkey — ties kept exactly like the spec's
+    equality-with-min; the part filter prunes before the window so
+    the shuffle is on the filtered subset only."""
+    ps = _partsupp(spark, sf_dir)
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "STANDARD") & (F.col("p_size") <= 10)
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    w = W.partitionBy("p_partkey").orderBy("supplycost")
+    return (
+        part.join(ps, F.col("p_partkey") == F.col("l_partkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(region, F.col("n_regionkey") == F.col("r_regionkey"))
+        .withColumn("rk", F.rank().over(w))
+        .filter(F.col("rk") == 1)
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_brand", "supplycost")
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (adapted: part value = extended price shipped
+    by NATION_3 suppliers): parts whose value exceeds a multiple of
+    the average part value — scale-invariant where the spec's fixed
+    fraction is 1/SF-scaled. The scalar-subquery threshold is a
+    one-row broadcast; per-part values round to 2 decimals on both
+    sides so summation order can't flip the threshold compare."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    values = (
+        li.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("l_partkey")
+        .agg(F.round(F.sum("l_extendedprice"), 2).alias("value"))
+    )
+    threshold = values.agg(F.round(F.avg("value") * 2.0, 2).alias("thr"))
+    return (
+        values.crossJoin(F.broadcast(threshold))
+        .filter(F.col("value") > F.col("thr"))
+        .select("l_partkey", "value")
+    )
+
+
+def q16_parts_supplier_relationship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (adapted: the complaint exclusion is suppliers
+    with negative balance): distinct supplier count per surviving
+    (brand, type, size). NOT IN compiles to a broadcast anti-join
+    (keys are non-null by construction); countDistinct is the only
+    shuffle on data-sized input."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45, 49)
+    )
+    excluded = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        part.join(li, F.col("p_partkey") == F.col("l_partkey"))
+        .join(excluded, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (adapted: "excess stock" = a supplier shipped
+    more than half of a small-part's 1997 volume): suppliers
+    dominating supply of any qualifying part. The per-part total
+    re-aggregates the per-(part,supplier) partials — one scan, two
+    cascaded hash aggs, never a second pass over lineitem."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.year("l_shipdate") == 1997)
+    parts = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").startswith("small"))
+        .select("p_partkey")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    per_ps = (
+        li.join(parts, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty_raw"))
+    )
+    per_part = per_ps.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.round(F.sum("qty_raw") * 0.5, 2).alias("half_qty")
+    )
+    dominant = (
+        per_ps.join(per_part, F.col("l_partkey") == F.col("pk"))
+        .filter(F.round(F.col("qty_raw"), 2) > F.col("half_qty"))
+        .select("l_suppkey")
+    )
+    return (
+        supp.join(dominant, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+    )
+
+
 QUERIES = {
+    "q2_min_cost_supplier": q2_min_cost_supplier,
+    "q11_important_stock": q11_important_stock,
+    "q16_parts_supplier_relationship": q16_parts_supplier_relationship,
+    "q20_potential_promotion": q20_potential_promotion,
     "q7_volume_shipping": q7_volume_shipping,
     "q8_market_share": q8_market_share,
     "q9_product_profit": q9_product_profit,
@@ -259,6 +384,67 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q2_min_cost_supplier": """
+        WITH ps AS (
+            SELECT l_partkey, l_suppkey,
+                   round(min(l_extendedprice / l_quantity), 2) AS supplycost
+            FROM lineitem GROUP BY 1, 2
+        ), ranked AS (
+            SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, supplycost,
+                   rank() OVER (PARTITION BY p_partkey ORDER BY supplycost) AS rk
+            FROM part
+            JOIN ps ON p_partkey = l_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'EUROPE' AND p_type = 'STANDARD' AND p_size <= 10
+        )
+        SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, supplycost
+        FROM ranked WHERE rk = 1
+        ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        LIMIT 100
+    """,
+    "q11_important_stock": """
+        WITH v AS (
+            SELECT l_partkey, round(sum(l_extendedprice), 2) AS value
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE n_name = 'NATION_3'
+            GROUP BY 1
+        )
+        SELECT l_partkey, value FROM v
+        WHERE value > (SELECT round(avg(value) * 2.0, 2) FROM v)
+    """,
+    "q16_parts_supplier_relationship": """
+        SELECT p_brand, p_type, p_size,
+               count(DISTINCT l_suppkey) AS supplier_cnt
+        FROM part
+        JOIN lineitem ON p_partkey = l_partkey
+        WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+          AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45, 49)
+          AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        GROUP BY 1, 2, 3
+    """,
+    "q20_potential_promotion": """
+        WITH ps AS (
+            SELECT l_partkey, l_suppkey, sum(l_quantity) AS qty_raw
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            WHERE p_name LIKE 'small%' AND year(l_shipdate) = 1997
+            GROUP BY 1, 2
+        )
+        SELECT s_suppkey, s_name
+        FROM supplier
+        WHERE s_suppkey IN (
+            SELECT ps.l_suppkey
+            FROM ps
+            JOIN (SELECT l_partkey AS pk, round(sum(qty_raw) * 0.5, 2) AS half_qty
+                  FROM ps GROUP BY 1) tot
+              ON ps.l_partkey = tot.pk
+            WHERE round(qty_raw, 2) > half_qty
+        )
+    """,
     "q7_volume_shipping": """
         SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                CAST(year(l_shipdate) AS INT) AS l_year,
