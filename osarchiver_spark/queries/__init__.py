@@ -73,7 +73,7 @@ _FRONT = [
     "q22_global_sales_opportunity",
     "sample_split", "class_cap_sample", "tfidf_top_terms",
     "contamination_check", "repetition_filter", "streaming_interval_join",
-    "dedup_clusters", "session_window",
+    "dedup_clusters", "session_window", "streaming_session_window",
 ]
 
 _DEMOTE = [

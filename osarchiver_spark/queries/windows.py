@@ -261,10 +261,20 @@ def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_interval_join(spark, sf_dir)
 
 
+def q_streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows merged by the streaming engine's session state
+    machine; same gaps-and-islands oracle as the batch session_window
+    query."""
+    from osarchiver_spark.streaming.pipeline import streaming_session_agg
+
+    return streaming_session_agg(spark, sf_dir)
+
+
 QUERIES = {
     "streaming_tumbling": q_streaming_tumbling,
     "streaming_sliding": q_streaming_sliding,
     "streaming_interval_join": q_streaming_interval_join,
+    "streaming_session_window": q_streaming_session_window,
     "asof_join": q_asof_join,
     "session_window": q_session_window,
     "latest_event_per_user": q_latest_event_per_user,
@@ -463,3 +473,7 @@ ORACLES = {
         FROM events GROUP BY event_type
     """,
 }
+
+# The streaming session operator must agree with the batch one —
+# both adjudicate against the identical gaps-and-islands SQL.
+ORACLES["streaming_session_window"] = ORACLES["session_window"]

@@ -126,6 +126,32 @@ def streaming_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_session_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-min gap) per user computed BY THE STREAMING
+    ENGINE — F.session_window under readStream merges/extends session
+    state as events arrive. Complete mode emits the final merged
+    sessions so the finite fixture drains deterministically; a live
+    deployment runs append mode where the watermark both bounds state
+    and finalizes sessions older than the delay.
+
+    Matches queries/windows.py::q_session_window and its
+    gaps-and-islands oracle, proving the streaming session-merge state
+    machine agrees with the batch plan."""
+    agg = (
+        events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
+    )
+    return drain_stream_to_parquet(agg, "complete", "stream_sess").select(
+        "user_id",
+        F.col("sw.start").alias("session_start"),
+        F.col("sw.end").alias("session_end"),
+        "n_events",
+        "sum_value",
+    )
+
+
 def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream interval join: each view joined to the same
     user's purchases within the following 4 hours, computed BY THE

@@ -81,6 +81,16 @@ def test_tpch_star_joins_have_no_cartesian(spark):
         assert "BroadcastHashJoin" in plan, name
 
 
+def test_every_tpch_query_is_cross_product_free(spark):
+    # the only nested-loop joins allowed are one-row scalar-subquery
+    # broadcasts (q11/q22); a CartesianProduct anywhere is a scale bug
+    from osarchiver_spark.queries import tpch
+
+    for name in tpch.QUERIES:
+        plan = _formatted(spark, name)
+        assert "CartesianProduct" not in plan, name
+
+
 def test_q21_self_joins_are_semi_anti(spark):
     plan = _formatted(spark, "q21_waiting_supplier")
     assert "LeftSemi" in plan
