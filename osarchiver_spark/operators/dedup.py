@@ -82,17 +82,21 @@ def minhash_lsh_pairs(
     num_hashes: int = 12,
     bands: int = 4,
     threshold: float = 0.5,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash + LSH banding.
 
-    Pipeline: shingle → signature (k md5-permutation minima) → band
-    keys → explode(band_idx, key) → self equi-join on the bucket →
-    distinct candidate pairs → exact-Jaccard verify >= threshold.
+    Pipeline: shingle → signature (k seeded-permutation minima) →
+    band keys → explode(band_idx, key) → self equi-join on the
+    bucket → distinct candidate pairs → exact-Jaccard verify >=
+    threshold.
 
-    Hash-cost note: md5 is used so the DuckDB oracle can reproduce
-    signatures bit-for-bit; a production deployment swaps ``perm`` in
-    functions/text.py::minhash_signature to ``F.xxhash64(F.lit(i),
-    s)`` (~5× cheaper, same operator shape, no oracle parity).
+    Hash-cost note: hash_fn="md5" (default) lets the DuckDB oracle
+    reproduce signatures bit-for-bit; hash_fn="xxhash64" is the
+    production mode (~5× cheaper signatures, same operator shape, no
+    oracle parity). The verify stage is exact Jaccard either way, so
+    the modes differ only in candidate recall —
+    tests/test_similarity.py pins xxhash64 recall against md5.
 
     The self-join is on (band_idx, band_key): at 100 TB the bucket
     key is high-cardinality, so the shuffle partitions evenly; AQE
@@ -104,7 +108,9 @@ def minhash_lsh_pairs(
     # the tokenize+hash pipeline per consumer.
     shingled = _with_shingles(df, id_col, text_col, shingle_n).cache()
     sig = shingled.select(
-        "doc_id", "shingles", minhash_signature(F.col("shingles"), num_hashes).alias("sig")
+        "doc_id",
+        "shingles",
+        minhash_signature(F.col("shingles"), num_hashes, hash_fn).alias("sig"),
     )
     banded = sig.select(
         "doc_id", F.posexplode(lsh_band_keys(F.col("sig"), bands, rows)).alias("band_idx", "band_key")

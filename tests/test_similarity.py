@@ -38,6 +38,20 @@ def test_minhash_lsh_finds_planted_neardups(spark, sf_small):
     assert len(l) / len(e) >= 0.9, f"MinHash-LSH recall {len(l)}/{len(e)}"
 
 
+def test_minhash_lsh_xxhash64_production_mode(spark, sf_small):
+    # the production hash swap must keep the operator shape and
+    # near-dup recall; only candidate banding differs (verify stage
+    # is exact Jaccard in both modes, so xxhash pairs are also a
+    # subset of the exact pairs)
+    docs = load_table(spark, sf_small, "documents")
+    exact = ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5)
+    xx = minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5, hash_fn="xxhash64")
+    e = {(r.doc_a, r.doc_b) for r in exact.collect()}
+    x = {(r.doc_a, r.doc_b) for r in xx.collect()}
+    assert x <= e
+    assert len(x) / len(e) >= 0.9, f"xxhash64 MinHash-LSH recall {len(x)}/{len(e)}"
+
+
 def test_simhash_multiprobe_recall_is_total(spark, sf_small):
     # block-pigeonhole candidates guarantee recall for hamming <= 2:
     # the multiprobe result must EQUAL exact all-pairs filtering, and
