@@ -74,6 +74,7 @@ _FRONT = [
     "sample_split", "class_cap_sample", "tfidf_top_terms",
     "contamination_check", "repetition_filter", "streaming_interval_join",
     "dedup_clusters", "session_window", "streaming_session_window",
+    "doc_chunks",
 ]
 
 _DEMOTE = [

@@ -198,7 +198,19 @@ def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping 400-char / 100-overlap chunk windows per document
+    (operators/chunking.py built-in path — sequence → explode →
+    substring, all codegen; the UDTF twin is equality-pinned in
+    tests/test_chunking.py)."""
+    from osarchiver_spark.operators.chunking import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, "doc_id", "text")
+
+
 QUERIES = {
+    "doc_chunks": q_doc_chunks,
     "corpus_pipeline": q_corpus_pipeline,
     "token_count_bpe": q_token_count_bpe,
     "contamination_check": q_contamination_check,
@@ -402,3 +414,15 @@ ORACLES = {
 }
 
 ORACLES["corpus_pipeline"] = _corpus_pipeline_sql()
+
+ORACLES["doc_chunks"] = """
+    SELECT doc_id,
+           CAST((start - 1) // 300 AS INT) AS chunk_id,
+           CAST(start AS INT) AS start,
+           substr(text, CAST(start AS INT), 400) AS chunk
+    FROM (
+        SELECT doc_id, text,
+               unnest(range(1, greatest(length(text), 1) + 1, 300)) AS start
+        FROM documents
+    )
+"""
