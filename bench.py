@@ -60,6 +60,7 @@ HEADLINE = [
     "text_quality",
     "lang_id",
     "doc_fingerprint",
+    "doc_chunks",
     "multimodal_metadata",
 ]
 
