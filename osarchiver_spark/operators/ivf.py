@@ -142,18 +142,19 @@ def ivf_topk(
         ]
     )
 
+    n_take = min(nprobe, len(centroids))  # nprobe > k just probes everything
+
     def probe(batches):
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             Q = _vec_matrix(pdf["qv"])
             d = -2.0 * (Q @ C.T) + c_sq
-            near = np.argsort(d, axis=1, kind="stable")[:, :nprobe]  # ties to lowest cid
-            n = len(pdf)
+            near = np.argsort(d, axis=1, kind="stable")[:, :n_take]  # ties to lowest cid
             yield pd.DataFrame(
                 {
-                    "query_id": pdf["query_id"].to_numpy().repeat(nprobe),
-                    "qv": pdf["qv"].to_numpy().repeat(nprobe),
+                    "query_id": pdf["query_id"].to_numpy().repeat(n_take),
+                    "qv": pdf["qv"].to_numpy().repeat(n_take),
                     "cid": near.reshape(-1).astype("int32"),
                 }
             )

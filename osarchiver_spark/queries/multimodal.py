@@ -6,6 +6,7 @@ same metadata from the text characters (ascii == utf-8 byte here)."""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from osarchiver_spark.operators.multimodal import attach_binary, extract_metadata, sample_frames
 from osarchiver_spark.sources.parquet import load_table
@@ -19,8 +20,18 @@ def q_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered with ``frames`` flattened to a CSV string: the
+    driver's order-insensitive canonicalizer sorts/factorizes every
+    column, which requires hashable scalars — an ``array<int>`` column
+    is unhashable in pandas and errored in round 2. The array-typed
+    operator (``sample_frames``) stays for programmatic use."""
     docs = load_table(spark, sf_dir, "documents")
-    return sample_frames(attach_binary(docs, "doc_id", "text"), stride=FRAME_STRIDE)
+    sampled = sample_frames(attach_binary(docs, "doc_id", "text"), stride=FRAME_STRIDE)
+    return sampled.select(
+        "doc_id",
+        "n_frames",
+        F.array_join(F.col("frames").cast("array<string>"), ",").alias("frames"),
+    )
 
 
 QUERIES = {
@@ -52,7 +63,7 @@ ORACLES = {
                     if (i - 1) % {FRAME_STRIDE} = 0] AS frames
             FROM documents)
         SELECT doc_id, CAST(len(frames) AS INT) AS n_frames,
-               frames::INT[] AS frames
+               coalesce(array_to_string(frames, ','), '') AS frames
         FROM f
     """,
 }

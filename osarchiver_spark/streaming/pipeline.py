@@ -40,10 +40,13 @@ def drain_stream_to_parquet(
 
     Scratch location: $SPARK_GRAFT_STREAM_SCRATCH or the local temp
     dir — on a multi-node cluster point it at a shared filesystem URI
-    (executors write the parts there directly)."""
+    (executors write the parts there directly; existence is probed
+    through the Hadoop FileSystem so s3a://-style URIs work too)."""
+    from osarchiver_spark.sinks.base import _hadoop_path_exists
+
     spark = df.sparkSession
     base = os.environ.get("SPARK_GRAFT_STREAM_SCRATCH", tempfile.gettempdir())
-    out_dir = os.path.join(base, f"{name_prefix}_{uuid.uuid4().hex[:8]}")
+    out_dir = f"{base.rstrip('/')}/{name_prefix}_{uuid.uuid4().hex[:8]}"
     write_mode = "overwrite" if output_mode == "complete" else "append"
 
     def write_batch(batch_df: DataFrame, _epoch_id: int) -> None:
@@ -54,7 +57,7 @@ def drain_stream_to_parquet(
         q.processAllAvailable()
     finally:
         q.stop()
-    if not os.path.exists(out_dir):  # stream produced no batches
+    if not _hadoop_path_exists(spark, out_dir):  # stream produced no batches
         return spark.createDataFrame([], df.schema)
     return spark.read.parquet(out_dir)
 
