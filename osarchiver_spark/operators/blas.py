@@ -21,13 +21,16 @@ def vec_matrix(series: pd.Series) -> np.ndarray:
     return np.stack([np.asarray(v, dtype="float64") for v in series.to_numpy()])
 
 
-COSINE_PAIR_SCHEMA = T.StructType(
-    [
-        T.StructField("query_id", T.LongType()),
-        T.StructField("neighbor_id", T.LongType()),
-        T.StructField("cosine", T.DoubleType()),
-    ]
-)
+def cosine_pair_schema(id_type: T.DataType) -> T.StructType:
+    """Output schema keyed on the CALLER's id type — string/uuid doc
+    ids ride through the Arrow path unchanged (no silent long cast)."""
+    return T.StructType(
+        [
+            T.StructField("query_id", id_type),
+            T.StructField("neighbor_id", id_type),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
 
 
 def cogroup_topk_cosine(queries: DataFrame, corpus: DataFrame, key: str, k: int) -> DataFrame:
@@ -40,12 +43,17 @@ def cogroup_topk_cosine(queries: DataFrame, corpus: DataFrame, key: str, k: int)
     under the same ordering, so group-local pre-selection is exact).
     """
     take = k + 1  # headroom for the self-match row
+    id_type = queries.schema["query_id"].dataType
 
     def score_group(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         # empty cogroup sides arrive column-less
         if len(left) == 0 or len(right) == 0:
-            return pd.DataFrame({"query_id": [], "neighbor_id": [], "cosine": []}).astype(
-                {"query_id": "int64", "neighbor_id": "int64", "cosine": "float64"}
+            return pd.DataFrame(
+                {
+                    "query_id": pd.Series([], dtype=object),
+                    "neighbor_id": pd.Series([], dtype=object),
+                    "cosine": pd.Series([], dtype="float64"),
+                }
             )
         Q = vec_matrix(left["qv"])
         V = vec_matrix(right["v"])
@@ -69,5 +77,5 @@ def cogroup_topk_cosine(queries: DataFrame, corpus: DataFrame, key: str, k: int)
     return (
         queries.groupBy(key)
         .cogroup(corpus.groupBy(key))
-        .applyInPandas(score_group, schema=COSINE_PAIR_SCHEMA)
+        .applyInPandas(score_group, schema=cosine_pair_schema(id_type))
     )

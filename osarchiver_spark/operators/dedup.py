@@ -295,15 +295,16 @@ def embedding_lsh_neardup_pairs(
     L, b = n_tables, planes_per_table
 
     par = df.sparkSession.sparkContext.defaultParallelism
+    id_type = df.schema[id_col].dataType
     base = df.select(
-        F.col(id_col).cast("long").alias("vid"), as_double(F.col(vec_col)).alias("v")
+        F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("v")
     ).repartition(par)
 
     keyed_schema = T.StructType(
         [
             T.StructField("table_idx", T.IntegerType()),
             T.StructField("bucket", T.LongType()),
-            T.StructField("vid", T.LongType()),
+            T.StructField("vid", id_type),
             T.StructField("v", T.ArrayType(T.DoubleType())),
         ]
     )
@@ -319,7 +320,7 @@ def embedding_lsh_neardup_pairs(
                 {
                     "table_idx": np.tile(np.arange(L, dtype="int32"), len(pdf)),
                     "bucket": buckets.reshape(-1),
-                    "vid": pdf["vid"].to_numpy().repeat(L),
+                    "vid": pdf["vid"].to_numpy(dtype=object).repeat(L),
                     "v": pdf["v"].to_numpy().repeat(L),
                 }
             )
@@ -328,18 +329,25 @@ def embedding_lsh_neardup_pairs(
 
     out_schema = T.StructType(
         [
-            T.StructField("vec_a", T.LongType()),
-            T.StructField("vec_b", T.LongType()),
+            T.StructField("vec_a", id_type),
+            T.StructField("vec_b", id_type),
             T.StructField("cosine", T.DoubleType()),
         ]
     )
 
+    def _empty_pairs() -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "vec_a": pd.Series([], dtype=object),
+                "vec_b": pd.Series([], dtype=object),
+                "cosine": pd.Series([], dtype="float64"),
+            }
+        )
+
     def group_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         n = len(pdf)
         if n < 2:
-            return pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []}).astype(
-                {"vec_a": "int64", "vec_b": "int64", "cosine": "float64"}
-            )
+            return _empty_pairs()
         V = np.stack(pdf["v"].to_numpy())
         norms = np.sqrt((V * V).sum(axis=1))
         safe = np.where(norms > 0, norms, np.inf)  # zero-norm -> cosine 0, like vectors.cosine
@@ -348,7 +356,7 @@ def embedding_lsh_neardup_pairs(
         vals = C[ia, ib]
         mask = vals >= thr
         ia, ib = ia[mask], ib[mask]
-        vids = pdf["vid"].to_numpy()
+        vids = pdf["vid"].to_numpy(dtype=object)
         a, bb = vids[ia], vids[ib]
         return pd.DataFrame(
             {

@@ -136,7 +136,7 @@ def ivf_topk(
 
     probe_schema = T.StructType(
         [
-            T.StructField("query_id", T.LongType()),
+            T.StructField("query_id", queries.schema[id_col].dataType),
             T.StructField("qv", T.ArrayType(T.DoubleType())),
             T.StructField("cid", T.IntegerType()),
         ]
@@ -153,14 +153,14 @@ def ivf_topk(
             near = np.argsort(d, axis=1, kind="stable")[:, :n_take]  # ties to lowest cid
             yield pd.DataFrame(
                 {
-                    "query_id": pdf["query_id"].to_numpy().repeat(n_take),
+                    "query_id": pdf["query_id"].to_numpy(dtype=object).repeat(n_take),
                     "qv": pdf["qv"].to_numpy().repeat(n_take),
                     "cid": near.reshape(-1).astype("int32"),
                 }
             )
 
     qbase = queries.select(
-        F.col(id_col).cast("long").alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
     )
     probed = qbase.mapInPandas(probe, schema=probe_schema)
 

@@ -44,23 +44,19 @@ def brute_force_topk(
     """
     import numpy as np
     import pandas as pd
-    from pyspark.sql import types as T
+
+    from osarchiver_spark.operators.blas import cosine_pair_schema
 
     q_rows = queries.select(
-        F.col(id_col).cast("long").alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
     ).collect()  # bounded query set — model-sized by contract
-    qids = np.array([r.query_id for r in q_rows], dtype="int64")
+    # object dtype keeps string/uuid ids intact through numpy ops
+    qids = np.array([r.query_id for r in q_rows], dtype=object)
     Q = np.stack([np.asarray(r.qv, dtype="float64") for r in q_rows])
     qn = np.sqrt((Q * Q).sum(axis=1))
     qn = np.where(qn > 0, qn, np.inf)  # zero-norm -> cosine 0, like vectors.cosine
 
-    out_schema = T.StructType(
-        [
-            T.StructField("query_id", T.LongType()),
-            T.StructField("neighbor_id", T.LongType()),
-            T.StructField("cosine", T.DoubleType()),
-        ]
-    )
+    out_schema = cosine_pair_schema(queries.schema[id_col].dataType)
     take = k + 1  # headroom for the self-match row
 
     def score(batches):
@@ -71,7 +67,7 @@ def brute_force_topk(
             vn = np.sqrt((V * V).sum(axis=1))
             vn = np.where(vn > 0, vn, np.inf)
             S = np.round((Q @ V.T) / np.outer(qn, vn), 6)  # n_q × n_batch
-            nids = pdf["neighbor_id"].to_numpy()
+            nids = pdf["neighbor_id"].to_numpy(dtype=object)
             n_take = min(take, S.shape[1])
             order = np.lexsort((np.broadcast_to(nids, S.shape), -S), axis=1)[:, :n_take]
             rows_q = np.repeat(qids, n_take)
@@ -83,7 +79,7 @@ def brute_force_topk(
             )
 
     c = corpus.select(
-        F.col(id_col).cast("long").alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
+        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
     )
     scored = c.mapInPandas(score, schema=out_schema)
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
@@ -121,12 +117,12 @@ def lsh_topk(
     from osarchiver_spark.operators.blas import cogroup_topk_cosine
 
     c = corpus.select(
-        F.col(id_col).cast("long").alias("neighbor_id"),
+        F.col(id_col).alias("neighbor_id"),
         as_double(F.col(vec_col)).alias("v"),
         hyperplane_sign_bits(F.col(vec_col), n_planes, dim).alias("bucket"),
     )
     q = queries.select(
-        F.col(id_col).cast("long").alias("query_id"),
+        F.col(id_col).alias("query_id"),
         as_double(F.col(vec_col)).alias("qv"),
         hyperplane_sign_bits(F.col(vec_col), n_planes, dim).alias("qbucket"),
     )

@@ -115,3 +115,38 @@ def test_frame_sample_shape(spark, sf_small):
         raw = texts[r.doc_id].encode("utf-8")
         assert r.frames == [int(b) for b in raw[::16]]
         assert r.n_frames == len(r.frames)
+
+
+def test_ann_operators_preserve_string_ids(spark, sf_small):
+    # string/uuid doc ids must ride through the Arrow paths unchanged
+    # (a silent cast-to-long would null them and return garbage)
+    from osarchiver_spark.operators.dedup import embedding_lsh_neardup_pairs
+    from osarchiver_spark.operators.ivf import ivf_topk
+
+    emb = load_table(spark, sf_small, "embeddings").withColumn(
+        "sid", F.concat(F.lit("vec-"), F.format_string("%05d", "vec_id"))
+    )
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+
+    exact_num = brute_force_topk(emb, queries, "vec_id", "embedding", k=3)
+    exact_str = brute_force_topk(emb, queries, "sid", "embedding", k=3)
+    as_str = {
+        (f"vec-{r.query_id:05d}", r.rank, f"vec-{r.neighbor_id:05d}", r.cosine)
+        for r in exact_num.collect()
+    }
+    got = {(r.query_id, r.rank, r.neighbor_id, r.cosine) for r in exact_str.collect()}
+    assert got == as_str  # zero-padded ids keep the numeric tie-break order
+
+    lsh = lsh_topk(emb, queries, "sid", "embedding", dim=64, k=3).collect()
+    assert lsh and all(r.query_id.startswith("vec-") and r.neighbor_id.startswith("vec-") for r in lsh)
+
+    ivf = ivf_topk(emb, queries, "sid", "embedding", k=3, n_clusters=8, nprobe=8).collect()
+    assert ivf and all(r.query_id.startswith("vec-") for r in ivf)
+
+    pairs = embedding_lsh_neardup_pairs(emb, "sid", "embedding", threshold=0.45).collect()
+    num_pairs = embedding_lsh_neardup_pairs(emb, "vec_id", "embedding", threshold=0.45).collect()
+    got_pairs = {(r.vec_a, r.vec_b, r.cosine) for r in pairs}
+    want_pairs = {
+        (f"vec-{r.vec_a:05d}", f"vec-{r.vec_b:05d}", r.cosine) for r in num_pairs
+    }
+    assert got_pairs == want_pairs
