@@ -126,11 +126,13 @@ def lsh_topk(
         as_double(F.col(vec_col)).alias("qv"),
         hyperplane_sign_bits(F.col(vec_col), n_planes, dim).alias("qbucket"),
     )
-    masks = [0]
-    if probe_hamming >= 1:
-        masks += [1 << p for p in range(n_planes)]
-    if probe_hamming >= 2:
-        masks += [(1 << p) | (1 << q) for p in range(n_planes) for q in range(p + 1, n_planes)]
+    from itertools import combinations
+
+    masks = [
+        sum(1 << p for p in flips)
+        for h in range(min(probe_hamming, n_planes) + 1)
+        for flips in combinations(range(n_planes), h)
+    ]
     probes = F.array(*[F.col("qbucket").bitwiseXOR(F.lit(m)) for m in masks])
     q_probed = q.select("query_id", "qv", F.explode(probes).alias("bucket"))
     # candidate generation stays a bucket equi-cogroup (never a cross
