@@ -243,6 +243,7 @@ def embedding_lsh_neardup_pairs(
     planes_per_table: int = 6,
     dim: int = 64,
     seed: str = "emb",
+    max_bucket: int = 4096,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs via multi-table hyperplane LSH.
 
@@ -263,7 +264,18 @@ def embedding_lsh_neardup_pairs(
     swept empirically to give FULL recall at threshold 0.45 on every
     test fixture (sf0.001/0.01/0.1), so the exact all-pairs oracle
     still hash-matches. At larger corpora raise ``planes_per_table``
-    ~log2(n) to keep buckets sparse; AQE skew-join splits hot buckets.
+    ~log2(n) to keep buckets sparse (the ×L fan-out carries the full
+    vector through the shuffle, so sparse buckets matter twice).
+
+    Hot buckets: an ``applyInPandas`` group must land in ONE task —
+    AQE cannot split it — so a low-entropy sign pattern concentrating
+    vectors would hand one task an O(|bucket|²) gram matrix. Buckets
+    wider than ``max_bucket`` therefore leave the grouped path: their
+    keys (a tiny list by definition) are broadcast, and their pairs
+    come from a plain (table_idx, bucket) self equi-join — which AQE
+    skew-join CAN split — verified by Arrow-batched row-wise cosine.
+    Same pairs, same rounding, full recall; only the physical strategy
+    changes, so the exact oracle is unaffected.
 
     The broadcast side is the 64-row plane model — the plan's
     BroadcastNestedLoopJoin is model-sized fan-out (×L per vector,
@@ -366,12 +378,72 @@ def embedding_lsh_neardup_pairs(
             }
         )
 
+    # Hot-bucket split: bucket widths from a map-combinable count (tiny
+    # output — one row per occupied bucket); only the OVERSIZED keys are
+    # broadcast (few by definition), routing rows between the two
+    # physical strategies without a second full shuffle.
+    hot = (
+        keyed.groupBy("table_idx", "bucket")
+        .agg(F.count(F.lit(1)).alias("bsize"))
+        .filter(F.col("bsize") > max_bucket)
+        .select("table_idx", "bucket")
+    )
+    small = keyed.join(F.broadcast(hot), ["table_idx", "bucket"], "left_anti")
+    big = keyed.join(F.broadcast(hot), ["table_idx", "bucket"], "left_semi")
+
     # Verify INSIDE the bucket: survivors (>= threshold) are the only
     # rows that leave Python, so the O(|bucket|^2) gram matrix never
     # materializes as a Spark-side pair set. The same pair found in
     # several tables deduplicates with one tiny aggregate (values are
     # identical after 6-decimal rounding; max() makes it deterministic).
-    pairs = keyed.groupBy("table_idx", "bucket").applyInPandas(group_pairs, schema=out_schema)
+    pairs_small = small.groupBy("table_idx", "bucket").applyInPandas(
+        group_pairs, schema=out_schema
+    )
+
+    # Oversized buckets: plain self equi-join on the bucket key — a
+    # shuffle join AQE skew-join can split across tasks — then
+    # Arrow-batched row-wise cosine on the candidate pairs. Identical
+    # pair set and rounding as the grouped path.
+    a_side = big.select(
+        "table_idx",
+        "bucket",
+        F.col("vid").alias("vid_a"),
+        F.col("v").alias("va"),
+    )
+    b_side = big.select(
+        "table_idx",
+        "bucket",
+        F.col("vid").alias("vid_b"),
+        F.col("v").alias("vb"),
+    )
+    cand = (
+        a_side.join(b_side, ["table_idx", "bucket"])
+        .filter(F.col("vid_a") < F.col("vid_b"))
+        .select("vid_a", "va", "vid_b", "vb")
+    )
+
+    def pair_cosine(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            A = np.stack(pdf["va"].to_numpy())
+            B = np.stack(pdf["vb"].to_numpy())
+            na = np.sqrt((A * A).sum(axis=1))
+            nb = np.sqrt((B * B).sum(axis=1))
+            na = np.where(na > 0, na, np.inf)
+            nb = np.where(nb > 0, nb, np.inf)
+            vals = np.round((A * B).sum(axis=1) / (na * nb), 6)
+            mask = vals >= thr
+            yield pd.DataFrame(
+                {
+                    "vec_a": pdf["vid_a"].to_numpy(dtype=object)[mask],
+                    "vec_b": pdf["vid_b"].to_numpy(dtype=object)[mask],
+                    "cosine": vals[mask],
+                }
+            )
+
+    pairs_big = cand.mapInPandas(pair_cosine, schema=out_schema)
+    pairs = pairs_small.unionByName(pairs_big)
     return pairs.groupBy("vec_a", "vec_b").agg(F.max("cosine").alias("cosine"))
 
 

@@ -117,6 +117,52 @@ def test_frame_sample_shape(spark, sf_small):
         assert r.n_frames == len(r.frames)
 
 
+def test_embedding_lsh_hot_bucket_split(spark):
+    # A degenerate corpus (many IDENTICAL vectors) concentrates an LSH
+    # bucket: the grouped applyInPandas path would hand one task an
+    # O(n^2) gram matrix, so buckets wider than max_bucket must route
+    # through the equi-join pair path instead — same pairs, same
+    # rounding, full recall.
+    from osarchiver_spark.operators.dedup import embedding_lsh_neardup_pairs
+
+    dim = 16
+
+    def basis(i, scale=1.0):
+        return [scale if j == i else 0.0 for j in range(dim)]
+
+    rows = []
+    vid = 0
+    for _ in range(60):  # hot cluster: identical vectors, one bucket/table
+        rows.append((vid, basis(0)))
+        vid += 1
+    for _ in range(40):  # second hot cluster, orthogonal to the first
+        rows.append((vid, basis(1)))
+        vid += 1
+    near_a = basis(2)
+    near_b = [0.0] * dim
+    near_b[2], near_b[3] = 1.0, 0.1  # cosine(near_a, near_b) ~ 0.995
+    rows.append((vid, near_a))
+    rows.append((vid + 1, near_b))
+    emb = spark.createDataFrame(rows, "vid long, embedding array<double>")
+
+    expect = {(a, b) for a in range(60) for b in range(a + 1, 60)}
+    expect |= {(a, b) for a in range(60, 100) for b in range(a + 1, 100)}
+    expect.add((100, 101))
+
+    split = embedding_lsh_neardup_pairs(
+        emb, "vid", "embedding", threshold=0.45, n_tables=8, dim=dim, max_bucket=16
+    )
+    got = {(r.vec_a, r.vec_b): r.cosine for r in split.collect()}
+    assert set(got) == expect
+    assert got[(0, 1)] == 1.0 and got[(100, 101)] >= 0.45
+
+    # grouped-only route (max_bucket above any width) agrees exactly
+    whole = embedding_lsh_neardup_pairs(
+        emb, "vid", "embedding", threshold=0.45, n_tables=8, dim=dim, max_bucket=10_000
+    )
+    assert {(r.vec_a, r.vec_b): r.cosine for r in whole.collect()} == got
+
+
 def test_ann_operators_preserve_string_ids(spark, sf_small):
     # string/uuid doc ids must ride through the Arrow paths unchanged
     # (a silent cast-to-long would null them and return garbage)
