@@ -47,6 +47,7 @@ HEADLINE = [
     # north-star (registered as they are implemented)
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_minhash_xxhash64",
     "dedup_simhash",
     "dedup_simhash_multiprobe",
     "dedup_ngram_jaccard",

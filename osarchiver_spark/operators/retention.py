@@ -20,10 +20,36 @@ makes this viable at 100 TB — the scan skips row groups whose
 
 from __future__ import annotations
 
-from datetime import datetime, timezone
+from dataclasses import dataclass
+from datetime import datetime, timedelta, timezone
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+_TIMEDELTA_UNITS = {
+    "WEEK": timedelta(weeks=1),
+    "DAY": timedelta(days=1),
+    "HOUR": timedelta(hours=1),
+    "MINUTE": timedelta(minutes=1),
+    "SECOND": timedelta(seconds=1),
+}
+
+
+@dataclass(frozen=True)
+class Retention:
+    """A MySQL-style retention interval (``INTERVAL n unit``). The
+    reference substitutes the raw string into SQL, so ANY interval
+    unit works there (source/db.py:64-65, archiver_sample.ini:40);
+    this is the engine-side equivalent."""
+
+    n: int
+    unit: str = "MONTH"  # MONTH | YEAR | WEEK | DAY | HOUR | MINUTE | SECOND
+
+    def normalized_unit(self) -> str:
+        u = self.unit.upper().rstrip("S")
+        if u not in {"MONTH", "YEAR", *_TIMEDELTA_UNITS}:
+            raise ValueError(f"unsupported retention unit {self.unit!r}")
+        return u
 
 
 def frozen_now() -> datetime:
@@ -36,12 +62,22 @@ def frozen_now() -> datetime:
     return datetime.now(tz=timezone.utc).replace(tzinfo=None)
 
 
-def retention_cutoff(now: datetime, retention_months: int) -> datetime:
-    """``SUBDATE(now, INTERVAL n MONTH)`` with MySQL month semantics:
-    clamp the day to the target month's last day (e.g. Mar 31 - 1
-    MONTH = Feb 28/29). Computed driver-side so the cutoff is a plain
-    literal in the plan."""
-    month_index = (now.year * 12 + (now.month - 1)) - retention_months
+def retention_cutoff(now: datetime, retention: int | Retention) -> datetime:
+    """``SUBDATE(now, INTERVAL n unit)`` with MySQL semantics,
+    computed driver-side so the cutoff is a plain literal in the plan.
+
+    MONTH/YEAR clamp the day to the target month's last day (Mar 31 -
+    1 MONTH = Feb 28/29); WEEK/DAY/HOUR/MINUTE/SECOND are plain
+    timedelta arithmetic — exactly what MySQL's SUBDATE does. A bare
+    int is shorthand for that many months (the reference's default
+    granularity)."""
+    if isinstance(retention, int):
+        retention = Retention(retention, "MONTH")
+    unit = retention.normalized_unit()
+    if unit in _TIMEDELTA_UNITS:
+        return now - retention.n * _TIMEDELTA_UNITS[unit]
+    months = retention.n * 12 if unit == "YEAR" else retention.n
+    month_index = (now.year * 12 + (now.month - 1)) - months
     year, month = divmod(month_index, 12)
     month += 1
     day = min(now.day, _days_in_month(year, month))

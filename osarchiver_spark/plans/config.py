@@ -34,23 +34,48 @@ from datetime import datetime
 
 from pyspark.sql import DataFrame, SparkSession
 
+from osarchiver_spark.operators.retention import Retention
 from osarchiver_spark.plans.jobspec import ArchiveJobSpec, TableSpec
 from osarchiver_spark.sinks.base import CsvSink, ParquetArchiveSink, Sink, SqlDumpSink
 from osarchiver_spark.sources.parquet import load_table
 
 BOOLEAN_OPTIONS = {"delete_data", "archive_data", "enable", "dry_run"}
 
-# the reference's default where, archiver_sample.ini:35
+# the reference's default where, archiver_sample.ini:35; any MySQL
+# interval unit is accepted (the reference substitutes the raw string
+# into SQL, source/db.py:64-65)
+_UNITS = r"MONTH|YEAR|WEEK|DAY|HOUR|MINUTE|SECOND"
 _CANONICAL_WHERE = re.compile(
     r"^\s*(?P<col>\w+)\s*<=\s*SUBDATE\(\s*'\{now\}'\s*,\s*INTERVAL\s+"
-    r"(?P<n>\d+)\s+(?P<unit>MONTH|YEAR)\s*\)\s*$",
+    rf"(?P<n>\d+)\s+(?P<unit>{_UNITS})S?\s*\)\s*$",
     re.IGNORECASE,
 )
-_RETENTION = re.compile(r"^\s*(?P<n>\d+)\s+(?P<unit>MONTH|YEAR)S?\s*$", re.IGNORECASE)
+_RETENTION = re.compile(rf"^\s*(?P<n>\d+)\s+(?P<unit>{_UNITS})S?\s*$", re.IGNORECASE)
 
 
 class ConfigError(ValueError):
     """Malformed INI configuration."""
+
+
+@dataclass(frozen=True)
+class JdbcSourceConfig:
+    """``backend=db`` source — the reference's ONLY backend
+    (osarchiver/source/db.py:22, archiver_sample.ini:71-81:
+    host/port/user/password/databases). Maps to the keyset-parallel
+    JDBC scan in sources/jdbc.py.
+
+    ``keyset_lower``/``keyset_upper``/``keyset_partitions`` bound the
+    parallel key ranges; at runtime, absent bounds should be probed
+    with a min/max query before the scan (no database exists in the
+    test container, so plans are built and asserted, not executed)."""
+
+    url: str
+    user: str = ""
+    password: str = ""
+    keyset_lower: int = 0
+    keyset_upper: int = 2**31
+    keyset_partitions: int = 32
+    fetch_size: int = 10_000
 
 
 @dataclass
@@ -59,16 +84,62 @@ class ConfiguredArchiver:
 
     name: str
     src_name: str
-    directory: str
+    directory: str | None
     spec: ArchiveJobSpec
     sinks: list[Sink]
     where_sql: str | None = None  # non-canonical where, {now} rendered
     tables_filter: list[str] = field(default_factory=list)
+    jdbc: JdbcSourceConfig | None = None
+
+    def _jdbc_where(self, table: TableSpec) -> str:
+        """The retention predicate rendered as database-side SQL so
+        the DATABASE filters (reference source/db.py:237-248) — the
+        pushdown that keeps a 100 TB source from shipping live rows."""
+        if self.where_sql:
+            return self.where_sql
+        from osarchiver_spark.operators.retention import retention_cutoff
+
+        cutoff = retention_cutoff(self.spec.now, self.spec.retention_months)
+        return f"{table.deleted_column} <= '{cutoff:%Y-%m-%d %H:%M:%S}'"
+
+    def jdbc_read_plans(self) -> dict[str, dict[str, str]]:
+        """Per-table partitioned-JDBC reader options (the keyset-scan
+        plan; sources/jdbc.py). Separated from execution so configs
+        are verifiable without a live database."""
+        if self.jdbc is None:
+            raise ConfigError(f"archiver {self.name!r} has no db source")
+        from osarchiver_spark.sources.jdbc import JdbcTable, jdbc_read_options
+
+        plans = {}
+        for t in self.spec.eligible_tables():
+            src = JdbcTable(
+                url=self.jdbc.url,
+                table=t.name,
+                primary_key=t.primary_key,
+                user=self.jdbc.user,
+                password=self.jdbc.password,
+                fetch_size=self.jdbc.fetch_size,
+            )
+            plans[t.name] = jdbc_read_options(
+                src,
+                self.jdbc.keyset_lower,
+                self.jdbc.keyset_upper,
+                self.jdbc.keyset_partitions,
+                where=self._jdbc_where(t),
+            )
+        return plans
 
     def dataframes(self, spark: SparkSession) -> dict[str, DataFrame]:
-        """The source catalog: one lazy parquet scan per eligible
-        table (pushdown/pruning intact)."""
+        """The source catalog: one lazy scan per eligible table —
+        parquet (pushdown/pruning intact) or keyset-parallel JDBC."""
         out = {}
+        if self.jdbc is not None:
+            for t, opts in self.jdbc_read_plans().items():
+                reader = spark.read.format("jdbc")
+                for k, v in opts.items():
+                    reader = reader.option(k, v)
+                out[t] = reader.load()
+            return out
         for t in self.spec.eligible_tables():
             df = load_table(spark, self.directory, t.name)
             if self.where_sql:
@@ -77,15 +148,25 @@ class ConfiguredArchiver:
         return out
 
 
-def parse_retention_months(text: str) -> int:
+def parse_retention(text: str) -> Retention:
+    """``N MONTH`` / ``30 DAY`` / ``12 HOUR`` … — the same interval
+    vocabulary the reference passes straight to MySQL."""
     m = _RETENTION.match(text)
     if not m:
         raise ConfigError(
-            f"unsupported retention {text!r}: the Spark engine computes month-"
-            "clamped cutoffs, declare 'N MONTH' or 'N YEAR'"
+            f"unsupported retention {text!r}: declare 'N <unit>' with unit one "
+            "of MONTH/YEAR/WEEK/DAY/HOUR/MINUTE/SECOND"
         )
-    n = int(m.group("n"))
-    return n * 12 if m.group("unit").upper().startswith("YEAR") else n
+    return Retention(int(m.group("n")), m.group("unit").upper())
+
+
+def parse_retention_months(text: str) -> int:
+    """Back-compat helper: the month count of a MONTH/YEAR retention."""
+    r = parse_retention(text)
+    unit = r.normalized_unit()
+    if unit not in ("MONTH", "YEAR"):
+        raise ConfigError(f"retention {text!r} is not month-granular")
+    return r.n * 12 if unit == "YEAR" else r.n
 
 
 def _split_list(text: str) -> list[str]:
@@ -115,14 +196,12 @@ def _parse_keys(section: dict[str, str]) -> tuple[dict[str, str], dict[str, dict
     return pks, fks
 
 
-def _render_where(where: str, now: datetime) -> tuple[int | None, str | None]:
-    """Canonical SUBDATE pattern -> retention months (engine cutoff);
+def _render_where(where: str, now: datetime) -> tuple[Retention | None, str | None]:
+    """Canonical SUBDATE pattern -> engine retention interval;
     anything else -> Spark SQL with {now} templated in."""
     m = _CANONICAL_WHERE.match(where)
     if m:
-        n = int(m.group("n"))
-        months = n * 12 if m.group("unit").upper() == "YEAR" else n
-        return months, None
+        return Retention(int(m.group("n")), m.group("unit").upper()), None
     return None, where.replace("{now}", now.strftime("%Y-%m-%d %H:%M:%S"))
 
 
@@ -156,26 +235,30 @@ def load_config(
         for src_name in _split_list(arch.get("src", "")):
             src = section(f"src:{src_name}")
             backend = src.get("backend", "parquet")
-            if backend != "parquet":
+            if backend not in ("parquet", "db"):
                 raise ConfigError(
-                    f"src backend {backend!r} not supported by the Spark engine "
-                    "(parquet directory catalogs only)"
+                    f"src backend {backend!r} not supported (parquet | db)"
                 )
-            directory = src.get("directory")
-            if not directory:
-                raise ConfigError(f"[src:{src_name}] needs directory=")
+            directory = None
+            jdbc_cfg = None
+            if backend == "db":
+                jdbc_cfg = _build_jdbc_source(src, src_name)
+            else:
+                directory = src.get("directory")
+                if not directory:
+                    raise ConfigError(f"[src:{src_name}] needs directory=")
             now = (
                 datetime.fromisoformat(src["now"])
                 if "now" in src
                 else datetime.utcnow().replace(microsecond=0)
             )
             deleted_column = src.get("deleted_column", "deleted_at")
-            retention_months = parse_retention_months(src.get("retention", "12 MONTH"))
+            retention = parse_retention(src.get("retention", "12 MONTH"))
             where_sql = None
             if "where" in src:
-                canon_months, where_sql = _render_where(src["where"], now)
-                if canon_months is not None:
-                    retention_months = canon_months
+                canon_retention, where_sql = _render_where(src["where"], now)
+                if canon_retention is not None:
+                    retention = canon_retention
             pks, fks = _parse_keys(src)
             tables = _split_list(src.get("tables", "*"))
             names = list(pks) if tables == ["*"] else tables
@@ -190,7 +273,7 @@ def load_config(
             ]
             spec = ArchiveJobSpec(
                 tables=tspecs,
-                retention_months=retention_months,
+                retention_months=retention,
                 now=now,
                 db_exclusions=_split_list(src.get("excluded_databases", "")),
                 table_exclusions=_split_list(src.get("excluded_tables", "")),
@@ -214,9 +297,39 @@ def load_config(
                     spec=spec,
                     sinks=sinks,
                     where_sql=where_sql,
+                    jdbc=jdbc_cfg,
                 )
             )
     return archivers
+
+
+def _build_jdbc_source(src: dict[str, str], src_name: str) -> JdbcSourceConfig:
+    """Reference db-source vocabulary (archiver_sample.ini:71-81:
+    host/port/user/password/databases) -> a JDBC URL. A migrating
+    user arrives with a DSN: accept either explicit ``jdbc_url=`` or
+    the reference's host/databases pair."""
+    url = src.get("jdbc_url")
+    if not url:
+        host = src.get("host")
+        dbs = _split_list(src.get("databases", ""))
+        if not host or not dbs:
+            raise ConfigError(
+                f"[src:{src_name}] backend=db needs jdbc_url= or host= + databases="
+            )
+        if len(dbs) > 1:
+            raise ConfigError(
+                f"[src:{src_name}] one database per source section (got {dbs})"
+            )
+        url = f"jdbc:mysql://{host}:{src.get('port', '3306')}/{dbs[0]}"
+    return JdbcSourceConfig(
+        url=url,
+        user=src.get("user", ""),
+        password=src.get("password", ""),
+        keyset_lower=int(src.get("keyset_lower", "0")),
+        keyset_upper=int(src.get("keyset_upper", str(2**31))),
+        keyset_partitions=int(src.get("keyset_partitions", "32")),
+        fetch_size=int(src.get("fetch_size", "10000")),
+    )
 
 
 def _build_sinks(dst: dict[str, str], dst_name: str, pks: dict[str, str]) -> list[Sink]:

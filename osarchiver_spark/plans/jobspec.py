@@ -12,6 +12,10 @@ from __future__ import annotations
 import re
 from dataclasses import dataclass, field
 from datetime import datetime
+from typing import TYPE_CHECKING
+
+if TYPE_CHECKING:  # annotation-only: avoids plans <-> operators cycle
+    from osarchiver_spark.operators.retention import Retention
 
 
 @dataclass(frozen=True)
@@ -39,7 +43,9 @@ class ArchiveJobSpec:
     """
 
     tables: list[TableSpec]
-    retention_months: int = 12
+    # int = months (the reference's default granularity); a Retention
+    # carries any MySQL interval unit (30 DAY, 12 HOUR, ...)
+    retention_months: int | Retention = 12
     now: datetime | None = None
     db_exclusions: list[str] = field(default_factory=list)
     table_exclusions: list[str] = field(default_factory=list)

@@ -166,6 +166,35 @@ tables=orders
     return rf(orders, spec.tables[0].deleted_column, cutoff)
 
 
+def q_retention_filter_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-month retention through the INI front end (reference
+    semantics: the interval string goes straight into SUBDATE, so
+    '30 DAY' is as valid as '12 MONTH' — source/db.py:64-65,
+    archiver_sample.ini:40). Frozen now 1998-08-15 - 30 DAY gives the
+    plain-arithmetic cutoff 1998-07-16."""
+    from osarchiver_spark.operators.retention import retention_cutoff, retention_filter as rf
+    from osarchiver_spark.plans.config import load_config
+
+    ini = f"""
+[archiver:orders_days]
+src=orders_days
+
+[src:orders_days]
+backend=parquet
+directory={sf_dir}
+now=1998-08-15T00:00:00
+retention=30 DAY
+deleted_column=o_orderdate
+primary_keys=orders:o_orderkey
+tables=orders
+"""
+    (configured,) = load_config(text=ini)
+    spec = configured.spec
+    cutoff = retention_cutoff(spec.now, spec.retention_months)
+    (orders,) = configured.dataframes(spark).values()
+    return rf(orders, spec.tables[0].deleted_column, cutoff)
+
+
 def q_fk_repair_patch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FK repair artifact (reference common/db.py:505-547): the patch
     DataFrame marking each still-live lineitem of an archived order
@@ -189,6 +218,7 @@ def q_fk_repair_patch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "retention_filter_days": q_retention_filter_days,
     "config_pipeline": q_config_pipeline,
     "fk_repair_patch": q_fk_repair_patch,
     "fk_orphan_report": q_fk_orphan_report,
@@ -203,6 +233,10 @@ QUERIES = {
 }
 
 ORACLES = {
+    "retention_filter_days": (
+        "SELECT * FROM orders "
+        "WHERE o_orderdate <= TIMESTAMP '1998-08-15 00:00:00' - INTERVAL 30 DAY"
+    ),
     "config_pipeline": "SELECT * FROM orders WHERE o_orderdate <= TIMESTAMP '1999-12-01 00:00:00'",
     "fk_repair_patch": f"""
         SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,

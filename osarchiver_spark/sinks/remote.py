@@ -20,11 +20,17 @@ container sees the same structure. Re-running with the same frozen
 
 from __future__ import annotations
 
+import re
 from datetime import datetime
+from urllib.parse import urlparse
 
 from pyspark.sql import DataFrame
 
 from osarchiver_spark.sinks.base import Sink
+
+# global s3a keys (NOT already bucket-scoped) that can be rewritten to
+# Hadoop's per-bucket form so they never touch other sinks' buckets
+_S3A_GLOBAL = re.compile(r"^fs\.s3a\.(?!bucket\.)(?P<rest>.+)$")
 
 
 class RemoteStoreSink(Sink):
@@ -33,7 +39,12 @@ class RemoteStoreSink(Sink):
     store_options: like the reference, ``opt_``-prefixed keys pass
     through to the underlying connector — here they become Hadoop
     configuration entries (e.g. ``opt_fs.s3a.endpoint``) applied at
-    write time.
+    write time. Hadoop conf is SESSION-GLOBAL, so two sinks must not
+    clobber each other: s3a keys are rewritten to Hadoop's per-bucket
+    form (``fs.s3a.bucket.<bucket>.*`` — scoped to this sink's bucket
+    by construction), and any remaining scheme-generic keys are set
+    for the duration of the write and restored to their prior values
+    afterwards.
     """
 
     def __init__(
@@ -69,17 +80,49 @@ class RemoteStoreSink(Sink):
         parts.append(f"{table}.{self.fmt}")
         return "/".join(parts)
 
+    def scoped_store_options(self) -> tuple[dict[str, str], dict[str, str]]:
+        """Partition store_options into (bucket-scoped, transient).
+
+        Bucket-scoped keys are safe to leave set: Hadoop's s3a
+        connector resolves ``fs.s3a.bucket.<bucket>.X`` only for that
+        bucket, so this sink's endpoint/credentials can't bleed into
+        another sink's writes. Anything not expressible per-bucket is
+        applied transiently (set before the write, restored after).
+        """
+        bucket = urlparse(self.base_uri)
+        scoped: dict[str, str] = {}
+        transient: dict[str, str] = {}
+        for k, v in self.store_options.items():
+            m = _S3A_GLOBAL.match(k)
+            if m and bucket.scheme == "s3a" and bucket.netloc:
+                scoped[f"fs.s3a.bucket.{bucket.netloc}.{m.group('rest')}"] = v
+            else:
+                transient[k] = v
+        return scoped, transient
+
     def write(self, table: str, df: DataFrame) -> None:
         spark = df.sparkSession
-        for k, v in self.store_options.items():
-            spark.sparkContext._jsc.hadoopConfiguration().set(k, v)
-        writer = df.write.mode("overwrite")
-        if self.fmt == "csv":
-            writer = writer.option("header", True)
-            if self.compression:
-                writer = writer.option("compression", self.compression)
-            writer.csv(self._object_prefix(table))
-        else:
-            if self.compression:
-                writer = writer.option("compression", self.compression)
-            writer.parquet(self._object_prefix(table))
+        hconf = spark.sparkContext._jsc.hadoopConfiguration()
+        scoped, transient = self.scoped_store_options()
+        for k, v in scoped.items():
+            hconf.set(k, v)
+        prior = {k: hconf.get(k) for k in transient}
+        for k, v in transient.items():
+            hconf.set(k, v)
+        try:
+            writer = df.write.mode("overwrite")
+            if self.fmt == "csv":
+                writer = writer.option("header", True)
+                if self.compression:
+                    writer = writer.option("compression", self.compression)
+                writer.csv(self._object_prefix(table))
+            else:
+                if self.compression:
+                    writer = writer.option("compression", self.compression)
+                writer.parquet(self._object_prefix(table))
+        finally:
+            for k, old in prior.items():
+                if old is None:
+                    hconf.unset(k)
+                else:
+                    hconf.set(k, old)

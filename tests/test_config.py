@@ -11,9 +11,11 @@ from datetime import datetime
 import pytest
 
 from osarchiver_spark.operators.archive import Archiver
+from osarchiver_spark.operators.retention import Retention, retention_cutoff
 from osarchiver_spark.plans.config import (
     ConfigError,
     load_config,
+    parse_retention,
     parse_retention_months,
 )
 from osarchiver_spark.sources.parquet import load_table
@@ -62,7 +64,52 @@ def test_parse_retention():
     assert parse_retention_months("12 MONTH") == 12
     assert parse_retention_months("2 YEAR") == 24
     with pytest.raises(ConfigError):
-        parse_retention_months("7 DAY")
+        parse_retention_months("7 DAY")  # month-granular helper only
+    assert parse_retention("7 DAY") == Retention(7, "DAY")
+    assert parse_retention("12 HOUR") == Retention(12, "HOUR")
+    assert parse_retention("30 DAYS") == Retention(30, "DAY")
+    with pytest.raises(ConfigError):
+        parse_retention("2 FORTNIGHT")
+
+
+def test_sub_month_retention_cutoffs():
+    now = datetime(1998, 8, 15, 12, 30)
+    assert retention_cutoff(now, Retention(30, "DAY")) == datetime(1998, 7, 16, 12, 30)
+    assert retention_cutoff(now, Retention(12, "HOUR")) == datetime(1998, 8, 15, 0, 30)
+    assert retention_cutoff(now, Retention(2, "WEEK")) == datetime(1998, 8, 1, 12, 30)
+    # MONTH stays month-clamped, int stays months
+    assert retention_cutoff(datetime(2001, 3, 31), Retention(1, "MONTH")) == datetime(2001, 2, 28)
+    assert retention_cutoff(datetime(2001, 3, 31), 1) == datetime(2001, 2, 28)
+
+
+def test_day_retention_drives_archiver_end_to_end(spark, sf_small, tmp_path):
+    ini = f"""
+[archiver:orders_days]
+src=orders_days
+dst=days_files
+
+[src:orders_days]
+backend=parquet
+directory={sf_small}
+now=1998-08-15T00:00:00
+retention=30 DAY
+deleted_column=o_orderdate
+primary_keys=orders:o_orderkey
+tables=orders
+
+[dst:days_files]
+backend=parquet
+directory={tmp_path}/arch_days
+"""
+    (a,) = load_config(text=ini)
+    assert a.spec.retention_months == Retention(30, "DAY")
+    results = Archiver(a.spec, a.sinks).run(a.dataframes(spark))
+    assert results[0].error is None
+    orders = load_table(spark, sf_small, "orders")
+    expect = orders.filter("o_orderdate <= timestamp'1998-07-16 00:00:00'").count()
+    assert results[0].archived_rows == expect > 0
+    total = orders.count()
+    assert 0 < expect < total  # the day-granular cutoff actually bites
 
 
 def test_load_config_shape(sf_small, tmp_path):
@@ -72,7 +119,7 @@ def test_load_config_shape(sf_small, tmp_path):
     assert a.name == "orders" and a.src_name == "orders_src"
     # canonical SUBDATE where -> engine retention; ExtendedInterpolation
     # resolved ${deleted_column}/${retention} from DEFAULT
-    assert a.spec.retention_months == 36 and a.where_sql is None
+    assert a.spec.retention_months == Retention(36, "MONTH") and a.where_sql is None
     assert a.spec.now == datetime(2001, 12, 1)
     assert not a.spec.delete_data  # boolean coercion from DEFAULT
     assert [t.name for t in a.spec.tables] == ["orders"]
@@ -109,6 +156,53 @@ def test_cli_end_to_end(spark, sf_small, tmp_path, capsys):
     cfg = tmp_path / "archiver.ini"
     cfg.write_text(_render(sf_small, str(tmp_path)))
     assert run(["--config", str(cfg), "--dry-run"]) == 0
+
+
+DB_INI = """
+[src:nova]
+backend=db
+host=localhost
+port=3307
+user=root
+password=secret
+databases=nova
+retention=12 MONTH
+now=2001-12-01T00:00:00
+deleted_column=deleted_at
+primary_keys=instances:id, instance_faults:id
+tables=instances, instance_faults
+keyset_upper=5000000
+
+[archiver:nova]
+src=nova
+"""
+
+
+def test_backend_db_builds_keyset_parallel_jdbc_plan():
+    # the reference's ONLY source is MySQL (archiver_sample.ini:71-81);
+    # a migrating user arrives with host/db options, not a parquet dir
+    (a,) = load_config(text=DB_INI)
+    assert a.jdbc is not None and a.directory is None
+    plans = a.jdbc_read_plans()
+    assert set(plans) == {"instances", "instance_faults"}
+    opts = plans["instances"]
+    assert opts["url"] == "jdbc:mysql://localhost:3307/nova"
+    assert opts["user"] == "root" and opts["password"] == "secret"
+    # keyset parallelism: pk-range partitioned scan
+    assert opts["partitionColumn"] == "id"
+    assert opts["numPartitions"] == "32"
+    assert (opts["lowerBound"], opts["upperBound"]) == ("0", "5000000")
+    # retention predicate pushed into the database-side subquery with
+    # the frozen-now cutoff (12 MONTH before 2001-12-01)
+    assert opts["dbtable"] == (
+        "(SELECT * FROM instances WHERE deleted_at <= '2000-12-01 00:00:00') AS t"
+    )
+
+
+def test_backend_db_without_dsn_errors_cleanly():
+    broken = DB_INI.replace("host=localhost\n", "").replace("databases=nova\n", "")
+    with pytest.raises(ConfigError, match="jdbc_url= or host="):
+        load_config(text=broken)
 
 
 def test_custom_where_is_spark_sql(spark, sf_small, tmp_path):

@@ -48,6 +48,47 @@ def test_csv_format_and_opt_passthrough(spark, sf_small, tmp_path):
     assert glob.glob(str(tmp_path / "*" / "orders.csv" / "part-*"))
 
 
+def test_conflicting_sinks_do_not_cross_contaminate(spark, sf_small, tmp_path):
+    # two stores with conflicting opt_ keys: s3a keys become per-bucket
+    # conf (scoped by construction), and generic transient keys are
+    # restored after each write — nothing leaks into the session.
+    a = RemoteStoreSink(
+        "s3a://bucket-a/archive",
+        store_options={
+            "opt_fs.s3a.endpoint": "https://a.example",
+            "opt_fs.s3a.access.key": "AKIA-A",
+        },
+    )
+    b = RemoteStoreSink(
+        "s3a://bucket-b/archive",
+        store_options={"opt_fs.s3a.endpoint": "https://b.example"},
+    )
+    scoped_a, transient_a = a.scoped_store_options()
+    scoped_b, transient_b = b.scoped_store_options()
+    assert scoped_a == {
+        "fs.s3a.bucket.bucket-a.endpoint": "https://a.example",
+        "fs.s3a.bucket.bucket-a.access.key": "AKIA-A",
+    }
+    assert scoped_b == {"fs.s3a.bucket.bucket-b.endpoint": "https://b.example"}
+    assert transient_a == {} and transient_b == {}  # disjoint key spaces
+
+    # generic (non-s3a) options: applied only for the write, restored after
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    hconf.set("io.archive.flavor", "prior-value")
+    sink = RemoteStoreSink(
+        f"file://{tmp_path}/t",
+        store_options={
+            "opt_io.archive.flavor": "sink-value",
+            "opt_io.archive.transient": "only-during-write",
+        },
+    )
+    sink.begin_run(NOW)
+    sink.write("orders", load_table(spark, sf_small, "orders").limit(5))
+    assert hconf.get("io.archive.flavor") == "prior-value"
+    assert hconf.get("io.archive.transient") is None
+    hconf.unset("io.archive.flavor")
+
+
 def test_config_wires_remote_store(spark, sf_small, tmp_path):
     ini = f"""
 [archiver:orders]
