@@ -57,6 +57,9 @@ HEADLINE = [
     "knn_ivf",
     "corpus_pipeline",
     "tfidf_top_terms",
+    "unigram_logprob",
+    "pii_scrub",
+    "label_centroids",
     "contamination_check",
     "text_quality",
     "lang_id",

@@ -39,6 +39,16 @@ def token_count(text: Column) -> Column:
     return F.size(tokens(text))
 
 
+# PII patterns (training-data scrubbing). Deliberately RE2-safe (no
+# lookarounds, no \p classes) so the identical pattern string runs
+# under Java regex (Spark) and RE2 (DuckDB oracle). Applied in
+# sequence — email, then IPv4, then bare digit runs — so a digit
+# sequence consumed by an earlier rule is not double-counted.
+PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PII_IPV4 = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+PII_PHONE = "\\+?[0-9]{7,15}"
+
+
 # BPE-ish pre-tokenization pattern (the GPT-2 regex's RE2-safe core):
 # letter runs, digit runs, punctuation runs — what a byte-pair
 # tokenizer splits before merging. Same pattern runs in Java regex

@@ -86,9 +86,31 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_domain_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-mix resampling: downsample each source to a target keep
+    fraction — the 'domain mixing' step that reweights a crawl before
+    training. The fraction is derived from the source's numeric
+    suffix ((k % 4 + 1)/4 → 0.25/0.5/0.75/1.0), standing in for a
+    configured weights table. Membership is the same md5-uniform
+    deterministic rule as sample_split (survives re-runs and
+    repartitioning; zero shuffle — the filter runs inside the scan).
+    A row keeps when uniform(md5(doc_id)) < frac(source)."""
+    docs = load_table(spark, sf_dir, "documents")
+    k = F.regexp_extract(F.col("source"), "[0-9]+", 0).cast("int")
+    frac = (k % 4 + 1).cast("double") / 4.0
+    # 8 hex chars → 32-bit uniform in [0, 1)
+    u = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    ) / F.lit(float(1 << 32))
+    return docs.filter(u < frac).select(
+        "doc_id", "source", F.round(frac, 2).alias("keep_frac")
+    )
+
+
 QUERIES = {
     "sample_split": q_sample_split,
     "class_cap_sample": q_class_cap_sample,
+    "domain_mix_sample": q_domain_mix_sample,
     "tfidf_top_terms": q_tfidf_top_terms,
 }
 
@@ -110,6 +132,15 @@ ORACLES = {
                                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
             FROM documents)
         WHERE rk <= 5
+    """,
+    "domain_mix_sample": """
+        SELECT doc_id, source,
+               round((CAST(regexp_extract(source, '[0-9]+') AS INT) % 4 + 1) / 4.0, 2)
+                   AS keep_frac
+        FROM documents
+        WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+                  / 4294967296.0
+              < (CAST(regexp_extract(source, '[0-9]+') AS INT) % 4 + 1) / 4.0
     """,
     "tfidf_top_terms": f"""
         WITH tf AS (

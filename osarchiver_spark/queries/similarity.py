@@ -100,12 +100,30 @@ def q_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean vector — the centroid computation behind IVF
+    init, label denoising and class-prototype dedup. Emitted as
+    exploded (label, dim, centroid) rows: sortable/hashable for the
+    driver's canonicalizer (arrays are not — the frame_sample
+    lesson), and re-assembly is a downstream array_agg away. Shape at
+    100 TB: posexplode → one map-combinable (label, dim) hash agg —
+    64·|labels| output rows, linear scan, no join."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode(as_double(F.col("embedding"))).alias("dim", "v"))
+        .groupBy("label", "dim")
+        .agg(F.round(F.avg("v"), 6).alias("centroid"), F.count("*").alias("n_vecs"))
+        .select("label", F.col("dim").cast("int").alias("dim"), "centroid", "n_vecs")
+    )
+
+
 QUERIES = {
     "knn_bruteforce": q_knn_bruteforce,
     "knn_lsh": q_knn_lsh,
     "knn_ivf": q_knn_ivf,
     "vector_norms": q_vector_norms,
     "label_stats": q_label_stats,
+    "label_centroids": q_label_centroids,
 }
 
 _COS = (
@@ -142,6 +160,15 @@ ORACLES = {
                round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6)
                    AS l2_norm
         FROM embeddings
+    """,
+    "label_centroids": """
+        SELECT label, CAST(dim AS INT) AS dim,
+               round(avg(v), 6) AS centroid, count(*) AS n_vecs
+        FROM (SELECT label,
+                     generate_subscripts(embedding, 1) - 1 AS dim,
+                     unnest(embedding)::DOUBLE AS v
+              FROM embeddings)
+        GROUP BY 1, 2
     """,
     "label_stats": """
         WITH n AS (

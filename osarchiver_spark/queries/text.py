@@ -198,6 +198,61 @@ def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass: emails → <EMAIL>, IPv4 → <IP>, long digit
+    runs (phone-ish) → <PHONE>, applied in that order so earlier
+    redactions can't be re-matched. Pure regexp_replace /
+    regexp_extract_all codegen — at 100 TB this runs at scan speed
+    inside the projection, no shuffle, no Python. The fixture corpus
+    is digit-free (zero redactions, verified by the oracle hash);
+    firing behaviour is pinned on synthetic rows in
+    tests/test_text_pipeline.py."""
+    from osarchiver_spark.functions.text import PII_EMAIL, PII_IPV4, PII_PHONE
+
+    docs = load_table(spark, sf_dir, "documents")
+    t0 = F.col("text")
+    t1 = F.regexp_replace(t0, PII_EMAIL, "<EMAIL>")
+    t2 = F.regexp_replace(t1, PII_IPV4, "<IP>")
+    t3 = F.regexp_replace(t2, PII_PHONE, "<PHONE>")
+
+    def n_matches(col, pat):
+        return F.size(F.regexp_extract_all(col, F.lit(pat), 0)).cast("int")
+
+    return docs.select(
+        "doc_id",
+        n_matches(t0, PII_EMAIL).alias("n_emails"),
+        n_matches(t1, PII_IPV4).alias("n_ips"),
+        n_matches(t2, PII_PHONE).alias("n_phones"),
+        t3.alias("clean_text"),
+    )
+
+
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-LM quality proxy (the CCNet-style perplexity filter,
+    with the corpus itself as the language model): score each document
+    by the mean log10 unigram probability of its tokens. Shape at
+    100 TB: one map-combinable vocab aggregation, an equi-join of the
+    exploded corpus against the vocab on the token (AQE promotes the
+    vocab side to broadcast when it fits), and a per-doc re-agg —
+    linear, no cross joins, no Python."""
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    tok = docs.select("doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("token"))
+    vocab = tok.groupBy("token").agg(F.count("*").alias("cnt"))
+    total = tok.agg(F.count("*").alias("total"))
+    logp = F.log10(F.col("cnt").cast("double") / F.col("total"))
+    return (
+        tok.join(vocab, "token")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_tokens"),
+            F.round(F.avg(logp), 4).alias("avg_logprob"),
+        )
+    )
+
+
 def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping 400-char / 100-overlap chunk windows per document
     (operators/chunking.py built-in path — sequence → explode →
@@ -210,6 +265,8 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "pii_scrub": q_pii_scrub,
+    "unigram_logprob": q_unigram_logprob,
     "doc_chunks": q_doc_chunks,
     "corpus_pipeline": q_corpus_pipeline,
     "token_count_bpe": q_token_count_bpe,
@@ -300,7 +357,37 @@ _SQL_GRAMS = """
      for i in range(1, greatest(len(toks) - 2, 0) + 1)]
 """
 
+def _pii_scrub_sql() -> str:
+    from osarchiver_spark.functions.text import PII_EMAIL, PII_IPV4, PII_PHONE
+
+    return f"""
+        WITH s AS (
+            SELECT doc_id, text AS t0,
+                   regexp_replace(text, '{PII_EMAIL}', '<EMAIL>', 'g') AS t1
+            FROM documents),
+        s2 AS (SELECT *, regexp_replace(t1, '{PII_IPV4}', '<IP>', 'g') AS t2 FROM s)
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(t0, '{PII_EMAIL}')) AS INT) AS n_emails,
+               CAST(len(regexp_extract_all(t1, '{PII_IPV4}')) AS INT) AS n_ips,
+               CAST(len(regexp_extract_all(t2, '{PII_PHONE}')) AS INT) AS n_phones,
+               regexp_replace(t2, '{PII_PHONE}', '<PHONE>', 'g') AS clean_text
+        FROM s2
+    """
+
+
 ORACLES = {
+    "pii_scrub": _pii_scrub_sql(),
+    "unigram_logprob": f"""
+        WITH tok AS (
+            SELECT doc_id, unnest({_SQL_TOKENS_LOWER}) AS token FROM documents),
+        vocab AS (SELECT token, count(*) AS cnt FROM tok GROUP BY 1),
+        tot AS (SELECT count(*) AS total FROM tok)
+        SELECT doc_id,
+               CAST(count(*) AS INT) AS n_tokens,
+               round(avg(log10(CAST(cnt AS DOUBLE) / total)), 4) AS avg_logprob
+        FROM tok JOIN vocab USING (token) CROSS JOIN tot
+        GROUP BY doc_id
+    """,
     "contamination_check": f"""
         WITH toked AS (
             SELECT doc_id, {_SQL_TOKENS.format(col='text')} AS toks FROM documents),
