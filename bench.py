@@ -60,6 +60,7 @@ HEADLINE = [
     "unigram_logprob",
     "pii_scrub",
     "label_centroids",
+    "sequence_pack",
     "contamination_check",
     "text_quality",
     "lang_id",

@@ -107,10 +107,52 @@ def q_domain_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SEQ_LEN = 2048  # training sequence length (tokens)
+N_SHARDS = 8  # independent packing streams; >> executor count at scale
+
+
+def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy concatenation packing: assign each document a position
+    in a stream of fixed-SEQ_LEN training sequences (docs are laid
+    end-to-end with one separator token; a doc starts in the sequence
+    where its first token lands and may span into the next — the
+    standard pretraining packing layout).
+
+    Layout is a pure running sum over (shard, doc_id) order, so it is
+    deterministic and exactly SQL-expressible. Scale shape: packing is
+    embarrassingly parallel ACROSS shards — the window sorts one shard
+    per task, so with shards sized to ~a few GB of token counts the
+    plan is one hash-partition shuffle + per-shard sort, no global
+    ordering anywhere. (A single global stream would serialize the
+    whole corpus through one window partition — the anti-pattern this
+    query exists to avoid.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    from osarchiver_spark.functions.text import token_count
+
+    sized = docs.select(
+        "doc_id",
+        (F.col("doc_id") % N_SHARDS).alias("shard"),
+        (token_count(F.col("text")) + 1).alias("n_slots"),  # +1 separator
+    )
+    w = W.partitionBy("shard").orderBy("doc_id")
+    start = (F.sum("n_slots").over(w) - F.col("n_slots")).alias("start_slot")
+    seq_id = F.floor(F.col("start_slot") / SEQ_LEN)
+    end_seq = F.floor((F.col("start_slot") + F.col("n_slots") - 1) / SEQ_LEN)
+    return sized.select("doc_id", "shard", "n_slots", start).select(
+        "doc_id",
+        "shard",
+        F.col("n_slots").cast("int").alias("n_slots"),
+        seq_id.cast("int").alias("seq_id"),
+        (F.col("start_slot") % SEQ_LEN).cast("int").alias("offset"),
+        (end_seq > seq_id).alias("spans_boundary"),
+    )
+
+
 QUERIES = {
     "sample_split": q_sample_split,
     "class_cap_sample": q_class_cap_sample,
     "domain_mix_sample": q_domain_mix_sample,
+    "sequence_pack": q_sequence_pack,
     "tfidf_top_terms": q_tfidf_top_terms,
 }
 
@@ -132,6 +174,24 @@ ORACLES = {
                                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
             FROM documents)
         WHERE rk <= 5
+    """,
+    "sequence_pack": f"""
+        WITH sized AS (
+            SELECT doc_id, doc_id % {N_SHARDS} AS shard,
+                   len({_SQL_TOKENS_LOWER.replace('lower(text)', 'text')}) + 1 AS n_slots
+            FROM documents),
+        placed AS (
+            SELECT doc_id, shard, n_slots,
+                   sum(n_slots) OVER (PARTITION BY shard ORDER BY doc_id) - n_slots
+                       AS start_slot
+            FROM sized)
+        SELECT doc_id, shard,
+               CAST(n_slots AS INT) AS n_slots,
+               CAST(start_slot // {SEQ_LEN} AS INT) AS seq_id,
+               CAST(start_slot % {SEQ_LEN} AS INT) AS offset,
+               (start_slot + n_slots - 1) // {SEQ_LEN} > start_slot // {SEQ_LEN}
+                   AS spans_boundary
+        FROM placed
     """,
     "domain_mix_sample": """
         SELECT doc_id, source,

@@ -107,3 +107,24 @@ def test_unigram_logprob_orders_rare_below_common(spark, sf_small):
     toks = r0["text"].lower().split()
     expect = sum(math.log10(counts[t] / total) for t in toks) / len(toks)
     assert math.isclose(scored[r0["doc_id"]], round(expect, 4), abs_tol=2e-4)
+
+
+def test_sequence_pack_invariants(spark, sf_medium):
+    from osarchiver_spark.queries.sampling import N_SHARDS, SEQ_LEN, q_sequence_pack
+
+    rows = q_sequence_pack(spark, sf_medium).collect()
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        assert 0 <= r["offset"] < SEQ_LEN
+        assert r["shard"] == r["doc_id"] % N_SHARDS
+        by_shard.setdefault(r["shard"], []).append(r)
+    assert set(by_shard) == set(range(N_SHARDS))
+    for shard_rows in by_shard.values():
+        shard_rows.sort(key=lambda r: r["doc_id"])
+        # contiguity: each doc starts exactly where the previous ended
+        pos = 0
+        for r in shard_rows:
+            assert r["seq_id"] * SEQ_LEN + r["offset"] == pos
+            end_seq = (pos + r["n_slots"] - 1) // SEQ_LEN
+            assert r["spans_boundary"] == (end_seq > r["seq_id"])
+            pos += r["n_slots"]
