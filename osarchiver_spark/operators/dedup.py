@@ -127,6 +127,66 @@ def minhash_lsh_pairs(
     return scored.filter(F.col("jaccard") >= threshold)
 
 
+def minhash_lsh_incremental(
+    corpus: DataFrame,
+    new: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    num_hashes: int = 12,
+    bands: int = 4,
+    threshold: float = 0.5,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Incremental near-dup check: match NEW arrivals against an
+    EXISTING corpus without ever pairing the corpus with itself —
+    the workflow that keeps a 100 TB corpus deduplicated as batches
+    arrive, at cost O(|new| + one corpus scan) instead of the full
+    self-join.
+
+    Asymmetric by design: the new side (one crawl drop, orders of
+    magnitude smaller) is banded and BROADCAST; the corpus side is
+    banded and streamed through a map-side hash join, so the corpus
+    never shuffles at all — no exchange appears on the big side.
+    Verification is exact Jaccard on the candidate pairs only. The
+    corpus is scanned twice (band probe + shingle fetch for the few
+    candidates) — two linear passes, no quadratic term anywhere.
+
+    Returns (new_id, corpus_id, jaccard >= threshold): the arrivals
+    to drop (or link) before appending the batch.
+    """
+    rows = num_hashes // bands
+
+    def banded(sh: DataFrame) -> DataFrame:
+        sig = sh.select(
+            "doc_id", minhash_signature(F.col("shingles"), num_hashes, hash_fn).alias("sig")
+        )
+        return sig.select(
+            "doc_id",
+            F.posexplode(lsh_band_keys(F.col("sig"), bands, rows)).alias("band_idx", "band_key"),
+        )
+
+    sh_new = _with_shingles(new, id_col, text_col, shingle_n).cache()
+    sh_corpus = _with_shingles(corpus, id_col, text_col, shingle_n)
+    nb = banded(sh_new).select(F.col("doc_id").alias("new_id"), "band_idx", "band_key")
+    cb = banded(sh_corpus).select(F.col("doc_id").alias("corpus_id"), "band_idx", "band_key")
+    cand = (
+        cb.join(F.broadcast(nb), ["band_idx", "band_key"])
+        .select("new_id", "corpus_id")
+        .distinct()
+    )
+    a = sh_new.select(F.col("doc_id").alias("new_id"), F.col("shingles").alias("sh_a"))
+    b = sh_corpus.select(F.col("doc_id").alias("corpus_id"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        cand.join(F.broadcast(a), "new_id")
+        .join(b, "corpus_id")
+        .select("new_id", "corpus_id", F.round(inter / union, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def simhash_candidates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """SimHash near-dup candidates: pairs with identical 16-bit
     sketch. Candidates come from a groupable equi-join on the sketch

@@ -66,6 +66,23 @@ def q_dedup_minhash_xxhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental arrival-vs-corpus near-dup check (doc_id % 10 == 3
+    plays the newly crawled batch): the small new side broadcasts,
+    the corpus is probed map-side and never shuffles — the shape that
+    keeps a 100 TB corpus deduplicated batch-by-batch instead of
+    re-running the full self-join."""
+    from osarchiver_spark.operators.dedup import minhash_lsh_incremental
+
+    docs = load_table(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 10 == 3)
+    corpus = docs.filter(F.col("doc_id") % 10 != 3)
+    return minhash_lsh_incremental(
+        corpus, new, "doc_id", "text",
+        shingle_n=3, num_hashes=NUM_HASHES, bands=BANDS, threshold=MINHASH_THRESHOLD,
+    )
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return simhash_candidates(docs, "doc_id", "text")
@@ -136,6 +153,7 @@ QUERIES = {
     "dedup_exact_rows": q_dedup_exact_rows,
     "dedup_clusters": q_dedup_clusters,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_incremental": q_dedup_incremental,
     "dedup_minhash_xxhash64": q_dedup_minhash_xxhash64,
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_multiprobe": q_dedup_simhash_multiprobe,
@@ -225,6 +243,27 @@ ORACLES = {
         SELECT doc_a, doc_b, {_JACCARD} AS jaccard
         FROM cands JOIN shingled a ON doc_a = a.doc_id
                    JOIN shingled b ON doc_b = b.doc_id
+        WHERE {_JACCARD} >= {MINHASH_THRESHOLD}
+    """,
+    "dedup_incremental": f"""
+        WITH toked AS (
+            SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+        shingled AS (
+            SELECT doc_id, {_SQL_SHINGLES} AS sh FROM toked
+            WHERE len({_SQL_SHINGLES}) > 0),
+        sigs AS (SELECT doc_id, sh, {_SQL_SIG} AS sig FROM shingled),
+        banded AS (
+            SELECT doc_id, unnest({_SQL_BANDS}) AS band_key,
+                   unnest(range(0, {BANDS})) AS band_idx
+            FROM sigs),
+        cands AS (
+            SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
+            FROM banded c JOIN banded n
+              ON c.band_idx = n.band_idx AND c.band_key = n.band_key
+            WHERE n.doc_id % 10 = 3 AND c.doc_id % 10 <> 3)
+        SELECT new_id, corpus_id, {_JACCARD} AS jaccard
+        FROM cands JOIN shingled a ON new_id = a.doc_id
+                   JOIN shingled b ON corpus_id = b.doc_id
         WHERE {_JACCARD} >= {MINHASH_THRESHOLD}
     """,
     "dedup_simhash": f"""

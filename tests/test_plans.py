@@ -72,6 +72,20 @@ def test_dedup_embedding_is_bucketed(spark):
     assert "FlatMapGroupsInPandas" in plan  # within-bucket BLAS verify
 
 
+def test_dedup_incremental_broadcasts_the_new_side(spark):
+    # arrival-vs-corpus dedup: the small new batch must broadcast so
+    # the corpus band probe is a map-side hash join — a shuffle of the
+    # corpus here would make every incremental run cost a full-corpus
+    # exchange at 100 TB
+    plan = _formatted(spark, "dedup_incremental")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    # the corpus side of the band-probe join must not be exchanged:
+    # every SortMergeJoin (shuffle join) in this plan would drag the
+    # banded corpus through a network shuffle
+    assert "SortMergeJoin" not in plan
+
+
 def test_tpch_star_joins_have_no_cartesian(spark):
     # q7/q8/q9: multi-nation star joins must resolve to hash joins
     # with broadcast dims — a cross product would explode at scale
