@@ -330,10 +330,14 @@ def embedding_lsh_neardup_pairs(
     Hot buckets: an ``applyInPandas`` group must land in ONE task —
     AQE cannot split it — so a low-entropy sign pattern concentrating
     vectors would hand one task an O(|bucket|²) gram matrix. Buckets
-    wider than ``max_bucket`` therefore leave the grouped path: their
-    keys (a tiny list by definition) are broadcast, and their pairs
-    come from a plain (table_idx, bucket) self equi-join — which AQE
-    skew-join CAN split — verified by Arrow-batched row-wise cosine.
+    wider than ``max_bucket`` therefore leave the grouped path: the
+    bucket census (model-sized by construction, ≤ n·L/max_bucket
+    keys) is collected driver-side, oversized keys become a literal
+    isin filter, and their pairs come from a plain (table_idx,
+    bucket) self equi-join — which AQE skew-join CAN split —
+    verified by Arrow-batched row-wise cosine. When the census finds
+    no hot bucket (the common case) the overflow subtree is skipped
+    entirely.
     Same pairs, same rounding, full recall; only the physical strategy
     changes, so the exact oracle is unaffected.
 
@@ -397,7 +401,17 @@ def embedding_lsh_neardup_pairs(
                 }
             )
 
-    keyed = base.mapInPandas(bucketize, schema=keyed_schema)
+    # keyed feeds three consumers (hot-bucket census, grouped verify,
+    # overflow join): persist it so the ×L bucketize fan-out runs ONCE
+    # instead of once per consumer. MEMORY_AND_DISK because the keyed
+    # relation is L× the input — it spills instead of evicting other
+    # cached data; callers keeping planes_per_table ~ log2(n) (the
+    # documented contract) bound it to a small multiple of the corpus.
+    from pyspark import StorageLevel
+
+    keyed = base.mapInPandas(bucketize, schema=keyed_schema).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
 
     out_schema = T.StructType(
         [
@@ -439,17 +453,27 @@ def embedding_lsh_neardup_pairs(
         )
 
     # Hot-bucket split: bucket widths from a map-combinable count (tiny
-    # output — one row per occupied bucket); only the OVERSIZED keys are
-    # broadcast (few by definition), routing rows between the two
-    # physical strategies without a second full shuffle.
-    hot = (
+    # output — one row per occupied bucket), collected driver-side.
+    # The census is model-sized BY CONSTRUCTION (≤ n·L/max_bucket hot
+    # keys — the IVF "model-sized collect only" rule), and collecting
+    # it here both materializes the persisted `keyed` exactly once and
+    # lets the common all-buckets-healthy case skip the routing joins
+    # and the overflow subtree entirely.
+    hot_keys = (
         keyed.groupBy("table_idx", "bucket")
         .agg(F.count(F.lit(1)).alias("bsize"))
         .filter(F.col("bsize") > max_bucket)
         .select("table_idx", "bucket")
+        .collect()
     )
-    small = keyed.join(F.broadcast(hot), ["table_idx", "bucket"], "left_anti")
-    big = keyed.join(F.broadcast(hot), ["table_idx", "bucket"], "left_semi")
+    if hot_keys:
+        hot_lit = [f"{int(r['table_idx'])}:{int(r['bucket'])}" for r in hot_keys]
+        is_hot = F.concat_ws(":", F.col("table_idx"), F.col("bucket")).isin(hot_lit)
+        small = keyed.filter(~is_hot)
+        big = keyed.filter(is_hot)
+    else:
+        small = keyed
+        big = None
 
     # Verify INSIDE the bucket: survivors (>= threshold) are the only
     # rows that leave Python, so the O(|bucket|^2) gram matrix never
@@ -463,47 +487,51 @@ def embedding_lsh_neardup_pairs(
     # Oversized buckets: plain self equi-join on the bucket key — a
     # shuffle join AQE skew-join can split across tasks — then
     # Arrow-batched row-wise cosine on the candidate pairs. Identical
-    # pair set and rounding as the grouped path.
-    a_side = big.select(
-        "table_idx",
-        "bucket",
-        F.col("vid").alias("vid_a"),
-        F.col("v").alias("va"),
-    )
-    b_side = big.select(
-        "table_idx",
-        "bucket",
-        F.col("vid").alias("vid_b"),
-        F.col("v").alias("vb"),
-    )
-    cand = (
-        a_side.join(b_side, ["table_idx", "bucket"])
-        .filter(F.col("vid_a") < F.col("vid_b"))
-        .select("vid_a", "va", "vid_b", "vb")
-    )
+    # pair set and rounding as the grouped path. Skipped outright when
+    # the census found no hot bucket (the common case).
+    if big is None:
+        pairs = pairs_small
+    else:
+        a_side = big.select(
+            "table_idx",
+            "bucket",
+            F.col("vid").alias("vid_a"),
+            F.col("v").alias("va"),
+        )
+        b_side = big.select(
+            "table_idx",
+            "bucket",
+            F.col("vid").alias("vid_b"),
+            F.col("v").alias("vb"),
+        )
+        cand = (
+            a_side.join(b_side, ["table_idx", "bucket"])
+            .filter(F.col("vid_a") < F.col("vid_b"))
+            .select("vid_a", "va", "vid_b", "vb")
+        )
 
-    def pair_cosine(batches):
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            A = np.stack(pdf["va"].to_numpy())
-            B = np.stack(pdf["vb"].to_numpy())
-            na = np.sqrt((A * A).sum(axis=1))
-            nb = np.sqrt((B * B).sum(axis=1))
-            na = np.where(na > 0, na, np.inf)
-            nb = np.where(nb > 0, nb, np.inf)
-            vals = np.round((A * B).sum(axis=1) / (na * nb), 6)
-            mask = vals >= thr
-            yield pd.DataFrame(
-                {
-                    "vec_a": pdf["vid_a"].to_numpy(dtype=object)[mask],
-                    "vec_b": pdf["vid_b"].to_numpy(dtype=object)[mask],
-                    "cosine": vals[mask],
-                }
-            )
+        def pair_cosine(batches):
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                A = np.stack(pdf["va"].to_numpy())
+                B = np.stack(pdf["vb"].to_numpy())
+                na = np.sqrt((A * A).sum(axis=1))
+                nb = np.sqrt((B * B).sum(axis=1))
+                na = np.where(na > 0, na, np.inf)
+                nb = np.where(nb > 0, nb, np.inf)
+                vals = np.round((A * B).sum(axis=1) / (na * nb), 6)
+                mask = vals >= thr
+                yield pd.DataFrame(
+                    {
+                        "vec_a": pdf["vid_a"].to_numpy(dtype=object)[mask],
+                        "vec_b": pdf["vid_b"].to_numpy(dtype=object)[mask],
+                        "cosine": vals[mask],
+                    }
+                )
 
-    pairs_big = cand.mapInPandas(pair_cosine, schema=out_schema)
-    pairs = pairs_small.unionByName(pairs_big)
+        pairs_big = cand.mapInPandas(pair_cosine, schema=out_schema)
+        pairs = pairs_small.unionByName(pairs_big)
     return pairs.groupBy("vec_a", "vec_b").agg(F.max("cosine").alias("cosine"))
 
 
