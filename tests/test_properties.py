@@ -1,0 +1,95 @@
+"""Property-based differential tests (hypothesis) for the pure-Python
+plan-level logic: retention cutoff arithmetic is checked example-by-
+example against DuckDB's own INTERVAL subtraction (the same engine the
+oracles run on), and FK toposort ordering invariants are checked on
+random forests. These run without a SparkSession, so hundreds of
+examples cost milliseconds."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import duckdb
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from osarchiver_spark.operators.retention import Retention, retention_cutoff
+from osarchiver_spark.plans.jobspec import TableSpec
+from osarchiver_spark.plans.toposort import sort_tables, table_generations
+
+_TS = st.datetimes(min_value=datetime(1970, 1, 2), max_value=datetime(2100, 1, 1)).map(
+    lambda d: d.replace(microsecond=0)
+)
+
+
+def _duck_cutoff(now: datetime, n: int, unit: str) -> datetime:
+    (row,) = duckdb.sql(
+        f"SELECT TIMESTAMP '{now:%Y-%m-%d %H:%M:%S}' - INTERVAL {n} {unit}"
+    ).fetchall()
+    return row[0]
+
+
+@settings(max_examples=200, deadline=None)
+@given(now=_TS, n=st.integers(0, 240), unit=st.sampled_from(["MONTH", "YEAR"]))
+def test_month_year_cutoff_matches_duckdb(now, n, unit):
+    # MySQL SUBDATE and DuckDB both clamp to the target month's last
+    # day (Mar 31 - 1 MONTH = Feb 28/29) — the engine must agree with
+    # the oracle engine on every input, not just fixture dates
+    assert retention_cutoff(now, Retention(n, unit)) == _duck_cutoff(now, n, unit)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    now=_TS,
+    n=st.integers(0, 5000),
+    unit=st.sampled_from(["WEEK", "DAY", "HOUR", "MINUTE", "SECOND"]),
+)
+def test_sub_month_cutoff_matches_duckdb(now, n, unit):
+    assert retention_cutoff(now, Retention(n, unit)) == _duck_cutoff(now, n, unit)
+
+
+@st.composite
+def _fk_forest(draw):
+    """A random FK forest: each table may reference one earlier table
+    (guaranteed acyclic), plus stray FKs to undeclared tables (the
+    reference tolerates those — they order as roots)."""
+    n = draw(st.integers(1, 12))
+    tables = []
+    for i in range(n):
+        fks: dict[str, tuple[str, str]] = {}
+        if i > 0 and draw(st.booleans()):
+            parent = draw(st.integers(0, i - 1))
+            fks[f"fk_{i}"] = (f"t{parent}", "id")
+        if draw(st.booleans()):
+            fks[f"ext_{i}"] = ("not_in_job", "id")
+        tables.append(TableSpec(name=f"t{i}", primary_key="id", foreign_keys=fks))
+    return draw(st.permutations(tables)).copy()
+
+
+@settings(max_examples=200, deadline=None)
+@given(tables=_fk_forest())
+def test_toposort_children_before_parents(tables):
+    ordered = sort_tables(tables)
+    assert sorted(t.name for t in ordered) == sorted(t.name for t in tables)
+    pos = {t.name: i for i, t in enumerate(ordered)}
+    declared = {t.name for t in tables}
+    for t in tables:
+        for parent, _col in t.foreign_keys.values():
+            if parent in declared and parent != t.name:
+                assert pos[t.name] < pos[parent], (
+                    f"child {t.name} must be archived before parent {parent}"
+                )
+
+
+@settings(max_examples=100, deadline=None)
+@given(tables=_fk_forest())
+def test_generations_are_mutually_independent(tables):
+    declared = {t.name for t in tables}
+    for gen in table_generations(tables):
+        names = {t.name for t in gen}
+        for t in gen:
+            for parent, _col in t.foreign_keys.values():
+                if parent in declared and parent != t.name:
+                    assert parent not in names, (
+                        "a generation must never contain a child with its parent"
+                    )
