@@ -346,7 +346,39 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit-salt two-phase aggregation (operators/skew.py): the
+    3-value l_returnflag key is exactly the one-giant-key shape where
+    the reduce side of a plain groupBy serializes at 100 TB. The salt
+    spreads each key over 16 partial groups before the merge; results
+    are bit-equal to the plain aggregation, which IS the oracle."""
+    from osarchiver_spark.operators.skew import salted_count_sum
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return salted_count_sum(li, ["l_returnflag"], "l_quantity")
+
+
+def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted fact⋈dim join (operators/skew.py): the fact side gets a
+    deterministic row salt, the dimension replicates salt_buckets×,
+    so a hot key's shuffle rows spread across reducers. Pair count +
+    revenue per nation must equal the plain join — the oracle."""
+    from osarchiver_spark.operators.skew import salted_join
+
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("s_suppkey"), "l_extendedprice"
+    )
+    joined = salted_join(li, supp, "s_suppkey", salt_buckets=8)
+    return joined.groupBy("s_nationkey").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("l_extendedprice"), 4).alias("revenue"),
+    )
+
+
 QUERIES = {
+    "skew_salted_agg": q_skew_salted_agg,
+    "skew_salted_join": q_skew_salted_join,
     "q4_order_priority": q4_order_priority,
     "q6_forecast_revenue": q6_forecast_revenue,
     "q12_shipmode": q12_shipmode,
@@ -373,6 +405,17 @@ QUERIES = {
 }
 
 ORACLES = {
+    "skew_salted_agg": """
+        SELECT l_returnflag, count(*) AS n,
+               round(sum(l_quantity), 4) AS total
+        FROM lineitem GROUP BY 1
+    """,
+    "skew_salted_join": """
+        SELECT s_nationkey, count(*) AS n,
+               round(sum(l_extendedprice), 4) AS revenue
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY 1
+    """,
     "q4_order_priority": """
         SELECT o_orderpriority, count(*) AS order_count
         FROM orders
