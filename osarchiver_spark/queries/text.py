@@ -105,6 +105,19 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_gate(df: DataFrame) -> DataFrame:
+    """The stateless ingest gate (quality >= 0.5 AND predicted lang
+    'en') shared by the batch corpus pipeline and its streaming twin
+    — pure codegen'd column expressions, so it applies unchanged to a
+    readStream micro-batch."""
+    n_toks = token_count(F.col("text"))
+    stop_r = stopword_ratio(F.col("text"))
+    punct_r = punct_ratio(F.col("text"))
+    len_score = F.least(n_toks.cast("double") / 100.0, F.lit(1.0))
+    quality = 0.5 * stop_r + 0.3 * len_score + 0.2 * (1.0 - punct_r)
+    return df.filter((F.round(quality, 6) >= 0.5) & (lang_id(F.col("text")) == "en"))
+
+
 def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed training-data pre-filter: quality gate + language
     gate + near-dup removal in one plan. Documents survive when
@@ -115,18 +128,42 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from osarchiver_spark.operators.dedup import minhash_lsh_pairs
 
     docs = load_table(spark, sf_dir, "documents")
-    n_toks = token_count(F.col("text"))
-    stop_r = stopword_ratio(F.col("text"))
-    punct_r = punct_ratio(F.col("text"))
-    len_score = F.least(n_toks.cast("double") / 100.0, F.lit(1.0))
-    quality = 0.5 * stop_r + 0.3 * len_score + 0.2 * (1.0 - punct_r)
-    gated = docs.filter((F.round(quality, 6) >= 0.5) & (lang_id(F.col("text")) == "en"))
+    gated = corpus_gate(docs)
     dup_losers = (
         minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5)
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )
     return gated.join(dup_losers, "doc_id", "left_anti").select("doc_id", "lang", "source")
+
+
+def q_streaming_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest of training data: the stateless quality+lang
+    gate (corpus_gate — identical column expressions as the batch
+    pipeline) fused into the SAME micro-batch pass as the stateful
+    first-seen fingerprint dedup (applyInPandasWithState). Over one
+    micro-batch of the whole table this equals the batch min-per-
+    fingerprint of the gated documents — the SQL oracle; cross-batch
+    state is pinned in tests/test_streaming_dedup.py."""
+    from pyspark.sql import types as T
+
+    from osarchiver_spark.streaming.dedup import run_streaming_dedup
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    return run_streaming_dedup(
+        spark, sf_dir, schema,
+        path_glob="documents.parquet",
+        transform=corpus_gate,
+        scratch="scorpus",
+    )
 
 
 def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -265,6 +302,7 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "streaming_corpus_pipeline": q_streaming_corpus_pipeline,
     "pii_scrub": q_pii_scrub,
     "unigram_logprob": q_unigram_logprob,
     "doc_chunks": q_doc_chunks,
@@ -501,6 +539,43 @@ ORACLES = {
 }
 
 ORACLES["corpus_pipeline"] = _corpus_pipeline_sql()
+
+
+def _streaming_corpus_sql() -> str:
+    """Gate + first-occurrence fingerprint dedup (the streaming
+    pipeline's single-micro-batch equivalent)."""
+    fp = "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))"
+    return f"""
+        WITH scored AS (
+            SELECT doc_id,
+                   CASE WHEN len({_SQL_TOKENS_LOWER}) > 0 THEN
+                       CAST(len(list_filter({_SQL_TOKENS_LOWER},
+                           t -> list_contains({_sql_in_list(LANG_MARKERS['en'])}, t))) AS DOUBLE)
+                       / len({_SQL_TOKENS_LOWER})
+                   ELSE 0.0 END AS stop_r,
+                   CASE WHEN length(text) > 0 THEN
+                       CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+                       / length(text)
+                   ELSE 0.0 END AS punct_r,
+                   len({_SQL_TOKENS.format(col='text')}) AS n_tokens,
+                   CAST({_score_sql('en')} AS INT) AS score_en,
+                   CAST({_score_sql('de')} AS INT) AS score_de,
+                   CAST({_score_sql('es')} AS INT) AS score_es,
+                   CAST({_score_sql('fr')} AS INT) AS score_fr
+            FROM documents),
+        gated AS (
+            SELECT doc_id FROM scored
+            WHERE round(0.5 * stop_r + 0.3 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+                        + 0.2 * (1.0 - punct_r), 6) >= 0.5
+              AND ({_LANG_CASE}) = 'en')
+        SELECT {fp} AS fingerprint, min(doc_id) AS keep_id
+        FROM documents
+        WHERE doc_id IN (SELECT doc_id FROM gated)
+        GROUP BY 1
+    """
+
+
+ORACLES["streaming_corpus_pipeline"] = _streaming_corpus_sql()
 
 ORACLES["doc_chunks"] = """
     SELECT doc_id,

@@ -98,15 +98,21 @@ def run_streaming_dedup(
     watch_dir: str,
     schema: T.StructType,
     path_glob: str | None = None,
+    transform=None,
+    scratch: str = "sdedup",
 ) -> DataFrame:
     """Drive the stateful dedup over all files currently in watch_dir
     (optionally narrowed by a glob) and return the emitted rows as a
-    batch DataFrame."""
+    batch DataFrame. ``transform`` (stream → stream, stateless
+    columns/filters only) runs BEFORE the stateful dedup — the hook
+    that fuses ingest gates into the same micro-batch pass."""
     reader = spark.readStream.format("parquet").schema(schema)
     if path_glob:
         reader = reader.option("pathGlobFilter", path_glob)
     stream = reader.load(watch_dir)
+    if transform is not None:
+        stream = transform(stream)
     from osarchiver_spark.streaming.pipeline import drain_stream_to_parquet
 
     out = streaming_dedup_first_seen(stream, "doc_id", "text")
-    return drain_stream_to_parquet(out, "append", "sdedup")
+    return drain_stream_to_parquet(out, "append", scratch)
