@@ -217,7 +217,42 @@ def q_fk_repair_patch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 history after two CDC batches (operators/scd.py:
+    anti-join + union MERGE emulation, one shuffle per batch): batch 1
+    bumps every 10th customer's balance at T1, batch 2 bumps every
+    20th again at T2. The oracle reconstructs all three version
+    layers declaratively."""
+    from datetime import datetime
+
+    from osarchiver_spark.operators.scd import scd2_apply, scd2_init
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    hist = scd2_init(cust, datetime(2001, 1, 1))
+    upd1 = cust.filter(F.col("c_custkey") % 10 == 0).withColumn(
+        "c_acctbal", F.round(F.col("c_acctbal") + 100.0, 2)
+    )
+    hist = scd2_apply(hist, upd1, "c_custkey", datetime(2001, 6, 1))
+    upd2 = cust.filter(F.col("c_custkey") % 20 == 0).withColumn(
+        "c_acctbal", F.round(F.col("c_acctbal") + 200.0, 2)
+    )
+    return scd2_apply(hist, upd2, "c_custkey", datetime(2001, 9, 1))
+
+
+def q_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-travel snapshot between the two CDC batches: every 10th
+    customer shows the T1 version, everyone else the original."""
+    from datetime import datetime
+
+    from osarchiver_spark.operators.scd import scd2_as_of
+
+    hist = q_scd2_history(spark, sf_dir)
+    return scd2_as_of(hist, datetime(2001, 7, 1))
+
+
 QUERIES = {
+    "scd2_history": q_scd2_history,
+    "scd2_asof": q_scd2_asof,
     "retention_filter_days": q_retention_filter_days,
     "config_pipeline": q_config_pipeline,
     "fk_repair_patch": q_fk_repair_patch,
@@ -233,6 +268,32 @@ QUERIES = {
 }
 
 ORACLES = {
+    "scd2_history": """
+        SELECT c_custkey, c_name, c_acctbal,
+               TIMESTAMP '2001-01-01' AS valid_from,
+               CASE WHEN c_custkey % 10 = 0 THEN TIMESTAMP '2001-06-01' END AS valid_to
+        FROM customer
+        UNION ALL
+        SELECT c_custkey, c_name, round(c_acctbal + 100.0, 2),
+               TIMESTAMP '2001-06-01',
+               CASE WHEN c_custkey % 20 = 0 THEN TIMESTAMP '2001-09-01' END
+        FROM customer WHERE c_custkey % 10 = 0
+        UNION ALL
+        SELECT c_custkey, c_name, round(c_acctbal + 200.0, 2),
+               TIMESTAMP '2001-09-01', NULL
+        FROM customer WHERE c_custkey % 20 = 0
+    """,
+    "scd2_asof": """
+        SELECT c_custkey, c_name, c_acctbal,
+               TIMESTAMP '2001-01-01' AS valid_from,
+               CAST(NULL AS TIMESTAMP) AS valid_to
+        FROM customer WHERE c_custkey % 10 <> 0
+        UNION ALL
+        SELECT c_custkey, c_name, round(c_acctbal + 100.0, 2),
+               TIMESTAMP '2001-06-01',
+               CASE WHEN c_custkey % 20 = 0 THEN TIMESTAMP '2001-09-01' END
+        FROM customer WHERE c_custkey % 10 = 0
+    """,
     "retention_filter_days": (
         "SELECT * FROM orders "
         "WHERE o_orderdate <= TIMESTAMP '1998-08-15 00:00:00' - INTERVAL 30 DAY"
