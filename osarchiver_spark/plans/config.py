@@ -36,7 +36,13 @@ from pyspark.sql import DataFrame, SparkSession
 
 from osarchiver_spark.operators.retention import Retention
 from osarchiver_spark.plans.jobspec import ArchiveJobSpec, TableSpec
-from osarchiver_spark.sinks.base import CsvSink, ParquetArchiveSink, Sink, SqlDumpSink
+from osarchiver_spark.sinks.base import (
+    CsvSink,
+    JsonlSink,
+    ParquetArchiveSink,
+    Sink,
+    SqlDumpSink,
+)
 from osarchiver_spark.sources.parquet import load_table
 
 BOOLEAN_OPTIONS = {"delete_data", "archive_data", "enable", "dry_run"}
@@ -344,6 +350,8 @@ def _build_sinks(dst: dict[str, str], dst_name: str, pks: dict[str, str]) -> lis
                 sinks.append(CsvSink(directory, compression=dst.get("compression")))
             elif fmt == "sql":
                 sinks.append(SqlDumpSink(directory, primary_keys=dict(pks)))
+            elif fmt == "jsonl":
+                sinks.append(JsonlSink(directory, compression=dst.get("compression")))
             else:
                 raise ConfigError(f"[dst:{dst_name}] unknown file format {fmt!r}")
         return sinks

@@ -96,6 +96,27 @@ class CsvSink(_DatedFileSink):
         writer.csv(self._out_path(f"{table}.csv"))
 
 
+class JsonlSink(_DatedFileSink):
+    """One JSON-Lines dataset per table per run:
+    ``<root>/<run>/<table>.jsonl`` — the interchange format of
+    training-data pipelines (one document per line, shard-per-task).
+    Spark's distributed json writer emits one shard per partition, so
+    shard count/size is controlled by the upstream partitioning;
+    codec compression (gzip/zstd) applies per shard. Beyond the
+    reference's csv/sql formatter pair (destination/file/base.py:
+    146-180) but the same fan-out contract."""
+
+    def __init__(self, root: str, compression: str | None = None, run_template: str = "{date}"):
+        super().__init__(root, run_template)
+        self.compression = compression
+
+    def write(self, table: str, df: DataFrame) -> None:
+        writer = df.write.mode("overwrite")
+        if self.compression:
+            writer = writer.option("compression", self.compression)
+        writer.json(self._out_path(f"{table}.jsonl"))
+
+
 class ParquetArchiveSink(Sink):
     """The "archive database": parquet per table, append-mode with
     pk-dedup so re-runs are idempotent (the Spark rewrite of

@@ -214,3 +214,29 @@ def test_custom_where_is_spark_sql(spark, sf_small, tmp_path):
     assert a.where_sql == "o_orderstatus = 'F' AND o_orderdate <= timestamp'2001-12-01 00:00:00'"
     dfs = a.dataframes(spark)
     assert dfs["orders"].filter("o_orderstatus <> 'F'").count() == 0
+
+
+def test_shipped_sample_ini_parses(tmp_path):
+    """archiver_sample.ini (repo root) must stay loadable: it is the
+    document a migrating reference user starts from."""
+    import os
+
+    from osarchiver_spark.sinks.base import CsvSink, JsonlSink, ParquetArchiveSink
+    from osarchiver_spark.sinks.remote import RemoteStoreSink
+
+    sample = os.path.join(os.path.dirname(os.path.dirname(__file__)), "archiver_sample.ini")
+    archivers = load_config(path=sample)
+    # nova_db is enable=false; only the parquet pipeline configures
+    (a,) = archivers
+    assert a.name == "nova_parquet"
+    assert a.spec.retention_months == Retention(30, "DAY")
+    kinds = [type(s) for s in a.sinks]
+    assert ParquetArchiveSink in kinds and CsvSink in kinds and JsonlSink in kinds
+    assert RemoteStoreSink in kinds
+    remote = next(s for s in a.sinks if isinstance(s, RemoteStoreSink))
+    scoped, transient = remote.scoped_store_options()
+    assert "fs.s3a.bucket.archive-bucket.endpoint" in scoped and transient == {}
+    # FK graph parsed: faults reference instances
+    faults = next(t for t in a.spec.tables if t.name == "instance_faults")
+    assert faults.foreign_keys == {"instance_uuid": ("instances", "uuid")}
+    assert not a.spec.delete_data  # DEFAULT boolean coercion

@@ -40,3 +40,46 @@ def test_orc_predicate_pushdown(spark, sf_small, tmp_path):
     with contextlib.redirect_stdout(buf):
         read.explain("formatted")
     assert "PushedFilters: [IsNotNull(o_orderkey), LessThan(o_orderkey,100)]" in buf.getvalue()
+
+
+def test_jsonl_sink_and_config_wiring(spark, sf_small, tmp_path):
+    """JsonlSink writes one <table>.jsonl dataset per run (dated dir,
+    gzip shards), readable back with an explicit schema; the INI
+    front end accepts formats=csv,jsonl on a file destination."""
+    import glob
+    from datetime import datetime
+
+    from osarchiver_spark.plans.config import load_config
+    from osarchiver_spark.sinks.base import JsonlSink
+
+    orders = load_table(spark, sf_small, "orders")
+    sink = JsonlSink(str(tmp_path / "jl"), compression="gzip")
+    sink.begin_run(datetime(2001, 12, 1))
+    sink.write("orders", orders)
+    shards = glob.glob(str(tmp_path / "jl" / "*" / "orders.jsonl" / "part-*.gz"))
+    assert shards
+    back = spark.read.schema(orders.schema).json(
+        str(tmp_path / "jl" / "*" / "orders.jsonl")
+    )
+    _assert_equal(orders, back, "o_orderkey")
+
+    ini = f"""
+[archiver:orders]
+src=orders_src
+dst=files
+
+[src:orders_src]
+backend=parquet
+directory={sf_small}
+now=2001-12-01T00:00:00
+primary_keys=orders:o_orderkey
+tables=orders
+
+[dst:files]
+backend=file
+directory={tmp_path}/cfg
+formats=csv, jsonl
+"""
+    (a,) = load_config(text=ini)
+    kinds = {type(s).__name__ for s in a.sinks}
+    assert kinds == {"CsvSink", "JsonlSink"}
