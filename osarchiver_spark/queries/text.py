@@ -290,6 +290,31 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HASH_DIM = 64  # feature-hashing bucket count
+
+
+def q_hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing vectorization (the HashingVectorizer trick):
+    tokens hash into a fixed HASH_DIM-bucket count vector — the
+    stateless, vocabulary-free featurizer that never needs a fitted
+    dictionary, so it applies to a 100 TB corpus in one explode +
+    map-combinable (doc, dim) hash agg with zero joins and zero
+    Python. Emitted as exploded (doc_id, dim, n) rows (sortable for
+    the harness; sparse by construction — only occupied buckets)."""
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    tok = docs.select("doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("token"))
+    dim = (
+        F.conv(F.substring(F.md5(F.col("token")), 1, 8), 16, 10).cast("long") % HASH_DIM
+    )
+    return (
+        tok.select("doc_id", dim.cast("int").alias("dim"))
+        .groupBy("doc_id", "dim")
+        .agg(F.count("*").alias("n"))
+    )
+
+
 def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping 400-char / 100-overlap chunk windows per document
     (operators/chunking.py built-in path — sequence → explode →
@@ -305,6 +330,7 @@ QUERIES = {
     "streaming_corpus_pipeline": q_streaming_corpus_pipeline,
     "pii_scrub": q_pii_scrub,
     "unigram_logprob": q_unigram_logprob,
+    "hashed_features": q_hashed_features,
     "doc_chunks": q_doc_chunks,
     "corpus_pipeline": q_corpus_pipeline,
     "token_count_bpe": q_token_count_bpe,
@@ -425,6 +451,15 @@ ORACLES = {
                round(avg(log10(CAST(cnt AS DOUBLE) / total)), 4) AS avg_logprob
         FROM tok JOIN vocab USING (token) CROSS JOIN tot
         GROUP BY doc_id
+    """,
+    "hashed_features": f"""
+        SELECT doc_id, CAST(dim AS INT) AS dim, count(*) AS n
+        FROM (SELECT doc_id,
+                     CAST(('0x' || substr(md5(token), 1, 8)) AS UBIGINT) % {HASH_DIM}
+                         AS dim
+              FROM (SELECT doc_id, unnest({_SQL_TOKENS_LOWER}) AS token
+                    FROM documents))
+        GROUP BY 1, 2
     """,
     "contamination_check": f"""
         WITH toked AS (
