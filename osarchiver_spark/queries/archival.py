@@ -250,7 +250,63 @@ def q_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_as_of(hist, datetime(2001, 7, 1))
 
 
+def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profile of ``orders`` — the ANALYZE-style probe behind
+    archivability checks and dry-run reporting (reference probes
+    information_schema per column, common/db.py:416-436; here one
+    single-pass agg computes every column's null and distinct counts:
+    2·|cols| aggregates, one scan, map-side partial combine)."""
+    orders = load_table(spark, sf_dir, "orders")
+    aggs = []
+    for c in orders.columns:
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"n_{c}"))
+        aggs.append(F.count_distinct(F.col(c)).alias(f"d_{c}"))
+    wide = orders.agg(F.count(F.lit(1)).alias("n_rows"), *aggs)
+    stack = ", ".join(f"'{c}', n_{c}, d_{c}" for c in orders.columns)
+    return wide.selectExpr(
+        "n_rows",
+        f"stack({len(orders.columns)}, {stack}) AS (col_name, n_nulls, n_distinct)",
+    ).select("col_name", "n_nulls", "n_distinct", "n_rows")
+
+
+def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectations, one row per rule with
+    its violation count — the pre-archive gate a pipeline runs before
+    trusting a source. Predicate rules fuse into one scan each; the
+    referential rule is a left-anti join (the same shape as the
+    delete rewrite); the uniqueness rule is a keyed count-filter."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    rules = [
+        orders.filter(~(F.col("o_totalprice") > 0)).agg(
+            F.lit("orders.o_totalprice_positive").alias("rule"),
+            F.count(F.lit(1)).alias("n_violations"),
+        ),
+        orders.filter(F.col("o_orderdate").isNull()).agg(
+            F.lit("orders.o_orderdate_not_null").alias("rule"),
+            F.count(F.lit(1)).alias("n_violations"),
+        ),
+        li.join(orders, li.l_orderkey == orders.o_orderkey, "left_anti").agg(
+            F.lit("lineitem.orderkey_references_orders").alias("rule"),
+            F.count(F.lit(1)).alias("n_violations"),
+        ),
+        orders.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .filter(F.col("k") > 1)
+        .agg(
+            F.lit("orders.o_orderkey_unique").alias("rule"),
+            F.count(F.lit(1)).alias("n_violations"),
+        ),
+    ]
+    out = rules[0]
+    for r in rules[1:]:
+        out = out.unionByName(r)
+    return out
+
+
 QUERIES = {
+    "profile_table": q_profile_table,
+    "dq_checks": q_dq_checks,
     "scd2_history": q_scd2_history,
     "scd2_asof": q_scd2_asof,
     "retention_filter_days": q_retention_filter_days,
@@ -267,7 +323,43 @@ QUERIES = {
     "delete_chunks": q_delete_chunks,
 }
 
+def _profile_sql() -> str:
+    # the fixture orders schema (TESTDATA.md); the Spark side iterates
+    # df.columns so the two stay aligned as long as this list matches
+    cols = [
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority",
+    ]
+    branches = " UNION ALL ".join(
+        f"SELECT '{c}' AS col_name, "
+        f"CAST(count(*) FILTER (WHERE {c} IS NULL) AS BIGINT) AS n_nulls, "
+        f"CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct, "
+        f"CAST(count(*) AS BIGINT) AS n_rows FROM orders"
+        for c in cols
+    )
+    return branches
+
+
 ORACLES = {
+    "profile_table": _profile_sql(),
+    "dq_checks": """
+        SELECT 'orders.o_totalprice_positive' AS rule,
+               CAST(count(*) FILTER (WHERE NOT (o_totalprice > 0)) AS BIGINT)
+                   AS n_violations
+        FROM orders
+        UNION ALL
+        SELECT 'orders.o_orderdate_not_null',
+               CAST(count(*) FILTER (WHERE o_orderdate IS NULL) AS BIGINT)
+        FROM orders
+        UNION ALL
+        SELECT 'lineitem.orderkey_references_orders',
+               CAST(count(*) AS BIGINT)
+        FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+        UNION ALL
+        SELECT 'orders.o_orderkey_unique',
+               CAST(count(*) AS BIGINT)
+        FROM (SELECT o_orderkey FROM orders GROUP BY 1 HAVING count(*) > 1)
+    """,
     "scd2_history": """
         SELECT c_custkey, c_name, c_acctbal,
                TIMESTAMP '2001-01-01' AS valid_from,
