@@ -346,6 +346,23 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_numeric_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical moments per returnflag: stddev/variance (sample),
+    covariance and correlation between quantity and price — all
+    single-pass co-moment aggregates (map-side combinable, one
+    shuffle of 3 groups); both engines implement the standard
+    definitions so 4-decimal rounding is exact parity."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.round(F.stddev_samp("l_quantity"), 4).alias("std_qty"),
+        F.round(F.var_samp("l_extendedprice"), 2).alias("var_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("covar_qp"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qp"),
+    )
+
+
 def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit-salt two-phase aggregation (operators/skew.py): the
     3-value l_returnflag key is exactly the one-giant-key shape where
@@ -377,6 +394,7 @@ def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "numeric_stats": q_numeric_stats,
     "skew_salted_agg": q_skew_salted_agg,
     "skew_salted_join": q_skew_salted_join,
     "q4_order_priority": q4_order_priority,
@@ -405,6 +423,16 @@ QUERIES = {
 }
 
 ORACLES = {
+    "numeric_stats": """
+        SELECT l_returnflag,
+               CAST(count(*) AS BIGINT) AS n,
+               round(avg(l_quantity), 4) AS avg_qty,
+               round(stddev_samp(l_quantity), 4) AS std_qty,
+               round(var_samp(l_extendedprice), 2) AS var_price,
+               round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qp,
+               round(corr(l_quantity, l_extendedprice), 4) AS corr_qp
+        FROM lineitem GROUP BY 1
+    """,
     "skew_salted_agg": """
         SELECT l_returnflag, count(*) AS n,
                round(sum(l_quantity), 4) AS total
