@@ -65,6 +65,11 @@ class Archiver:
     sinks: list[Sink] = field(default_factory=list)
     # receives (table, remaining_df); persists the rewritten source.
     source_rewriter: object | None = None
+    # cross-run incremental state (plans/watermark.py): when set, each
+    # table archives only (last watermark, cutoff] — both bounds reach
+    # the parquet scan as pushed filters — and the watermark advances
+    # to the cutoff ONLY after the table's run fully succeeds.
+    watermarks: object | None = None
 
     # run tables of the same FK generation concurrently (Spark's
     # scheduler interleaves the jobs across executors); FK ordering
@@ -98,6 +103,12 @@ class Archiver:
     def _run_table(self, tspec: TableSpec, df: DataFrame, cutoff: datetime) -> TableRunResult:
         assert tspec.deleted_column is not None
         pred = retention_predicate(tspec.deleted_column, cutoff)
+        if self.watermarks is not None:
+            wm = self.watermarks.get(tspec.name)  # type: ignore[attr-defined]
+            if wm is not None:
+                # lower bound joins the pushdown: row groups below the
+                # previous run's cutoff are pruned at the scan
+                pred = pred & (df[tspec.deleted_column] > wm)
         archived = df.filter(pred)
         if self.spec.dry_run:
             # Plan-only: report would-be effects, touch nothing.
@@ -130,6 +141,7 @@ class Archiver:
                     remaining_n = remaining.count()
                     if self.source_rewriter is not None:
                         self.source_rewriter(tspec.name, remaining)  # type: ignore[operator]
+                self._advance_watermark(tspec.name, cutoff)
                 return TableRunResult(tspec.name, n_archived, remaining_n, dry_run=False)
             finally:
                 archived.unpersist()
@@ -140,7 +152,12 @@ class Archiver:
         remaining_n = remaining.count()
         if self.source_rewriter is not None:
             self.source_rewriter(tspec.name, remaining)  # type: ignore[operator]
+        self._advance_watermark(tspec.name, cutoff)
         return TableRunResult(tspec.name, archived_n, remaining_n, dry_run=False)
+
+    def _advance_watermark(self, table: str, cutoff: datetime) -> None:
+        if self.watermarks is not None:
+            self.watermarks.advance(table, cutoff)  # type: ignore[attr-defined]
 
 
 def archive_and_remaining(

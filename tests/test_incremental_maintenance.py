@@ -1,0 +1,90 @@
+"""Cross-run incremental watermarks + archive compaction."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from osarchiver_spark.operators.archive import Archiver
+from osarchiver_spark.operators.maintenance import compact_parquet_dir, data_file_stats
+from osarchiver_spark.plans.jobspec import ArchiveJobSpec, TableSpec
+from osarchiver_spark.plans.watermark import WatermarkStore
+from osarchiver_spark.sinks.base import ParquetArchiveSink
+from osarchiver_spark.sources.parquet import load_table
+
+T1 = datetime(1996, 1, 1)
+T2 = datetime(1998, 1, 1)
+
+
+def _spec(now, delete=False):
+    return ArchiveJobSpec(
+        tables=[TableSpec("orders", "o_orderkey", deleted_column="o_orderdate")],
+        retention_months=0,
+        now=now,
+        delete_data=delete,
+        archive_data=True,
+    )
+
+
+def test_watermark_bounds_second_run(spark, sf_small, tmp_path):
+    orders = load_table(spark, sf_small, "orders")
+    wm = WatermarkStore(str(tmp_path / "wm.json"))
+    sink1 = ParquetArchiveSink(str(tmp_path / "arch"), primary_keys={"orders": "o_orderkey"})
+
+    r1 = Archiver(_spec(T1), [sink1], watermarks=wm).run({"orders": orders})
+    n1 = r1[0].archived_rows
+    assert n1 == orders.filter(F.col("o_orderdate") <= F.lit(T1)).count() > 0
+    assert wm.get("orders") == T1
+
+    # run 2 archives ONLY the (T1, T2] window — no re-scan of history
+    r2 = Archiver(_spec(T2), [sink1], watermarks=wm).run({"orders": orders})
+    n2 = r2[0].archived_rows
+    expect2 = orders.filter(
+        (F.col("o_orderdate") > F.lit(T1)) & (F.col("o_orderdate") <= F.lit(T2))
+    ).count()
+    assert n2 == expect2 > 0
+    assert wm.get("orders") == T2
+    # the two runs are disjoint and together equal the plain <= T2 set
+    assert n1 + n2 == orders.filter(F.col("o_orderdate") <= F.lit(T2)).count()
+    # and the lower bound reaches the scan as a pushed filter
+    pred = (F.col("o_orderdate") <= F.lit(T2)) & (F.col("o_orderdate") > F.lit(T1))
+    plan = orders.filter(pred)._jdf.queryExecution().executedPlan().toString()
+    assert "GreaterThan(o_orderdate" in plan and "LessThanOrEqual(o_orderdate" in plan
+
+
+def test_failed_sink_leaves_watermark(spark, sf_small, tmp_path):
+    class Boom:
+        def begin_run(self, now):
+            pass
+
+        def write(self, table, df):
+            raise RuntimeError("sink down")
+
+    orders = load_table(spark, sf_small, "orders")
+    wm = WatermarkStore(str(tmp_path / "wm.json"))
+    res = Archiver(_spec(T1), [Boom()], watermarks=wm).run({"orders": orders})
+    assert res[0].error is not None
+    assert wm.get("orders") is None  # next run re-covers the window
+
+
+def test_watermark_is_monotonic(tmp_path):
+    wm = WatermarkStore(str(tmp_path / "wm.json"))
+    wm.advance("t", T2)
+    wm.advance("t", T1)  # stale advance must not move it backwards
+    assert wm.get("t") == T2
+
+
+def test_compaction_preserves_rows(spark, sf_small, tmp_path):
+    orders = load_table(spark, sf_small, "orders")
+    path = str(tmp_path / "many")
+    orders.repartition(64).write.parquet(path)
+    before, _ = data_file_stats(spark, path)
+    assert before == 64
+    b, a = compact_parquet_dir(spark, path, target_bytes=1 << 30)
+    assert (b, a) == (64, 1)
+    back = spark.read.parquet(path)
+    assert back.count() == orders.count()
+    assert back.join(orders, "o_orderkey", "left_anti").count() == 0
+    # idempotent: already compact -> no rewrite
+    assert compact_parquet_dir(spark, path, target_bytes=1 << 30) == (1, 1)
