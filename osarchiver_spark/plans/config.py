@@ -96,6 +96,16 @@ class ConfiguredArchiver:
     where_sql: str | None = None  # non-canonical where, {now} rendered
     tables_filter: list[str] = field(default_factory=list)
     jdbc: JdbcSourceConfig | None = None
+    # optional cross-run incremental state (plans/watermark.py),
+    # from ``watermark_file=`` in [src:*]
+    watermark_file: str | None = None
+
+    def watermarks(self):
+        if self.watermark_file is None:
+            return None
+        from osarchiver_spark.plans.watermark import WatermarkStore
+
+        return WatermarkStore(self.watermark_file)
 
     def _jdbc_where(self, table: TableSpec) -> str:
         """The retention predicate rendered as database-side SQL so
@@ -304,6 +314,7 @@ def load_config(
                     sinks=sinks,
                     where_sql=where_sql,
                     jdbc=jdbc_cfg,
+                    watermark_file=src.get("watermark_file"),
                 )
             )
     return archivers

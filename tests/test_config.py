@@ -240,3 +240,41 @@ def test_shipped_sample_ini_parses(tmp_path):
     faults = next(t for t in a.spec.tables if t.name == "instance_faults")
     assert faults.foreign_keys == {"instance_uuid": ("instances", "uuid")}
     assert not a.spec.delete_data  # DEFAULT boolean coercion
+
+
+def test_watermark_file_makes_cli_runs_incremental(spark, sf_small, tmp_path):
+    from osarchiver_spark.plans.watermark import WatermarkStore
+    from osarchiver_spark.operators.archive import Archiver as A
+
+    def ini(now):
+        return f"""
+[archiver:orders]
+src=orders_src
+dst=arch
+
+[src:orders_src]
+backend=parquet
+directory={sf_small}
+now={now}
+retention=0 MONTH
+deleted_column=o_orderdate
+primary_keys=orders:o_orderkey
+tables=orders
+watermark_file={tmp_path}/orders.wm
+
+[dst:arch]
+backend=parquet
+directory={tmp_path}/arch
+"""
+    (a1,) = load_config(text=ini("1996-01-01T00:00:00"))
+    r1 = A(a1.spec, a1.sinks, watermarks=a1.watermarks()).run(a1.dataframes(spark))
+    (a2,) = load_config(text=ini("1998-01-01T00:00:00"))
+    r2 = A(a2.spec, a2.sinks, watermarks=a2.watermarks()).run(a2.dataframes(spark))
+    orders = load_table(spark, sf_small, "orders")
+    total = orders.filter("o_orderdate <= timestamp'1998-01-01'").count()
+    assert r1[0].archived_rows + r2[0].archived_rows == total
+    delta = orders.filter(
+        "o_orderdate > timestamp'1996-01-01' AND o_orderdate <= timestamp'1998-01-01'"
+    ).count()
+    assert r2[0].archived_rows == delta  # only the (T1, T2] window
+    assert WatermarkStore(f"{tmp_path}/orders.wm").get("orders") == datetime(1998, 1, 1)
