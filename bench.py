@@ -62,6 +62,10 @@ HEADLINE = [
     "pii_scrub",
     "label_centroids",
     "sequence_pack",
+    "hashed_features",
+    "numeric_stats",
+    "profile_table",
+    "dq_checks",
     "contamination_check",
     "text_quality",
     "lang_id",

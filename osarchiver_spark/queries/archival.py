@@ -253,9 +253,14 @@ def q_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column profile of ``orders`` — the ANALYZE-style probe behind
     archivability checks and dry-run reporting (reference probes
-    information_schema per column, common/db.py:416-436; here one
-    single-pass agg computes every column's null and distinct counts:
-    2·|cols| aggregates, one scan, map-side partial combine)."""
+    information_schema per column, common/db.py:416-436).
+
+    One scan, but |cols| EXACT distinct counts make Catalyst plan an
+    Expand (×|cols|+1 row amplification before the two-phase agg) —
+    the honest cost of exact multi-distinct, kept here because the
+    oracle demands exactness. At 100 TB swap ``count_distinct`` for
+    ``approx_count_distinct`` (HLL++): same single scan, no Expand,
+    ~2% error — the ANALYZE trade every warehouse makes."""
     orders = load_table(spark, sf_dir, "orders")
     aggs = []
     for c in orders.columns:
