@@ -1,0 +1,85 @@
+"""Degenerate-input robustness: empty tables, empty/whitespace text,
+all-NULL retention columns. The fixtures never produce these, but a
+100 TB corpus always contains them somewhere — every operator must
+return an empty/neutral result, not raise (ANSI mode makes silent
+div-by-zero impossible, so these paths need explicit guards)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from osarchiver_spark.operators.dedup import (
+    exact_dedup,
+    exact_dedup_groups,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_candidates,
+)
+from osarchiver_spark.operators.retention import retention_filter
+
+
+def _docs(spark, rows):
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def test_dedup_operators_survive_empty_input(spark):
+    empty = _docs(spark, [])
+    assert minhash_lsh_pairs(empty, "doc_id", "text").count() == 0
+    assert simhash_candidates(empty, "doc_id", "text").count() == 0
+    assert ngram_jaccard_pairs(empty, "doc_id", "text").count() == 0
+    assert exact_dedup(empty, "doc_id", "text").count() == 0
+
+
+def test_dedup_operators_survive_degenerate_text(spark):
+    rows = [
+        (1, ""),  # empty
+        (2, "   \t  "),  # whitespace only
+        (3, "one two"),  # shorter than the 3-gram shingle
+        (4, "x " * 2000),  # one token repeated (single distinct shingle)
+        (5, "x " * 2000),  # its exact twin
+    ]
+    docs = _docs(spark, rows)
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text").collect()
+    # only the twin pair can match; the degenerate docs must not crash
+    assert [(r["doc_a"], r["doc_b"]) for r in pairs] == [(4, 5)]
+    assert simhash_candidates(docs, "doc_id", "text").filter("doc_a = 4 AND doc_b = 5").count() == 1
+    # exact dedup groups whitespace-normalized twins
+    groups = {r["keep_id"]: r["n_docs"] for r in exact_dedup_groups(docs, "doc_id", "text").collect()}
+    assert groups[4] == 2
+
+
+def test_text_queries_survive_degenerate_text(spark, tmp_path):
+    rows = [(1, "", "en", "s", 0), (2, "  ", "en", "s", 2), (3, "hello world", "en", "s", 11)]
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    from osarchiver_spark.queries.text import (
+        q_text_quality,
+        q_text_stats,
+        q_token_count_bpe,
+    )
+    from osarchiver_spark.queries.sampling import q_sequence_pack
+
+    stats = {r["doc_id"]: r for r in q_text_stats(spark, str(tmp_path)).collect()}
+    assert stats[1]["n_tokens"] == 0 and stats[1]["avg_token_len"] is None
+    assert stats[3]["n_tokens"] == 2
+    assert q_text_quality(spark, str(tmp_path)).count() == 3
+    assert q_token_count_bpe(spark, str(tmp_path)).count() == 3
+    # packing: empty docs still occupy their separator slot
+    packed = {r["doc_id"]: r for r in q_sequence_pack(spark, str(tmp_path)).collect()}
+    assert packed[1]["n_slots"] == 1
+
+
+def test_retention_filter_all_null_deleted(spark):
+    df = spark.createDataFrame(
+        [(1, None), (2, None)], "id long, deleted_at timestamp"
+    )
+    out = retention_filter(df, "deleted_at", datetime(2001, 1, 1))
+    assert out.count() == 0  # NULL deleted_at is never archivable
