@@ -154,3 +154,20 @@ def test_no_python_udfs_in_core_queries(spark):
     ]:
         plan = _formatted(spark, name)
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+
+
+def test_oracle_query_outputs_are_scalar_only(spark):
+    # the driver's canonicalizer sorts/factorizes result columns in
+    # pandas: array/map/struct/binary columns crash it (round-2
+    # frame_sample failure). Every oracle-checked query must emit
+    # scalar columns only — explode to rows or array_join instead.
+    from osarchiver_spark.queries import all_oracles, all_queries
+
+    Q, O = all_queries(), all_oracles()
+    offenders = []
+    for name in O:
+        for f in Q[name](spark, SF).schema.fields:
+            t = f.dataType.simpleString()
+            if any(k in t for k in ("array", "map", "struct", "binary")):
+                offenders.append((name, f.name, t))
+    assert not offenders, f"non-scalar oracle outputs: {offenders}"
