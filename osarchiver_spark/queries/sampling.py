@@ -107,6 +107,29 @@ def q_domain_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_domain_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The oversampling half of data mixing: high-value sources are
+    repeated to a fractional target ratio ((k % 4 + 2)/2 →
+    1.0/1.5/2.0/2.5 copies). Integer part = unconditional copies; the
+    fractional remainder is an md5-uniform coin per doc, so a 1.5×
+    source repeats every doc once and HALF its docs twice —
+    deterministically (re-runs and repartitions produce the same
+    copy set). Explode of a sequence: no shuffle, no state, output
+    tagged with copy_idx for downstream shuffling/packing."""
+    docs = load_table(spark, sf_dir, "documents")
+    k = F.regexp_extract(F.col("source"), "[0-9]+", 0).cast("int")
+    ratio2 = k % 4 + 2  # ratio in halves: 2..5 -> 1.0x..2.5x
+    base = F.floor(ratio2 / 2).cast("int")
+    frac_half = ratio2 % 2  # 1 -> +0.5 probability
+    u = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    ) / F.lit(float(1 << 32))
+    copies = base + (frac_half == 1).cast("int") * (u < 0.5).cast("int")
+    return docs.select(
+        "doc_id", "source", F.explode(F.sequence(F.lit(1), copies)).alias("copy_idx")
+    )
+
+
 SEQ_LEN = 2048  # training sequence length (tokens)
 N_SHARDS = 8  # independent packing streams; >> executor count at scale
 
@@ -152,6 +175,7 @@ QUERIES = {
     "sample_split": q_sample_split,
     "class_cap_sample": q_class_cap_sample,
     "domain_mix_sample": q_domain_mix_sample,
+    "domain_upsample": q_domain_upsample,
     "sequence_pack": q_sequence_pack,
     "tfidf_top_terms": q_tfidf_top_terms,
 }
@@ -174,6 +198,18 @@ ORACLES = {
                                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
             FROM documents)
         WHERE rk <= 5
+    """,
+    "domain_upsample": """
+        SELECT doc_id, source, CAST(copy_idx AS INT) AS copy_idx FROM (
+        SELECT doc_id, source, unnest(range(1, copies + 1)) AS copy_idx
+        FROM (
+            SELECT doc_id, source,
+                   (CAST(regexp_extract(source, '[0-9]+') AS INT) % 4 + 2) // 2
+                   + CASE WHEN (CAST(regexp_extract(source, '[0-9]+') AS INT) % 4 + 2) % 2 = 1
+                          AND CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+                              / 4294967296.0 < 0.5
+                          THEN 1 ELSE 0 END AS copies
+            FROM documents))
     """,
     "sequence_pack": f"""
         WITH sized AS (
