@@ -217,6 +217,23 @@ def q_fk_repair_patch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_restore_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Un-archive (operators/restore.py): rows of the pre-1996 archive
+    slice that are missing from a partially-restored source (every 3rd
+    key already put back) — the pk anti-join that makes restore
+    idempotent and re-runnable, mirrored from the sink's
+    insert-if-absent guard."""
+    from osarchiver_spark.operators.restore import restore_candidates
+
+    orders = load_table(spark, sf_dir, "orders")
+    cutoff = F.lit(datetime(1996, 1, 1))
+    archived = orders.filter(F.col("o_orderdate") <= cutoff)
+    source = orders.filter(
+        (F.col("o_orderdate") > cutoff) | (F.col("o_orderkey") % 3 == 0)
+    )
+    return restore_candidates(archived, source, "o_orderkey")
+
+
 def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD Type-2 history after two CDC batches (operators/scd.py:
     anti-join + union MERGE emulation, one shuffle per batch): batch 1
@@ -310,6 +327,7 @@ def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "restore_candidates": q_restore_candidates,
     "profile_table": q_profile_table,
     "dq_checks": q_dq_checks,
     "scd2_history": q_scd2_history,
@@ -346,6 +364,13 @@ def _profile_sql() -> str:
 
 
 ORACLES = {
+    "restore_candidates": """
+        SELECT * FROM orders
+        WHERE o_orderdate <= TIMESTAMP '1996-01-01'
+          AND o_orderkey NOT IN (
+              SELECT o_orderkey FROM orders
+              WHERE o_orderdate > TIMESTAMP '1996-01-01' OR o_orderkey % 3 = 0)
+    """,
     "profile_table": _profile_sql(),
     "dq_checks": """
         SELECT 'orders.o_totalprice_positive' AS rule,

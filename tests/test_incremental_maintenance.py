@@ -88,3 +88,38 @@ def test_compaction_preserves_rows(spark, sf_small, tmp_path):
     assert back.join(orders, "o_orderkey", "left_anti").count() == 0
     # idempotent: already compact -> no rewrite
     assert compact_parquet_dir(spark, path, target_bytes=1 << 30) == (1, 1)
+
+
+def test_restore_roundtrip(spark, sf_small, tmp_path):
+    """archive -> delete -> restore puts every archived row back;
+    a second restore is a no-op (idempotent, like the sinks)."""
+    from osarchiver_spark.operators.restore import restore_candidates, restore_report
+
+    orders = load_table(spark, sf_small, "orders")
+    cutoff = datetime(1996, 1, 1)
+    archived = orders.filter(F.col("o_orderdate") <= F.lit(cutoff))
+    remaining = orders.filter(
+        (F.col("o_orderdate") > F.lit(cutoff)) | F.col("o_orderdate").isNull()
+    )
+    n_arch, n_rem = archived.count(), remaining.count()
+    assert n_arch > 0 and n_arch + n_rem == orders.count()
+
+    todo = restore_candidates(archived, remaining, "o_orderkey")
+    assert todo.count() == n_arch
+    restored = remaining.unionByName(todo)
+    assert restored.count() == orders.count()
+    assert restored.join(orders, "o_orderkey", "left_anti").count() == 0
+
+    # idempotent: second pass selects nothing
+    assert restore_candidates(archived, restored, "o_orderkey").count() == 0
+
+    # windowed restore touches only the window
+    lo, hi = datetime(1995, 1, 1), datetime(1995, 7, 1)
+    win = restore_candidates(archived, remaining, "o_orderkey", "o_orderdate", (lo, hi))
+    expect = archived.filter(
+        (F.col("o_orderdate") > F.lit(lo)) & (F.col("o_orderdate") <= F.lit(hi))
+    ).count()
+    assert win.count() == expect > 0
+
+    rep = restore_report(archived, restored, "o_orderkey").collect()[0]
+    assert rep["restorable"] == 0 and rep["already_in_source"] == n_arch
