@@ -69,7 +69,10 @@ def run(argv: list[str] | None = None) -> int:
     for configured in archivers:
         logging.info("running archiver %s (src %s)", configured.name, configured.src_name)
         archiver = Archiver(
-            configured.spec, configured.sinks, watermarks=configured.watermarks()
+            configured.spec,
+            configured.sinks,
+            watermarks=configured.watermarks(),
+            max_parallel_tables=configured.parallel_tables,
         )
         results = archiver.run(configured.dataframes(spark))
         for r in results:

@@ -278,3 +278,33 @@ directory={tmp_path}/arch
     ).count()
     assert r2[0].archived_rows == delta  # only the (T1, T2] window
     assert WatermarkStore(f"{tmp_path}/orders.wm").get("orders") == datetime(1998, 1, 1)
+
+
+def test_parallel_tables_option_wires_through(spark, sf_small, tmp_path):
+    ini = f"""
+[archiver:multi]
+src=multi_src
+dst=arch
+parallel_tables=4
+
+[src:multi_src]
+backend=parquet
+directory={sf_small}
+now=2001-12-01T00:00:00
+retention=12 MONTH
+deleted_column=o_orderdate
+primary_keys=orders:o_orderkey
+tables=orders
+
+[dst:arch]
+backend=parquet
+directory={tmp_path}/arch
+"""
+    (a,) = load_config(text=ini)
+    assert a.parallel_tables == 4
+    from osarchiver_spark.operators.archive import Archiver as A
+
+    results = A(
+        a.spec, a.sinks, watermarks=a.watermarks(), max_parallel_tables=a.parallel_tables
+    ).run(a.dataframes(spark))
+    assert results[0].error is None and results[0].archived_rows > 0
