@@ -29,14 +29,21 @@ import contextlib
 import json
 import os
 import tempfile
+import threading
 from datetime import datetime
 
 
 class WatermarkStore:
-    """Per-table high-watermark persistence (JSON file)."""
+    """Per-table high-watermark persistence (JSON file).
+
+    ``advance`` is a read-modify-write of the whole file; the Archiver
+    calls it from concurrent table threads when ``max_parallel_tables
+    > 1``, so it serializes on a per-store lock (two tables advancing
+    at once must not drop each other's entry)."""
 
     def __init__(self, path: str):
         self.path = path
+        self._lock = threading.Lock()
 
     def _load(self) -> dict[str, str]:
         try:
@@ -52,6 +59,10 @@ class WatermarkStore:
 
     def advance(self, table: str, cutoff: datetime) -> None:
         """Monotonic per-table advance, atomic on POSIX (tmp+rename)."""
+        with self._lock:
+            self._advance_locked(table, cutoff)
+
+    def _advance_locked(self, table: str, cutoff: datetime) -> None:
         data = self._load()
         prev = data.get(table)
         if prev and datetime.fromisoformat(prev) >= cutoff:

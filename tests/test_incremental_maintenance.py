@@ -123,3 +123,16 @@ def test_restore_roundtrip(spark, sf_small, tmp_path):
 
     rep = restore_report(archived, restored, "o_orderkey").collect()[0]
     assert rep["restorable"] == 0 and rep["already_in_source"] == n_arch
+
+
+def test_watermark_concurrent_advances_keep_all_tables(tmp_path):
+    """Parallel table threads advance the shared store concurrently;
+    no entry may be lost to a read-modify-write race."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    wm = WatermarkStore(str(tmp_path / "wm.json"))
+    tables = [f"t{i}" for i in range(24)]
+    with ThreadPoolExecutor(max_workers=12) as ex:
+        list(ex.map(lambda t: wm.advance(t, T1), tables))
+    for t in tables:
+        assert wm.get(t) == T1, f"lost concurrent advance for {t}"
