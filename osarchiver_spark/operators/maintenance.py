@@ -62,8 +62,14 @@ def compact_parquet_dir(
     if fs.exists(tmp_path):
         fs.delete(tmp_path, True)  # stale leftover from a crashed run
     df.repartition(n_out).write.mode("overwrite").parquet(tmp)
-    # swap: the original is removed only after the rewrite completed
-    fs.delete(hpath, True)
+    # three-step swap: at every instant at least one complete copy
+    # exists under a predictable name (old aside -> tmp in -> old gone)
+    old = path.rstrip("/") + "__precompact"
+    old_path = jvm.org.apache.hadoop.fs.Path(old)
+    if fs.exists(old_path):
+        fs.delete(old_path, True)
+    fs.rename(hpath, old_path)
     fs.rename(tmp_path, hpath)
+    fs.delete(old_path, True)
     after, _ = data_file_stats(spark, path)
     return before, after
