@@ -270,7 +270,41 @@ def q_streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_session_agg(spark, sf_dir)
 
 
+def q_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling (the hypertable/continuous-aggregate
+    shape): per event_type, a dense hourly grid between that type's
+    first and last hour, LEFT-joined to the hourly rollup, missing
+    buckets forward-filled with the last observed value. Grid
+    generation is sequence+explode off a 5-row bounds aggregate —
+    the grid is |types|×|hours| rows, never a data×data product; the
+    fill is one running window per type."""
+    ev = load_table(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", F.col("ts"))
+    hourly = (
+        ev.select(F.col("event_type"), hour.alias("h"), F.col("value"))
+        .groupBy("event_type", "h")
+        .agg(F.round(F.sum("value"), 4).alias("v_raw"))
+    )
+    bounds = hourly.groupBy("event_type").agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    grid = bounds.select(
+        "event_type",
+        F.explode(F.sequence("h0", "h1", F.expr("interval 1 hour"))).alias("h"),
+    )
+    joined = grid.join(hourly, ["event_type", "h"], "left")
+    w = W.partitionBy("event_type").orderBy("h").rowsBetween(W.unboundedPreceding, 0)
+    return joined.select(
+        "event_type",
+        "h",
+        "v_raw",
+        F.last("v_raw", ignorenulls=True).over(w).alias("v_filled"),
+        F.col("v_raw").isNull().alias("is_gap"),
+    )
+
+
 QUERIES = {
+    "gapfill_hourly": q_gapfill_hourly,
     "streaming_tumbling": q_streaming_tumbling,
     "streaming_sliding": q_streaming_sliding,
     "streaming_interval_join": q_streaming_interval_join,
@@ -292,6 +326,22 @@ QUERIES = {
 }
 
 ORACLES = {
+    "gapfill_hourly": """
+        WITH hourly AS (
+            SELECT event_type, date_trunc('hour', ts) AS h,
+                   round(sum(value), 4) AS v_raw
+            FROM events GROUP BY 1, 2),
+        b AS (SELECT event_type, min(h) AS h0, max(h) AS h1 FROM hourly GROUP BY 1),
+        grid AS (
+            SELECT event_type, unnest(range(h0, h1 + INTERVAL 1 HOUR, INTERVAL 1 HOUR)) AS h
+            FROM b)
+        SELECT g.event_type, g.h, hourly.v_raw,
+               last_value(hourly.v_raw IGNORE NULLS) OVER (
+                   PARTITION BY g.event_type ORDER BY g.h
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled,
+               hourly.v_raw IS NULL AS is_gap
+        FROM grid g LEFT JOIN hourly ON g.event_type = hourly.event_type AND g.h = hourly.h
+    """,
     "streaming_interval_join": """
         SELECT v.event_id AS view_id, p.event_id AS purchase_id,
                v.user_id, v.ts AS view_ts, p.ts AS purchase_ts
