@@ -196,3 +196,22 @@ def test_ann_operators_preserve_string_ids(spark, sf_small):
         (f"vec-{r.vec_a:05d}", f"vec-{r.vec_b:05d}", r.cosine) for r in num_pairs
     }
     assert got_pairs == want_pairs
+
+
+def test_minhash_xxhash64_oracle_contract_at_adjudication_scale(spark, sf_medium):
+    """The registered dedup_minhash_xxhash64 query borrows the md5
+    twin's DuckDB oracle, which is only sound if the two modes emit
+    the IDENTICAL pair set at the driver's adjudication scale
+    (sf0.01) — pin equality, not just recall."""
+    docs = load_table(spark, sf_medium, "documents")
+    md5_pairs = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5).collect()
+    }
+    xx_pairs = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in minhash_lsh_pairs(
+            docs, "doc_id", "text", threshold=0.5, hash_fn="xxhash64"
+        ).collect()
+    }
+    assert xx_pairs == md5_pairs
