@@ -26,6 +26,12 @@ HEAVY = [
     "sequence_pack",
     "unigram_logprob",
     "knn_bruteforce",
+    "dedup_incremental",
+    "hashed_features",
+    "gapfill_hourly",
+    "domain_upsample",
+    "restore_candidates",
+    "scd2_history",
 ]
 
 pytestmark = pytest.mark.skipif(
