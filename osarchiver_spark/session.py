@@ -37,10 +37,15 @@ def get_spark(app_name: str = "osarchiver_spark", shuffle_partitions: int | None
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        # Fixture parquet stores TIMESTAMP(NANOS); Spark has no nanos
-        # type — read as long, converted to micros in the catalog
+        # Older fixture builds store TIMESTAMP(NANOS); Spark has no
+        # nanos type — read as long, converted to micros in the catalog
         # (sources/parquet.py) to match DuckDB's truncation.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Current fixture builds store naive timestamp[us]; read as
+        # TIMESTAMP (LTZ, UTC session) rather than TIMESTAMP_NTZ so
+        # epoch functions (unix_micros etc.) type-check and semantics
+        # match DuckDB's naive-as-UTC interpretation.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -61,13 +61,14 @@ def drain_stream_to_parquet(
         return spark.createDataFrame([], df.schema)
     return spark.read.parquet(out_dir)
 
-# Explicit schema: streaming sources never infer. ts is TIMESTAMP
-# (NANOS) in the fixture parquet → read as long (nanosAsLong), then
-# floor-converted to microseconds exactly like the batch catalog.
+# Explicit schema: streaming sources never infer. ts is timestamp[us]
+# (naive) in the fixture parquet; requesting TimestampType reads it as
+# LTZ micros — identical wall-clock under the UTC session, same values
+# the batch catalog produces.
 EVENTS_RAW_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
@@ -84,13 +85,12 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The file stream source watches a DIRECTORY; pathGlobFilter picks
     # the events table out of the fixture dir (a real deployment
     # watches a landing dir of arriving parquet files).
-    raw = (
+    return (
         spark.readStream.format("parquet")
         .schema(EVENTS_RAW_SCHEMA)
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def streaming_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:

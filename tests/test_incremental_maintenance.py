@@ -48,8 +48,17 @@ def test_watermark_bounds_second_run(spark, sf_small, tmp_path):
     # the two runs are disjoint and together equal the plain <= T2 set
     assert n1 + n2 == orders.filter(F.col("o_orderdate") <= F.lit(T2)).count()
     # and the lower bound reaches the scan as a pushed filter
+    # (explain("formatted") prints scan metadata untruncated, unlike
+    # executedPlan().toString() whose PushedFilters line is capped at
+    # spark.sql.maxMetadataStringLength)
+    import contextlib
+    import io
+
     pred = (F.col("o_orderdate") <= F.lit(T2)) & (F.col("o_orderdate") > F.lit(T1))
-    plan = orders.filter(pred)._jdf.queryExecution().executedPlan().toString()
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        orders.filter(pred).explain("formatted")
+    plan = buf.getvalue()
     assert "GreaterThan(o_orderdate" in plan and "LessThanOrEqual(o_orderdate" in plan
 
 
