@@ -21,6 +21,7 @@ _MODULES = [
     "relational",
     "tpch",
     "windows",
+    "events_analytics",
     "dedup",
     "similarity",
     "text",

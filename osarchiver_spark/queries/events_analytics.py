@@ -1,0 +1,206 @@
+"""Behavioral / distribution analytics over ``events`` and
+``documents`` — the product-analytics and pipeline-diagnostics layer
+a complete engine ships next to its relational core (SURVEY §2.4/§2.5
+aggregation + window completion; no reference counterpart — the
+reference is archival-only).
+
+Scale notes (100 TB):
+- funnel + cohort both hash-partition on ``user_id`` once and keep
+  every later join/agg on that same key, so Catalyst reuses the
+  exchange instead of re-shuffling; nothing is ordered globally.
+- key_skew_report is the diagnostic you run BEFORE picking join
+  strategies: one map-combinable count agg, a single-row global stat
+  broadcast back, top-k via order+limit (TakeOrderedAndProject — no
+  full sort).
+- curriculum binning derives its quartile boundaries with a one-row
+  exact-percentile aggregate broadcast into the scan-side CASE; no
+  global ntile() window (which would serialize the corpus through a
+  single partition — the anti-pattern).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from osarchiver_spark.functions.text import token_count
+from osarchiver_spark.sources.parquet import load_table
+
+_SQL_N_TOKENS = "len(list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> ''))"
+
+
+def q_funnel_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view → click → purchase: a user
+    converts at a stage only with an event at-or-after their previous
+    stage's first event. Three min-aggregates chained by user_id
+    equi-joins — one shuffle key throughout."""
+    ev = load_table(spark, sf_dir, "events")
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .join(views, "user_id")
+        .filter(F.col("ts") >= F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(clicks, "user_id")
+        .filter(F.col("ts") >= F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    n_view = views.agg(F.count("*").alias("n_view"))
+    n_click = clicks.agg(F.count("*").alias("n_click"))
+    n_purchase = purchases.agg(F.count("*").alias("n_purchase"))
+    return (
+        n_view.crossJoin(n_click)
+        .crossJoin(n_purchase)
+        .select(
+            "n_view",
+            "n_click",
+            "n_purchase",
+            F.round(F.col("n_click") / F.col("n_view") * 100, 4).alias("click_pct"),
+            F.round(F.col("n_purchase") / F.col("n_view") * 100, 4).alias("purchase_pct"),
+        )
+    )
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily cohort retention matrix: users cohorted by first-event
+    day; each (cohort_day, day_offset) cell counts distinct users
+    active that many days later. First-touch agg + self-join + count
+    distinct — all partitioned by user_id / small output."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    first = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        ev.join(first, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff(F.col("day"), F.col("cohort_day")).alias("day_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+def q_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter / skew diagnostic over a join key (o_custkey):
+    top-10 keys by row count with their share of the table and ratio
+    to the mean key width — what decides salting vs AQE skew-join
+    before a 100 TB shuffle. Count agg (map-side combine) + one-row
+    stats broadcast + TakeOrderedAndProject."""
+    orders = load_table(spark, sf_dir, "orders")
+    cnt = orders.groupBy("o_custkey").agg(F.count("*").alias("cnt"))
+    stats = cnt.agg(
+        F.sum("cnt").alias("total_rows"), F.avg("cnt").alias("mean_cnt")
+    )
+    return (
+        cnt.crossJoin(F.broadcast(stats))
+        .select(
+            "o_custkey",
+            "cnt",
+            F.round(F.col("cnt") / F.col("total_rows") * 100, 6).alias("share_pct"),
+            F.round(F.col("cnt") / F.col("mean_cnt"), 6).alias("ratio_to_mean"),
+        )
+        .orderBy(F.col("cnt").desc(), "o_custkey")
+        .limit(10)
+    )
+
+
+def q_quality_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum binning: documents assigned to 4 length buckets by
+    exact token-count quartiles. Boundaries come from a one-row
+    percentile aggregate broadcast into the CASE — not a global
+    ntile() window."""
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select("doc_id", token_count(F.col("text")).alias("n_tokens"))
+    bounds = sized.agg(
+        F.expr("percentile(n_tokens, array(0.25, 0.5, 0.75))").alias("q")
+    ).select(
+        F.col("q")[0].alias("q1"), F.col("q")[1].alias("q2"), F.col("q")[2].alias("q3")
+    )
+    bucket = (
+        F.when(F.col("n_tokens") <= F.col("q1"), 1)
+        .when(F.col("n_tokens") <= F.col("q2"), 2)
+        .when(F.col("n_tokens") <= F.col("q3"), 3)
+        .otherwise(4)
+    )
+    return (
+        sized.crossJoin(F.broadcast(bounds))
+        .select("doc_id", "n_tokens", bucket.cast("int").alias("bucket"))
+    )
+
+
+QUERIES = {
+    "funnel_analysis": q_funnel_analysis,
+    "cohort_retention": q_cohort_retention,
+    "key_skew_report": q_key_skew_report,
+    "quality_curriculum": q_quality_curriculum,
+}
+
+ORACLES = {
+    "funnel_analysis": """
+        WITH v AS (
+            SELECT user_id, min(ts) AS t_view FROM events
+            WHERE event_type = 'view' GROUP BY 1),
+        c AS (
+            SELECT e.user_id, min(e.ts) AS t_click
+            FROM events e JOIN v USING (user_id)
+            WHERE e.event_type = 'click' AND e.ts >= v.t_view GROUP BY 1),
+        p AS (
+            SELECT e.user_id, min(e.ts) AS t_purchase
+            FROM events e JOIN c USING (user_id)
+            WHERE e.event_type = 'purchase' AND e.ts >= c.t_click GROUP BY 1)
+        SELECT (SELECT count(*) FROM v) AS n_view,
+               (SELECT count(*) FROM c) AS n_click,
+               (SELECT count(*) FROM p) AS n_purchase,
+               round((SELECT count(*) FROM c) * 100.0 / (SELECT count(*) FROM v), 4)
+                   AS click_pct,
+               round((SELECT count(*) FROM p) * 100.0 / (SELECT count(*) FROM v), 4)
+                   AS purchase_pct
+    """,
+    "cohort_retention": """
+        WITH days AS (
+            SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+        first AS (
+            SELECT user_id, min(day) AS cohort_day FROM days GROUP BY 1)
+        SELECT f.cohort_day,
+               datediff('day', f.cohort_day, d.day) AS day_offset,
+               count(DISTINCT d.user_id) AS n_users
+        FROM days d JOIN first f USING (user_id)
+        GROUP BY 1, 2
+    """,
+    "key_skew_report": """
+        WITH cnt AS (
+            SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY 1),
+        stats AS (
+            SELECT sum(cnt) AS total_rows, avg(cnt) AS mean_cnt FROM cnt)
+        SELECT o_custkey, cnt,
+               round(cnt * 100.0 / total_rows, 6) AS share_pct,
+               round(cnt / mean_cnt, 6) AS ratio_to_mean
+        FROM cnt CROSS JOIN stats
+        ORDER BY cnt DESC, o_custkey
+        LIMIT 10
+    """,
+    "quality_curriculum": f"""
+        WITH sized AS (
+            SELECT doc_id, {_SQL_N_TOKENS} AS n_tokens FROM documents),
+        bounds AS (
+            SELECT quantile_cont(n_tokens, 0.25) AS q1,
+                   quantile_cont(n_tokens, 0.5) AS q2,
+                   quantile_cont(n_tokens, 0.75) AS q3
+            FROM sized)
+        SELECT doc_id, n_tokens,
+               CAST(CASE WHEN n_tokens <= q1 THEN 1
+                         WHEN n_tokens <= q2 THEN 2
+                         WHEN n_tokens <= q3 THEN 3
+                         ELSE 4 END AS INT) AS bucket
+        FROM sized CROSS JOIN bounds
+    """,
+}
