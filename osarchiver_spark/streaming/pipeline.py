@@ -193,6 +193,67 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drain_stream_to_parquet(joined, "append", "stream_ij")
 
 
+def streaming_outer_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream interval join: every view, with its
+    same-user purchases in the following 4 hours, or NULLs when none
+    arrived. The engine can only emit an unmatched view once the
+    purchase-side watermark has passed the view's whole join range —
+    views near the end of a (finite) stream are still "maybe matched"
+    when the source drains, so their NULL rows are not yet final.
+    Both this query and its batch oracle therefore trim to views whose
+    outer result is provably final against the FINAL GLOBAL WATERMARK
+    = min(max view_ts - 4h, max purchase_ts - 8h) (the engine takes
+    the min over every input's watermark): keep view_ts strictly below
+    that watermark minus the 4h join range, less a 1h safety margin so
+    boundary-eviction semantics can't flip a row. On an unbounded
+    production stream no trim exists — rows simply emit as the
+    watermark moves; the cutoff is the finite-fixture equivalent."""
+    ev = events_stream(spark, sf_dir)
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "4 hours")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "8 hours")
+    )
+    joined = views.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (F.col("purchase_ts") <= F.col("view_ts") + F.expr("INTERVAL 4 HOURS")),
+        "leftOuter",
+    ).select("view_id", "purchase_id", "user_id", "view_ts", "purchase_ts")
+    drained = drain_stream_to_parquet(joined, "append", "stream_oij")
+    from osarchiver_spark.sources.parquet import load_table
+
+    ev_batch = load_table(spark, sf_dir, "events")
+    bound = ev_batch.agg(
+        (
+            F.least(
+                F.max(F.when(F.col("event_type") == "view", F.col("ts")))
+                - F.expr("INTERVAL 4 HOURS"),
+                F.max(F.when(F.col("event_type") == "purchase", F.col("ts")))
+                - F.expr("INTERVAL 8 HOURS"),
+            )
+            - F.expr("INTERVAL 5 HOURS")  # 4h join range + 1h margin
+        ).alias("cutoff")
+    )
+    return drained.crossJoin(F.broadcast(bound)).filter(
+        F.col("view_ts") <= F.col("cutoff")
+    ).drop("cutoff")
+
+
 def stream_archive(
     spark: SparkSession,
     sf_dir: str,

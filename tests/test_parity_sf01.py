@@ -32,6 +32,9 @@ HEAVY = [
     "domain_upsample",
     "restore_candidates",
     "scd2_history",
+    "streaming_outer_interval_join",
+    "funnel_analysis",
+    "cohort_retention",
 ]
 
 pytestmark = pytest.mark.skipif(
