@@ -17,7 +17,7 @@ exact SQL oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
 from osarchiver_spark.functions.text import (
@@ -292,6 +292,73 @@ def ngram_jaccard_pairs(
         .distinct()
     )
     return _pair_jaccard(pairs, shingled).filter(F.col("jaccard") >= threshold)
+
+
+def repeated_span_report(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 64,
+    stride: int = 16,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Span-level exact-substring dedup: per document, the merged
+    character ranges whose fixed-width windows also occur verbatim in
+    at least ``min_docs - 1`` OTHER documents — the repeated-passage
+    report a pretraining pipeline uses to mask or cut boilerplate
+    (the suffix-array span-dedup shape, approximated with strided
+    rolling windows so it stays a pure shuffle-friendly plan).
+
+    Plan: explode ~len/stride window positions per doc (codegen
+    sequence+substr, no UDF), md5 each window, one map-combinable
+    count-distinct-docs agg over the window hash, semi-join the
+    positions whose hash is cross-document, then a per-doc
+    gaps-and-islands window merge (positions within ``window`` chars
+    coalesce into one span). Every join/agg is an equi-join on a hash
+    key; nothing is all-pairs, nothing leaves codegen. window/stride
+    trade recall for cost: a duplicated passage shorter than
+    window + stride - 1 chars can be missed, exactly like
+    suffix-array dedup run at a minimum match length."""
+    did = F.col(id_col)
+    text = F.col(text_col)
+    spans = (
+        df.filter(F.length(text) >= window)
+        .select(
+            did.alias("doc_id"),
+            F.explode(
+                F.sequence(F.lit(0), F.length(text) - window, F.lit(stride))
+            ).alias("pos"),
+            text.alias("_t"),
+        )
+        .select(
+            "doc_id",
+            "pos",
+            F.md5(F.col("_t").substr(F.col("pos") + 1, F.lit(window))).alias("h"),
+        )
+    )
+    dup = (
+        spans.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("h")
+    )
+    hits = spans.join(dup, "h", "left_semi").select("doc_id", "pos")
+    w = W.partitionBy("doc_id").orderBy("pos")
+    islands = hits.withColumn(
+        "grp",
+        F.sum(
+            F.when(
+                F.lag("pos").over(w).isNull()
+                | (F.col("pos") - F.lag("pos").over(w) > window),
+                1,
+            ).otherwise(0)
+        ).over(w.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    return islands.groupBy("doc_id", "grp").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + window).alias("span_end"),
+        F.count("*").alias("n_windows"),
+    ).select("doc_id", "span_start", "span_end", "n_windows")
 
 
 def embedding_lsh_neardup_pairs(

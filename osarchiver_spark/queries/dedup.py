@@ -148,9 +148,27 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs)
 
 
+SPAN_WINDOW = 64  # chars per rolling window
+SPAN_STRIDE = 16
+
+
+def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level exact-substring dedup (the suffix-array-style
+    repeated-passage report, approximated with strided rolling
+    windows): per doc, merged char ranges whose 64-char windows occur
+    verbatim in ≥2 documents."""
+    from osarchiver_spark.operators.dedup import repeated_span_report
+
+    docs = load_table(spark, sf_dir, "documents")
+    return repeated_span_report(
+        docs, "doc_id", "text", window=SPAN_WINDOW, stride=SPAN_STRIDE
+    )
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_exact_rows": q_dedup_exact_rows,
+    "dedup_substring_spans": q_dedup_substring_spans,
     "dedup_clusters": q_dedup_clusters,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_incremental": q_dedup_incremental,
@@ -312,6 +330,31 @@ ORACLES = {
 }
 
 ORACLES["dedup_minhash_xxhash64"] = ORACLES["dedup_minhash_lsh"]
+
+ORACLES["dedup_substring_spans"] = """
+    WITH spans AS (
+        SELECT doc_id, i AS pos, md5(substr(text, i + 1, 64)) AS h
+        FROM documents,
+             LATERAL unnest(range(0, length(text) - 64 + 1, 16)) AS t(i)
+        WHERE length(text) >= 64),
+    dup AS (
+        SELECT h FROM spans GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+    hits AS (
+        SELECT s.doc_id, s.pos FROM spans s JOIN dup USING (h)),
+    lagged AS (
+        SELECT doc_id, pos,
+               lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        FROM hits),
+    islands AS (
+        SELECT doc_id, pos,
+               sum(CASE WHEN prev IS NULL OR pos - prev > 64 THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+        FROM lagged)
+    SELECT doc_id, min(pos) AS span_start, max(pos) + 64 AS span_end,
+           count(*) AS n_windows
+    FROM islands GROUP BY doc_id, grp
+"""
 
 # Transitive closure over the identical pair SQL: the minhash oracle
 # becomes a (nested-WITH) CTE, the closure is a recursive

@@ -128,3 +128,31 @@ def test_sequence_pack_invariants(spark, sf_medium):
             end_seq = (pos + r["n_slots"] - 1) // SEQ_LEN
             assert r["spans_boundary"] == (end_seq > r["seq_id"])
             pos += r["n_slots"]
+
+
+def test_repeated_span_report_finds_planted_passage(spark):
+    from osarchiver_spark.operators.dedup import repeated_span_report
+
+    boiler = "All rights reserved. Redistribution of this document requires written permission from the publisher. " * 2
+    rows = [
+        (1, "unique prefix one " * 10 + boiler + "unique suffix one " * 10),
+        (2, "different opening text " * 12 + boiler + "другой хвост " * 8),
+        (3, "this document shares nothing with the others " * 12),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = repeated_span_report(df, "doc_id", "text", window=64, stride=16).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # the un-shared doc reports nothing
+    assert 3 not in by_doc
+    # docs 1 and 2 each report exactly one merged span covering the passage
+    for doc, text in ((1, rows[0][1]), (2, rows[1][1])):
+        spans = by_doc[doc]
+        assert len(spans) == 1
+        s = spans[0]
+        start = text.index(boiler)
+        # the merged span covers the planted passage (windows are
+        # strided, so edges are within one stride + window)
+        assert s.span_start <= start + 16
+        assert s.span_end >= start + len(boiler) - 16 - 64
