@@ -326,7 +326,38 @@ def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout derivation + its locality evidence: interleave
+    (o_custkey, order-day) bits into the Morton value, cut the curve
+    into 64 contiguous segments (the would-be output files), and show
+    each segment's min/max in BOTH dimensions — the rectangles
+    parquet min/max stats would prune against after
+    operators/layout.py::zorder_layout rewrites the table. The
+    interleave expression is engine-portable integer arithmetic, so
+    the whole derivation is exactly oracle-checked."""
+    from osarchiver_spark.operators.layout import zorder_sql
+
+    orders = load_table(spark, sf_dir, "orders")
+    z = zorder_sql("o_custkey", "datediff(o_orderdate, DATE '1992-01-01')", bits=14)
+    return (
+        orders.select(
+            F.expr(f"{z} >> 18").alias("curve_bucket"),
+            F.col("o_custkey"),
+            F.expr("datediff(o_orderdate, DATE '1992-01-01')").alias("day_no"),
+        )
+        .groupBy("curve_bucket")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("o_custkey").alias("min_cust"),
+            F.max("o_custkey").alias("max_cust"),
+            F.min("day_no").alias("min_day"),
+            F.max("day_no").alias("max_day"),
+        )
+    )
+
+
 QUERIES = {
+    "zorder_locality": q_zorder_locality,
     "restore_candidates": q_restore_candidates,
     "profile_table": q_profile_table,
     "dq_checks": q_dq_checks,
@@ -363,7 +394,23 @@ def _profile_sql() -> str:
     return branches
 
 
+def _zorder_oracle() -> str:
+    from osarchiver_spark.operators.layout import zorder_sql
+
+    z = zorder_sql("o_custkey", "date_diff('day', DATE '1992-01-01', o_orderdate)", bits=14)
+    return f"""
+        SELECT ({z} >> 18) AS curve_bucket,
+               count(*) AS n_rows,
+               min(o_custkey) AS min_cust, max(o_custkey) AS max_cust,
+               min(date_diff('day', DATE '1992-01-01', o_orderdate)) AS min_day,
+               max(date_diff('day', DATE '1992-01-01', o_orderdate)) AS max_day
+        FROM orders
+        GROUP BY 1
+    """
+
+
 ORACLES = {
+    "zorder_locality": _zorder_oracle(),
     "restore_candidates": """
         SELECT * FROM orders
         WHERE o_orderdate <= TIMESTAMP '1996-01-01'

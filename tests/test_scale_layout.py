@@ -73,3 +73,43 @@ def test_partitioned_archive_prunes(spark, sf_small, tmp_path):
     got = read.count()
     want = archived.filter(F.trunc("o_orderdate", "month") == "1997-06-01").count()
     assert got == want and want > 0
+
+
+def test_zorder_layout_narrows_both_dims(spark, sf_medium):
+    """Range-partitioning on the Morton value must yield partitions
+    that are narrow in BOTH interleaved dimensions at once — the
+    property single-column sorting cannot give. Needs dimensions of
+    comparable bit width (sf0.01: custkey 11 bits, day 12 bits) and
+    cuts deep enough into the curve that both dims' bits engage."""
+    from pyspark.sql import functions as F
+
+    from osarchiver_spark.operators.layout import zorder_layout
+    from osarchiver_spark.sources.parquet import load_table
+
+    orders = load_table(spark, sf_medium, "orders")
+    laid = zorder_layout(
+        orders, "o_custkey", "datediff(o_orderdate, DATE '1992-01-01')",
+        bits=14, num_files=32,
+    )
+    stats = (
+        laid.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .agg(
+            F.min("o_custkey").alias("c0"), F.max("o_custkey").alias("c1"),
+            F.min("o_orderdate").alias("d0"), F.max("o_orderdate").alias("d1"),
+        )
+        .collect()
+    )
+    g = orders.agg(
+        F.min("o_custkey"), F.max("o_custkey"), F.min("o_orderdate"), F.max("o_orderdate")
+    ).first()
+    g_cust = g[1] - g[0]
+    g_days = (g[3] - g[2]).days
+    import statistics
+
+    cust_w = statistics.mean(r.c1 - r.c0 for r in stats)
+    day_w = statistics.mean((r.d1 - r.d0).days for r in stats)
+    assert len(stats) > 1
+    # every file-to-be covers a fraction of both global ranges
+    assert cust_w < 0.7 * g_cust
+    assert day_w < 0.7 * g_days
