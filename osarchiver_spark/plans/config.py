@@ -39,6 +39,7 @@ from osarchiver_spark.plans.jobspec import ArchiveJobSpec, TableSpec
 from osarchiver_spark.sinks.base import (
     CsvSink,
     JsonlSink,
+    OrcSink,
     ParquetArchiveSink,
     Sink,
     SqlDumpSink,
@@ -368,6 +369,8 @@ def _build_sinks(dst: dict[str, str], dst_name: str, pks: dict[str, str]) -> lis
                 sinks.append(SqlDumpSink(directory, primary_keys=dict(pks)))
             elif fmt == "jsonl":
                 sinks.append(JsonlSink(directory, compression=dst.get("compression")))
+            elif fmt == "orc":
+                sinks.append(OrcSink(directory, compression=dst.get("compression")))
             else:
                 raise ConfigError(f"[dst:{dst_name}] unknown file format {fmt!r}")
         return sinks

@@ -117,6 +117,24 @@ class JsonlSink(_DatedFileSink):
         writer.json(self._out_path(f"{table}.jsonl"))
 
 
+class OrcSink(_DatedFileSink):
+    """One ORC dataset per table per run: ``<root>/<run>/<table>.orc``.
+    Columnar export for warehouses that ingest ORC natively (Hive,
+    Trino); same dated fan-out contract as the csv/sql/jsonl sinks,
+    written by Spark's built-in ORC datasource with min/max stats and
+    optional codec compression (zlib/snappy/zstd)."""
+
+    def __init__(self, root: str, compression: str | None = None, run_template: str = "{date}"):
+        super().__init__(root, run_template)
+        self.compression = compression
+
+    def write(self, table: str, df: DataFrame) -> None:
+        writer = df.write.mode("overwrite")
+        if self.compression:
+            writer = writer.option("compression", self.compression)
+        writer.orc(self._out_path(f"{table}.orc"))
+
+
 class ParquetArchiveSink(Sink):
     """The "archive database": parquet per table, append-mode with
     pk-dedup so re-runs are idempotent (the Spark rewrite of

@@ -83,3 +83,40 @@ formats=csv, jsonl
     (a,) = load_config(text=ini)
     kinds = {type(s).__name__ for s in a.sinks}
     assert kinds == {"CsvSink", "JsonlSink"}
+
+
+def test_orc_sink_roundtrip_and_config_wiring(spark, sf_small, tmp_path):
+    """OrcSink writes one <table>.orc dataset per dated run, readable
+    back losslessly; the INI front end accepts formats=orc."""
+    from datetime import datetime
+
+    from osarchiver_spark.plans.config import load_config
+    from osarchiver_spark.sinks.base import OrcSink
+
+    orders = load_table(spark, sf_small, "orders")
+    sink = OrcSink(str(tmp_path / "orc"), compression="zstd")
+    sink.begin_run(datetime(2001, 12, 1))
+    sink.write("orders", orders)
+    back = spark.read.orc(str(tmp_path / "orc" / "*" / "orders.orc"))
+    _assert_equal(orders, back, "o_orderkey")
+
+    ini = f"""
+[archiver:orders]
+src=orders_src
+dst=files
+
+[src:orders_src]
+backend=parquet
+directory={sf_small}
+now=2001-12-01T00:00:00
+primary_keys=orders:o_orderkey
+tables=orders
+
+[dst:files]
+backend=file
+directory={tmp_path}/cfg
+formats=orc
+"""
+    (a,) = load_config(text=ini)
+    kinds = {type(s).__name__ for s in a.sinks}
+    assert kinds == {"OrcSink"}
