@@ -137,11 +137,39 @@ def q_quality_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_winsorize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped outlier clipping (winsorization): event values clipped
+    to their event_type's exact [p05, p95] band — the robust-stats
+    pre-step before numeric feature extraction. Per-group exact
+    percentiles are one map-combinable aggregate over a low-cardinality
+    key, broadcast back into the scan-side clip; no window, no sort of
+    the fact table."""
+    ev = load_table(spark, sf_dir, "events")
+    bands = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.05)").alias("p05"),
+        F.expr("percentile(value, 0.95)").alias("p95"),
+    )
+    clipped = F.least(F.greatest(F.col("value"), F.col("p05")), F.col("p95"))
+    return (
+        ev.join(F.broadcast(bands), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 4).alias("value"),
+            F.round(clipped, 4).alias("value_winsorized"),
+            ((F.col("value") < F.col("p05")) | (F.col("value") > F.col("p95"))).alias(
+                "was_clipped"
+            ),
+        )
+    )
+
+
 QUERIES = {
     "funnel_analysis": q_funnel_analysis,
     "cohort_retention": q_cohort_retention,
     "key_skew_report": q_key_skew_report,
     "quality_curriculum": q_quality_curriculum,
+    "winsorize_events": q_winsorize_events,
 }
 
 ORACLES = {
@@ -187,6 +215,18 @@ ORACLES = {
         FROM cnt CROSS JOIN stats
         ORDER BY cnt DESC, o_custkey
         LIMIT 10
+    """,
+    "winsorize_events": """
+        WITH bands AS (
+            SELECT event_type,
+                   quantile_cont(value, 0.05) AS p05,
+                   quantile_cont(value, 0.95) AS p95
+            FROM events GROUP BY 1)
+        SELECT e.event_id, e.event_type,
+               round(e.value, 4) AS value,
+               round(least(greatest(e.value, b.p05), b.p95), 4) AS value_winsorized,
+               (e.value < b.p05 OR e.value > b.p95) AS was_clipped
+        FROM events e JOIN bands b USING (event_type)
     """,
     "quality_curriculum": f"""
         WITH sized AS (
