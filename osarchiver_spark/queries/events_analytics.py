@@ -164,12 +164,66 @@ def q_winsorize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ROLLUP_SPLIT = "2024-01-15"
+
+
+def q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: a stored daily rollup built
+    from history (ts < split) is MERGED with the partial rollup of a
+    newly-arrived batch (ts >= split) using only mergeable aggregate
+    state (count/sum/min/max; avg re-derived from sum/count) — the
+    continuous-aggregate refresh pattern where new data never forces
+    a recompute of history. The oracle is the full recompute over all
+    data, so the hash match IS the proof that merge(state, delta) ==
+    recompute. Both phases are map-combinable hash aggs on the same
+    (event_type, day) key; the merge is a groupBy over their union —
+    partition-aligned, no window, no join."""
+    ev = load_table(spark, sf_dir, "events")
+    split = F.lit(_ROLLUP_SPLIT).cast("timestamp")
+
+    def rollup(part: DataFrame) -> DataFrame:
+        return part.groupBy(
+            "event_type", F.to_date("ts").alias("day")
+        ).agg(
+            F.count("*").alias("n"),
+            F.sum("value").alias("sum_v"),
+            F.min("value").alias("min_v"),
+            F.max("value").alias("max_v"),
+        )
+
+    state = rollup(ev.filter(F.col("ts") < split))
+    delta = rollup(ev.filter(F.col("ts") >= split))
+    merged = (
+        state.unionByName(delta)
+        .groupBy("event_type", "day")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("sum_v").alias("sum_v"),
+            F.min("min_v").alias("min_v"),
+            F.max("max_v").alias("max_v"),
+        )
+    )
+    return merged.select(
+        "event_type",
+        "day",
+        "n",
+        F.round("sum_v", 4).alias("sum_value"),
+        F.round("min_v", 4).alias("min_value"),
+        F.round("max_v", 4).alias("max_value"),
+        # no derived avg column: avg = sum/n is recomputable by the
+        # consumer, and cross-engine decimal-rounding of a quotient
+        # can land exactly on a .00005 tie (sum/min/max/n carry the
+        # merge proof)
+    )
+
+
 QUERIES = {
     "funnel_analysis": q_funnel_analysis,
     "cohort_retention": q_cohort_retention,
     "key_skew_report": q_key_skew_report,
     "quality_curriculum": q_quality_curriculum,
     "winsorize_events": q_winsorize_events,
+    "incremental_rollup": q_incremental_rollup,
 }
 
 ORACLES = {
@@ -215,6 +269,15 @@ ORACLES = {
         FROM cnt CROSS JOIN stats
         ORDER BY cnt DESC, o_custkey
         LIMIT 10
+    """,
+    "incremental_rollup": """
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               count(*) AS n,
+               round(sum(value), 4) AS sum_value,
+               round(min(value), 4) AS min_value,
+               round(max(value), 4) AS max_value
+        FROM events
+        GROUP BY 1, 2
     """,
     "winsorize_events": """
         WITH bands AS (
