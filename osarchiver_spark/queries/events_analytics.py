@@ -217,6 +217,53 @@ def q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_event_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence with lift: baskets are (user, day);
+    for every unordered event-type pair, how many baskets contain
+    both, and the lift vs independence. The pair space is a self
+    equi-join on the basket key of the DISTINCT (basket, type) set —
+    at most |types| rows per basket, so the join fan-out is bounded by
+    |types|² per basket, never |events|². Type marginals and the
+    basket total ride in as broadcasts."""
+    ev = load_table(spark, sf_dir, "events")
+    baskets = ev.select(
+        "user_id", F.to_date("ts").alias("day"), "event_type"
+    ).distinct()
+    total = baskets.select("user_id", "day").distinct().agg(
+        F.count("*").alias("n_baskets")
+    )
+    marg = baskets.groupBy("event_type").agg(F.count("*").alias("n_t"))
+    a, b = baskets.alias("a"), baskets.alias("b")
+    pairs = (
+        a.join(b, ["user_id", "day"])
+        .filter(F.col("a.event_type") < F.col("b.event_type"))
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count("*").alias("n_both"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(marg.select(F.col("event_type").alias("type_a"), F.col("n_t").alias("n_a"))),
+            "type_a",
+        )
+        .join(
+            F.broadcast(marg.select(F.col("event_type").alias("type_b"), F.col("n_t").alias("n_b"))),
+            "type_b",
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            F.round(
+                F.col("n_both") * F.col("n_baskets") / (F.col("n_a") * F.col("n_b")), 6
+            ).alias("lift"),
+        )
+    )
+
+
 QUERIES = {
     "funnel_analysis": q_funnel_analysis,
     "cohort_retention": q_cohort_retention,
@@ -224,6 +271,7 @@ QUERIES = {
     "quality_curriculum": q_quality_curriculum,
     "winsorize_events": q_winsorize_events,
     "incremental_rollup": q_incremental_rollup,
+    "event_cooccurrence": q_event_cooccurrence,
 }
 
 ORACLES = {
@@ -269,6 +317,28 @@ ORACLES = {
         FROM cnt CROSS JOIN stats
         ORDER BY cnt DESC, o_custkey
         LIMIT 10
+    """,
+    "event_cooccurrence": """
+        WITH baskets AS (
+            SELECT DISTINCT user_id, CAST(ts AS DATE) AS day, event_type
+            FROM events),
+        total AS (
+            SELECT count(*) AS n_baskets
+            FROM (SELECT DISTINCT user_id, day FROM baskets)),
+        marg AS (
+            SELECT event_type, count(*) AS n_t FROM baskets GROUP BY 1)
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               count(*) AS n_both,
+               round(count(*) * CAST(t.n_baskets AS DOUBLE)
+                     / (ma.n_t * mb.n_t), 6) AS lift
+        FROM baskets a
+        JOIN baskets b
+          ON a.user_id = b.user_id AND a.day = b.day
+         AND a.event_type < b.event_type
+        JOIN marg ma ON ma.event_type = a.event_type
+        JOIN marg mb ON mb.event_type = b.event_type
+        CROSS JOIN total t
+        GROUP BY 1, 2, ma.n_t, mb.n_t, t.n_baskets
     """,
     "incremental_rollup": """
         SELECT event_type, CAST(ts AS DATE) AS day,
