@@ -326,7 +326,77 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(docs, "doc_id", "text")
 
 
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source vocabulary-overlap matrix: for every source pair,
+    the number of shared distinct tokens and the overlap coefficient
+    |A∩B| / min(|A|,|B|) — the corpus diagnostic that flags two crawl
+    sources as near-mirrors before document-level dedup even runs.
+    Distinct (source, token) sets self-equi-join on the token; the
+    per-source vocabulary sizes broadcast in. Fan-out is bounded by
+    sources-per-token², never documents²."""
+    docs = load_table(spark, sf_dir, "documents")
+    st = docs.select(
+        "source", F.explode(tokens(F.lower(F.col("text")))).alias("token")
+    ).distinct()
+    sizes = st.groupBy("source").agg(F.count("*").alias("n_vocab"))
+    a, b = st.alias("a"), st.alias("b")
+    shared = (
+        a.join(b, "token")
+        .filter(F.col("a.source") < F.col("b.source"))
+        .groupBy(F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b"))
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return (
+        shared.join(
+            F.broadcast(sizes.select(F.col("source").alias("src_a"), F.col("n_vocab").alias("va"))),
+            "src_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("source").alias("src_b"), F.col("n_vocab").alias("vb"))),
+            "src_b",
+        )
+        .select(
+            "src_a",
+            "src_b",
+            "n_shared",
+            F.round(F.col("n_shared") / F.least("va", "vb"), 6).alias("overlap"),
+        )
+    )
+
+
+def q_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source KL divergence from the corpus unigram distribution —
+    the domain-shift score a data-mixing pipeline uses to spot outlier
+    sources. KL(src ‖ corpus) = Σ p_s(t) · ln(p_s(t)/p_c(t)); both
+    distributions come from the same two map-combinable token aggs,
+    joined on the token and re-aggregated per source. The corpus
+    marginal joins by token (AQE broadcasts it when it fits); nothing
+    is all-pairs and nothing leaves codegen."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode(tokens(F.lower(F.col("text")))).alias("token")
+    )
+    src_counts = tok.groupBy("source", "token").agg(F.count("*").alias("sc"))
+    src_totals = tok.groupBy("source").agg(F.count("*").alias("s_total"))
+    corpus_counts = tok.groupBy("token").agg(F.count("*").alias("cc"))
+    corpus_total = tok.agg(F.count("*").alias("c_total"))
+    p_s = F.col("sc") / F.col("s_total")
+    p_c = F.col("cc") / F.col("c_total")
+    return (
+        src_counts.join(corpus_counts, "token")
+        .join(F.broadcast(src_totals), "source")
+        .crossJoin(F.broadcast(corpus_total))
+        .groupBy("source")
+        .agg(
+            F.round(F.sum(p_s * F.log(p_s / p_c)), 6).alias("kl_divergence"),
+            F.count("*").alias("n_terms"),
+        )
+    )
+
+
 QUERIES = {
+    "source_overlap": q_source_overlap,
+    "source_divergence": q_source_divergence,
     "streaming_corpus_pipeline": q_streaming_corpus_pipeline,
     "pii_scrub": q_pii_scrub,
     "unigram_logprob": q_unigram_logprob,
@@ -440,6 +510,34 @@ def _pii_scrub_sql() -> str:
 
 
 ORACLES = {
+    "source_overlap": f"""
+        WITH st AS (
+            SELECT DISTINCT source, unnest({_SQL_TOKENS_LOWER}) AS token
+            FROM documents),
+        sizes AS (SELECT source, count(*) AS n_vocab FROM st GROUP BY 1)
+        SELECT a.source AS src_a, b.source AS src_b,
+               count(*) AS n_shared,
+               round(count(*) / least(sa.n_vocab, sb.n_vocab), 6) AS overlap
+        FROM st a
+        JOIN st b ON a.token = b.token AND a.source < b.source
+        JOIN sizes sa ON sa.source = a.source
+        JOIN sizes sb ON sb.source = b.source
+        GROUP BY 1, 2, sa.n_vocab, sb.n_vocab
+    """,
+    "source_divergence": f"""
+        WITH tok AS (
+            SELECT source, unnest({_SQL_TOKENS_LOWER}) AS token FROM documents),
+        sc AS (SELECT source, token, count(*) AS sc FROM tok GROUP BY 1, 2),
+        stot AS (SELECT source, count(*) AS s_total FROM tok GROUP BY 1),
+        cc AS (SELECT token, count(*) AS cc FROM tok GROUP BY 1),
+        ctot AS (SELECT count(*) AS c_total FROM tok)
+        SELECT source,
+               round(sum((sc / s_total) * ln((sc / s_total) / (cc / CAST(c_total AS DOUBLE)))), 6)
+                   AS kl_divergence,
+               count(*) AS n_terms
+        FROM sc JOIN cc USING (token) JOIN stot USING (source) CROSS JOIN ctot
+        GROUP BY source
+    """,
     "pii_scrub": _pii_scrub_sql(),
     "unigram_logprob": f"""
         WITH tok AS (
