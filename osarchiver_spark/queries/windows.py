@@ -312,7 +312,29 @@ def q_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average (TWAP) of value per user: each
+    observation is held until the user's next event, so its weight is
+    that holding interval in microseconds (the last observation gets
+    zero weight — the standard left-closed convention). One lead()
+    window per user plus a re-agg; weights are exact integer epoch
+    diffs so both engines sum identically."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    held_us = F.unix_micros(nxt) - F.unix_micros(F.col("ts"))
+    weighted = ev.select(
+        "user_id", "value", held_us.alias("w_us")
+    ).filter(F.col("w_us").isNotNull())
+    return weighted.groupBy("user_id").agg(
+        F.count("*").alias("n_intervals"),
+        F.sum("w_us").alias("observed_us"),
+        F.round(F.sum(F.col("value") * F.col("w_us")) / F.sum("w_us"), 6).alias("twap"),
+    )
+
+
 QUERIES = {
+    "time_weighted_avg": q_time_weighted_avg,
     "gapfill_hourly": q_gapfill_hourly,
     "streaming_tumbling": q_streaming_tumbling,
     "streaming_sliding": q_streaming_sliding,
@@ -359,6 +381,20 @@ ORACLES = {
           ON v.user_id = p.user_id
          AND v.event_type = 'view' AND p.event_type = 'purchase'
          AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 4 HOUR
+    """,
+    "time_weighted_avg": """
+        WITH s AS (
+            SELECT user_id, value,
+                   epoch_us(lead(ts) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id))
+                       - epoch_us(ts) AS w_us
+            FROM events)
+        SELECT user_id,
+               count(*) AS n_intervals,
+               CAST(sum(w_us) AS BIGINT) AS observed_us,
+               round(sum(value * w_us) / sum(w_us), 6) AS twap
+        FROM s WHERE w_us IS NOT NULL
+        GROUP BY user_id
     """,
     "streaming_outer_interval_join": """
         WITH cut AS (
