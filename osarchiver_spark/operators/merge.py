@@ -31,3 +31,32 @@ def merge_upsert(target: DataFrame, source: DataFrame, pk: str) -> DataFrame:
     """source wins on pk conflict; unmatched target rows survive."""
     kept = target.join(source.select(pk), on=pk, how="left_anti")
     return kept.unionByName(source.select(*target.columns))
+
+
+def cdc_apply(
+    changelog: DataFrame,
+    key_col: str,
+    seq_col: str,
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> DataFrame:
+    """Materialize the current state from a CDC changelog: for each
+    key the operation with the highest sequence number wins; a winning
+    delete removes the row, anything else emits its payload. This is
+    the apply step of a Debezium/binlog-style feed (and of Delta's
+    CDF) expressed as ONE map-combinable ``max_by`` aggregation on the
+    key — no window (which would sort every partition), no self-join,
+    so it scales as a plain hash agg and is exactly the shape a
+    foreachBatch streaming upsert uses per micro-batch. Sequence
+    numbers must be unique per key (binlog offsets are)."""
+    from pyspark.sql import functions as F
+
+    payload = [c for c in changelog.columns if c not in (key_col, seq_col, op_col)]
+    winner = changelog.groupBy(key_col).agg(
+        F.max_by(F.struct(op_col, *payload), F.col(seq_col)).alias("w"),
+        F.max(seq_col).alias("last_seq"),
+    )
+    return (
+        winner.filter(F.col(f"w.{op_col}") != delete_op)
+        .select(key_col, *[F.col(f"w.{c}").alias(c) for c in payload], "last_seq")
+    )

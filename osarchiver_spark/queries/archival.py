@@ -356,7 +356,41 @@ def q_zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog apply (Debezium/binlog feed → current state):
+    a deterministic three-generation changelog synthesized from
+    orders — every key INSERTed at seq 1, keys divisible by 3 UPDATEd
+    at seq 2 (price ×1.1), keys divisible by 7 DELETEd at seq 3 — is
+    materialized by operators/merge.py::cdc_apply: one map-combinable
+    max_by aggregation per key, no window or self-join. The oracle
+    replays the same changelog with arg_max."""
+    from osarchiver_spark.operators.merge import cdc_apply
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey",
+        F.lit("I").alias("op"),
+        F.lit(1).alias("seq"),
+        F.col("o_totalprice").alias("price"),
+    )
+    upd = orders.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey",
+        F.lit("U").alias("op"),
+        F.lit(2).alias("seq"),
+        F.round(F.col("o_totalprice") * 1.1, 2).alias("price"),
+    )
+    dele = orders.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        F.lit("D").alias("op"),
+        F.lit(3).alias("seq"),
+        F.lit(None).cast("double").alias("price"),
+    )
+    changelog = base.unionByName(upd).unionByName(dele)
+    return cdc_apply(changelog, "o_orderkey", "seq")
+
+
 QUERIES = {
+    "cdc_apply": q_cdc_apply,
     "zorder_locality": q_zorder_locality,
     "restore_candidates": q_restore_candidates,
     "profile_table": q_profile_table,
@@ -410,6 +444,24 @@ def _zorder_oracle() -> str:
 
 
 ORACLES = {
+    "cdc_apply": """
+        WITH changelog AS (
+            SELECT o_orderkey, 'I' AS op, 1 AS seq, o_totalprice AS price
+            FROM orders
+            UNION ALL
+            SELECT o_orderkey, 'U', 2, round(o_totalprice * 1.1, 2)
+            FROM orders WHERE o_orderkey % 3 = 0
+            UNION ALL
+            SELECT o_orderkey, 'D', 3, NULL
+            FROM orders WHERE o_orderkey % 7 = 0),
+        w AS (
+            SELECT o_orderkey,
+                   arg_max(op, seq) AS op,
+                   arg_max(price, seq) AS price,
+                   max(seq) AS last_seq
+            FROM changelog GROUP BY 1)
+        SELECT o_orderkey, price, last_seq FROM w WHERE op <> 'D'
+    """,
     "zorder_locality": _zorder_oracle(),
     "restore_candidates": """
         SELECT * FROM orders

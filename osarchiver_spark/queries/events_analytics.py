@@ -20,7 +20,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from osarchiver_spark.functions.text import token_count
@@ -264,6 +264,32 @@ def q_event_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-transition matrix: P(next type | type) from
+    each user's time-ordered stream — the sequence-mining summary
+    behind next-event prediction and anomaly scoring. One lead()
+    window per user (single shuffle on user_id), then a count agg over
+    the (from, to) pair with the from-marginal broadcast back for the
+    row-normalized probability."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    counts = steps.groupBy("from_type", "to_type").agg(F.count("*").alias("n"))
+    marg = counts.groupBy("from_type").agg(F.sum("n").alias("n_from"))
+    return (
+        counts.join(F.broadcast(marg), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            F.round(F.col("n") / F.col("n_from"), 6).alias("p"),
+        )
+    )
+
+
 QUERIES = {
     "funnel_analysis": q_funnel_analysis,
     "cohort_retention": q_cohort_retention,
@@ -272,6 +298,7 @@ QUERIES = {
     "winsorize_events": q_winsorize_events,
     "incremental_rollup": q_incremental_rollup,
     "event_cooccurrence": q_event_cooccurrence,
+    "markov_transitions": q_markov_transitions,
 }
 
 ORACLES = {
@@ -317,6 +344,21 @@ ORACLES = {
         FROM cnt CROSS JOIN stats
         ORDER BY cnt DESC, o_custkey
         LIMIT 10
+    """,
+    "markov_transitions": """
+        WITH steps AS (
+            SELECT event_type AS from_type,
+                   lead(event_type) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS to_type
+            FROM events),
+        counts AS (
+            SELECT from_type, to_type, count(*) AS n
+            FROM steps WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        marg AS (
+            SELECT from_type, sum(n) AS n_from FROM counts GROUP BY 1)
+        SELECT c.from_type, c.to_type, c.n,
+               round(c.n / CAST(m.n_from AS DOUBLE), 6) AS p
+        FROM counts c JOIN marg m USING (from_type)
     """,
     "event_cooccurrence": """
         WITH baskets AS (
