@@ -360,7 +360,8 @@ def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC changelog apply (Debezium/binlog feed → current state):
     a deterministic three-generation changelog synthesized from
     orders — every key INSERTed at seq 1, keys divisible by 3 UPDATEd
-    at seq 2 (price ×1.1), keys divisible by 7 DELETEd at seq 3 — is
+    at seq 2 (price +100.00 — an exact float op, so both engines
+    produce bit-identical payloads), keys divisible by 7 DELETEd at seq 3 — is
     materialized by operators/merge.py::cdc_apply: one map-combinable
     max_by aggregation per key, no window or self-join. The oracle
     replays the same changelog with arg_max."""
@@ -377,7 +378,7 @@ def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.lit("U").alias("op"),
         F.lit(2).alias("seq"),
-        F.round(F.col("o_totalprice") * 1.1, 2).alias("price"),
+        (F.col("o_totalprice") + 100.0).alias("price"),
     )
     dele = orders.filter(F.col("o_orderkey") % 7 == 0).select(
         "o_orderkey",
@@ -449,7 +450,7 @@ ORACLES = {
             SELECT o_orderkey, 'I' AS op, 1 AS seq, o_totalprice AS price
             FROM orders
             UNION ALL
-            SELECT o_orderkey, 'U', 2, round(o_totalprice * 1.1, 2)
+            SELECT o_orderkey, 'U', 2, o_totalprice + 100.0
             FROM orders WHERE o_orderkey % 3 = 0
             UNION ALL
             SELECT o_orderkey, 'D', 3, NULL
