@@ -394,7 +394,42 @@ def q_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE vocabulary-induction step: the 20 most frequent
+    adjacent character pairs across the corpus, counted over the
+    aggregated vocabulary (pair occurrences weighted by word
+    frequency) — exactly what a byte-pair-encoding trainer merges
+    next. Scale shape: the corpus collapses to its vocabulary FIRST
+    (one map-combinable agg; the heavy explode then runs on |vocab|,
+    not |corpus|), pairs explode via codegen sequence+substr, and the
+    top-k is TakeOrderedAndProject."""
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    tok = docs.select(F.explode(tokens(F.lower(F.col("text")))).alias("token"))
+    vocab = tok.groupBy("token").agg(F.count("*").alias("freq"))
+    pairs = (
+        vocab.filter(F.length("token") >= 2)
+        .select(
+            "freq",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("token") - 1),
+                    lambda i: F.col("token").substr(i, F.lit(2)),
+                )
+            ).alias("pair"),
+        )
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").alias("n"))
+        .orderBy(F.col("n").desc(), "pair")
+        .limit(20)
+    )
+
+
 QUERIES = {
+    "bpe_merge_step": q_bpe_merge_step,
     "source_overlap": q_source_overlap,
     "source_divergence": q_source_divergence,
     "streaming_corpus_pipeline": q_streaming_corpus_pipeline,
@@ -510,6 +545,20 @@ def _pii_scrub_sql() -> str:
 
 
 ORACLES = {
+    "bpe_merge_step": f"""
+        WITH tok AS (
+            SELECT unnest({_SQL_TOKENS_LOWER}) AS token FROM documents),
+        vocab AS (SELECT token, count(*) AS freq FROM tok GROUP BY 1),
+        pairs AS (
+            SELECT freq,
+                   unnest(list_transform(range(1, length(token)),
+                                         i -> substr(token, CAST(i AS INT), 2))) AS pair
+            FROM vocab WHERE length(token) >= 2)
+        SELECT pair, CAST(sum(freq) AS BIGINT) AS n
+        FROM pairs GROUP BY 1
+        ORDER BY n DESC, pair
+        LIMIT 20
+    """,
     "source_overlap": f"""
         WITH st AS (
             SELECT DISTINCT source, unnest({_SQL_TOKENS_LOWER}) AS token
