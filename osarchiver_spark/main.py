@@ -28,8 +28,14 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
             raise argparse.ArgumentTypeError(f"{one_file} no such file")
         return one_file
 
-    parser.add_argument("--config", required=True, type=file_exists,
+    parser.add_argument("--config", type=file_exists,
                         help="INI configuration file to read")
+    parser.add_argument("--explain", default=None, metavar="QUERY",
+                        help="Print the optimized physical plan of a registry "
+                             "query (by name; 'all' lists names) against "
+                             "--sf-dir, without executing it")
+    parser.add_argument("--sf-dir", default="/root/testdata/sf0.01",
+                        help="Scale-factor directory --explain plans against")
     parser.add_argument("--log-file", default=None, help="Append log to the specified file")
     parser.add_argument("--log-level", choices=["info", "warn", "error", "debug"],
                         default="info", help="Set log level")
@@ -57,9 +63,32 @@ def configure_logger(level: str = "info", log_file: str | None = None) -> None:
         logger.addHandler(fh)
 
 
+def explain_query(name: str, sf_dir: str) -> int:
+    """Plan transparency: print the Catalyst-optimized plan of any
+    registry query (the .explain('formatted') a reviewer would run) —
+    no execution, no output files."""
+    from osarchiver_spark.queries import all_queries
+
+    registry = all_queries()
+    if name == "all":
+        print("\n".join(sorted(registry)))
+        return 0
+    if name not in registry:
+        logging.error("unknown query %r (try --explain all)", name)
+        return 1
+    spark = get_spark("osarchiver_spark_explain")
+    registry[name](spark, sf_dir).explain("formatted")
+    return 0
+
+
 def run(argv: list[str] | None = None) -> int:
     args = parse_args(argv)
     configure_logger(args.log_level, args.log_file)
+    if args.explain:
+        return explain_query(args.explain, args.sf_dir)
+    if not args.config:
+        logging.error("--config is required (or use --explain)")
+        return 2
     archivers = load_config(path=args.config, dry_run=args.dry_run)
     if not archivers:
         logging.warning("no enabled [archiver:*] sections in %s", args.config)
