@@ -73,6 +73,18 @@ HEADLINE = [
     "doc_fingerprint",
     "doc_chunks",
     "multimodal_metadata",
+    # round-3 behavioral / layout / corpus additions
+    "funnel_analysis",
+    "cohort_retention",
+    "event_cooccurrence",
+    "incremental_rollup",
+    "winsorize_events",
+    "markov_transitions",
+    "time_weighted_avg",
+    "cdc_apply",
+    "zorder_locality",
+    "source_divergence",
+    "bpe_merge_step",
 ]
 
 
