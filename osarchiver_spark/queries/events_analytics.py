@@ -290,6 +290,70 @@ def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path mining: the 10 most common 3-event sequences across user
+    streams (the n-gram generalization of markov_transitions). Two
+    lead() offsets over the same per-user window — one shuffle — then
+    a count agg and TakeOrderedAndProject."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = ev.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e3").isNotNull())
+    return (
+        steps.groupBy("e1", "e2", "e3")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "e1", "e2", "e3")
+        .limit(10)
+    )
+
+
+def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anomaly flagging: events whose value sits more than 3
+    population standard deviations from their type's mean. Per-type
+    moments are one map-combinable agg over the low-cardinality key,
+    broadcast back into the scan-side predicate."""
+    ev = load_table(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"),
+        F.stddev_pop("value").alias("sigma"),
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .filter(F.abs(z) > 3.0)
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 4).alias("value"),
+            F.round(z, 4).alias("zscore"),
+        )
+    )
+
+
+def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users (WAU) per day: distinct users seen
+    in [day-6, day]. Spark window frames can't COUNT DISTINCT over a
+    range, so the scale-correct form is: dedup to (user, day) once,
+    equi-join against the distinct day grid on a bounded 0..6 day gap
+    (fan-out ≤ 7 per row), re-count distinct. No window over the fact
+    table, every step a hash agg or equi-range join."""
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    days = ud.select("day").distinct().select(F.col("day").alias("as_of"))
+    return (
+        ud.join(
+            F.broadcast(days),
+            (F.datediff(F.col("as_of"), F.col("day")) >= 0)
+            & (F.datediff(F.col("as_of"), F.col("day")) <= 6),
+        )
+        .groupBy("as_of")
+        .agg(F.count_distinct("user_id").alias("wau"))
+    )
+
+
 QUERIES = {
     "funnel_analysis": q_funnel_analysis,
     "cohort_retention": q_cohort_retention,
@@ -299,6 +363,9 @@ QUERIES = {
     "incremental_rollup": q_incremental_rollup,
     "event_cooccurrence": q_event_cooccurrence,
     "markov_transitions": q_markov_transitions,
+    "session_paths": q_session_paths,
+    "zscore_outliers": q_zscore_outliers,
+    "rolling_active_users": q_rolling_active_users,
 }
 
 ORACLES = {
@@ -344,6 +411,38 @@ ORACLES = {
         FROM cnt CROSS JOIN stats
         ORDER BY cnt DESC, o_custkey
         LIMIT 10
+    """,
+    "session_paths": """
+        WITH steps AS (
+            SELECT event_type AS e1,
+                   lead(event_type, 1) OVER w AS e2,
+                   lead(event_type, 2) OVER w AS e3
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        SELECT e1, e2, e3, count(*) AS n
+        FROM steps WHERE e3 IS NOT NULL
+        GROUP BY 1, 2, 3
+        ORDER BY n DESC, e1, e2, e3
+        LIMIT 10
+    """,
+    "zscore_outliers": """
+        WITH stats AS (
+            SELECT event_type, avg(value) AS mu, stddev_pop(value) AS sigma
+            FROM events GROUP BY 1)
+        SELECT e.event_id, e.event_type,
+               round(e.value, 4) AS value,
+               round((e.value - s.mu) / s.sigma, 4) AS zscore
+        FROM events e JOIN stats s USING (event_type)
+        WHERE abs((e.value - s.mu) / s.sigma) > 3.0
+    """,
+    "rolling_active_users": """
+        WITH ud AS (
+            SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        days AS (SELECT DISTINCT day AS as_of FROM ud)
+        SELECT d.as_of, count(DISTINCT u.user_id) AS wau
+        FROM ud u JOIN days d
+          ON datediff('day', u.day, d.as_of) BETWEEN 0 AND 6
+        GROUP BY 1
     """,
     "markov_transitions": """
         WITH steps AS (
