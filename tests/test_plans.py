@@ -171,3 +171,43 @@ def test_oracle_query_outputs_are_scalar_only(spark):
             if any(k in t for k in ("array", "map", "struct", "binary")):
                 offenders.append((name, f.name, t))
     assert not offenders, f"non-scalar oracle outputs: {offenders}"
+
+
+def test_substring_spans_is_equijoin_only(spark):
+    # span dedup must stay a hash-key equi-join pipeline: no cross
+    # products, no Python, and the cross-doc test as a hash agg
+    plan = _formatted(spark, "dedup_substring_spans")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_cdc_apply_is_single_agg_no_window(spark):
+    # the changelog collapse is ONE max_by aggregation — a window
+    # (sort-per-partition over history) would be the non-scale shape
+    plan = _formatted(spark, "cdc_apply")
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_new_analytics_queries_stay_jvm_side(spark):
+    for name in [
+        "funnel_analysis",
+        "cohort_retention",
+        "event_cooccurrence",
+        "incremental_rollup",
+        "winsorize_events",
+        "markov_transitions",
+        "session_paths",
+        "zscore_outliers",
+        "rolling_active_users",
+        "time_weighted_avg",
+        "zorder_locality",
+        "bpe_merge_step",
+        "source_divergence",
+        "source_overlap",
+    ]:
+        plan = _formatted(spark, name)
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
