@@ -390,8 +390,62 @@ def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cdc_apply(changelog, "o_orderkey", "seq")
 
 
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table diff between two snapshots (the regression check a
+    pipeline runs after a backfill): snapshot B is orders with keys
+    divisible by 11 dropped and keys divisible by 5 repriced (+1.00);
+    the diff classifies every affected key as removed / changed (with
+    both prices) via one full-outer join on the pk. Unchanged rows are
+    filtered out pre-join on cheap predicates where possible; the join
+    itself is the only shuffle."""
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.select("o_orderkey", F.col("o_totalprice").alias("price_a"))
+    b = (
+        orders.filter(F.col("o_orderkey") % 11 != 0)
+        .select(
+            "o_orderkey",
+            F.when(
+                F.col("o_orderkey") % 5 == 0, F.col("o_totalprice") + 1.0
+            ).otherwise(F.col("o_totalprice")).alias("price_b"),
+        )
+    )
+    joined = a.join(b, "o_orderkey", "full_outer")
+    change = (
+        F.when(F.col("price_b").isNull(), "removed")
+        .when(F.col("price_a").isNull(), "added")
+        .when(F.col("price_a") != F.col("price_b"), "changed")
+    )
+    return (
+        joined.withColumn("change_type", change)
+        .filter(F.col("change_type").isNotNull())
+        .select("o_orderkey", "change_type", "price_a", "price_b")
+    )
+
+
+def q_grouped_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust dispersion per event type: median absolute deviation
+    around the exact median. Two grouped exact-percentile aggregates
+    (median, then median of |x - median| after a broadcast join of
+    the per-type medians) — the robust twin of stddev that heavy
+    tails can't inflate."""
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    return (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.first("med"), 6).alias("median_value"),
+            F.round(F.expr("percentile(abs(value - med), 0.5)"), 6).alias("mad"),
+        )
+    )
+
+
 QUERIES = {
     "cdc_apply": q_cdc_apply,
+    "snapshot_diff": q_snapshot_diff,
+    "grouped_mad": q_grouped_mad,
     "zorder_locality": q_zorder_locality,
     "restore_candidates": q_restore_candidates,
     "profile_table": q_profile_table,
@@ -445,6 +499,34 @@ def _zorder_oracle() -> str:
 
 
 ORACLES = {
+    "snapshot_diff": """
+        WITH a AS (
+            SELECT o_orderkey, o_totalprice AS price_a FROM orders),
+        b AS (
+            SELECT o_orderkey,
+                   CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1.0
+                        ELSE o_totalprice END AS price_b
+            FROM orders WHERE o_orderkey % 11 <> 0)
+        SELECT coalesce(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+               CASE WHEN b.price_b IS NULL THEN 'removed'
+                    WHEN a.price_a IS NULL THEN 'added'
+                    WHEN a.price_a <> b.price_b THEN 'changed' END AS change_type,
+               a.price_a, b.price_b
+        FROM a FULL OUTER JOIN b USING (o_orderkey)
+        WHERE (CASE WHEN b.price_b IS NULL THEN 'removed'
+                    WHEN a.price_a IS NULL THEN 'added'
+                    WHEN a.price_a <> b.price_b THEN 'changed' END) IS NOT NULL
+    """,
+    "grouped_mad": """
+        WITH med AS (
+            SELECT event_type, quantile_cont(value, 0.5) AS med
+            FROM events GROUP BY 1)
+        SELECT e.event_type,
+               round(any_value(m.med), 6) AS median_value,
+               round(quantile_cont(abs(e.value - m.med), 0.5), 6) AS mad
+        FROM events e JOIN med m USING (event_type)
+        GROUP BY e.event_type
+    """,
     "cdc_apply": """
         WITH changelog AS (
             SELECT o_orderkey, 'I' AS op, 1 AS seq, o_totalprice AS price
