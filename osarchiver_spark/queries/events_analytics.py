@@ -354,7 +354,32 @@ def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_BINS = 20
+
+
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of value per event type (profiling
+    depth beyond min/max/null counts): 20 bins spanning the type's
+    [min, max], the top value folded into the last bin. One moments
+    aggregate broadcast into a codegen bin expression, one count agg —
+    no sort, no window."""
+    ev = load_table(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.min("value").alias("mn"), F.max("value").alias("mx")
+    )
+    width = (F.col("mx") - F.col("mn")) / N_BINS
+    bin_ = F.least(
+        F.floor((F.col("value") - F.col("mn")) / width), F.lit(N_BINS - 1)
+    ).cast("int")
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .groupBy("event_type", bin_.alias("bin"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
 QUERIES = {
+    "value_histogram": q_value_histogram,
     "funnel_analysis": q_funnel_analysis,
     "cohort_retention": q_cohort_retention,
     "key_skew_report": q_key_skew_report,
@@ -411,6 +436,17 @@ ORACLES = {
         FROM cnt CROSS JOIN stats
         ORDER BY cnt DESC, o_custkey
         LIMIT 10
+    """,
+    "value_histogram": """
+        WITH stats AS (
+            SELECT event_type, min(value) AS mn, max(value) AS mx
+            FROM events GROUP BY 1)
+        SELECT e.event_type,
+               CAST(least(floor((e.value - s.mn) / ((s.mx - s.mn) / 20)), 19)
+                    AS INT) AS bin,
+               count(*) AS n
+        FROM events e JOIN stats s USING (event_type)
+        GROUP BY 1, 2
     """,
     "session_paths": """
         WITH steps AS (

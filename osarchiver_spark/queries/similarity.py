@@ -117,7 +117,39 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension int8 scalar quantization of the embedding table —
+    the compression step an ANN index applies before serving (4× the
+    density of float32). One posexplode, per-dimension min/max
+    aggregate broadcast back, quantize/reconstruct in codegen, and a
+    per-dimension error report proving the codec's bound. At 100 TB
+    the explode is the only data-sized pass; the dim stats are
+    |dims| rows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "v")
+    ).select("vec_id", (F.col("pos") + 1).alias("dim"), F.col("v").cast("double").alias("v"))
+    stats = e.groupBy("dim").agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+    scale = (F.col("mx") - F.col("mn")) / 255.0
+    q = F.when(scale == 0, F.lit(0)).otherwise(
+        F.round((F.col("v") - F.col("mn")) / scale, 0)
+    )
+    recon = F.col("mn") + q * scale
+    err = F.abs(F.col("v") - recon)
+    return (
+        e.join(F.broadcast(stats), "dim")
+        .groupBy("dim")
+        .agg(
+            F.round(F.first("mn"), 6).alias("dim_min"),
+            F.round(F.first("mx"), 6).alias("dim_max"),
+            F.round(F.max(err), 6).alias("max_abs_err"),
+            F.round(F.avg(err), 6).alias("mean_abs_err"),
+        )
+    )
+
+
 QUERIES = {
+    "embedding_quantization": q_embedding_quantization,
     "knn_bruteforce": q_knn_bruteforce,
     "knn_lsh": q_knn_lsh,
     "knn_ivf": q_knn_ivf,
@@ -149,6 +181,28 @@ _TOPK_ORACLE = f"""
     """
 
 ORACLES = {
+    "embedding_quantization": """
+        WITH e AS (
+            SELECT vec_id, t.i AS dim, CAST(t.v AS DOUBLE) AS v
+            FROM embeddings emb,
+                 LATERAL (SELECT unnest(emb.embedding) AS v,
+                                 generate_subscripts(emb.embedding, 1) AS i) t),
+        stats AS (
+            SELECT dim, min(v) AS mn, max(v) AS mx FROM e GROUP BY 1)
+        SELECT dim,
+               round(any_value(mn), 6) AS dim_min,
+               round(any_value(mx), 6) AS dim_max,
+               round(max(abs(v - (mn + CASE WHEN (mx - mn) / 255.0 = 0 THEN 0
+                                            ELSE round((v - mn) / ((mx - mn) / 255.0), 0)
+                                       END * ((mx - mn) / 255.0)))), 6)
+                   AS max_abs_err,
+               round(avg(abs(v - (mn + CASE WHEN (mx - mn) / 255.0 = 0 THEN 0
+                                            ELSE round((v - mn) / ((mx - mn) / 255.0), 0)
+                                       END * ((mx - mn) / 255.0)))), 6)
+                   AS mean_abs_err
+        FROM e JOIN stats USING (dim)
+        GROUP BY dim
+    """,
     "knn_bruteforce": _TOPK_ORACLE,
     # the ANN variants run in full-recall oracle mode (see the sweep
     # note above), so the exact brute-force ranking IS their oracle
