@@ -35,6 +35,18 @@ HEAVY = [
     "streaming_outer_interval_join",
     "funnel_analysis",
     "cohort_retention",
+    "dedup_substring_spans",
+    "event_cooccurrence",
+    "rolling_active_users",
+    "source_overlap",
+    "source_divergence",
+    "bpe_merge_step",
+    "embedding_quantization",
+    "cdc_apply",
+    "incremental_rollup",
+    "time_weighted_avg",
+    "zorder_locality",
+    "snapshot_diff",
 ]
 
 pytestmark = pytest.mark.skipif(
