@@ -378,7 +378,36 @@ def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_time_rollup_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-granularity time rollup in ONE pass: daily, weekly and
+    monthly event counts/sums computed together via GROUPING SETS —
+    one scan + one Expand + one shuffle instead of three separate
+    aggregations (the hypertable continuous-aggregate ladder). The
+    granularity tag comes from grouping() flags, so rows are
+    self-describing."""
+    ev = load_table(spark, sf_dir, "events")
+    ev.select(
+        F.date_trunc("day", "ts").alias("d"),
+        F.date_trunc("week", "ts").alias("w"),
+        F.date_trunc("month", "ts").alias("m"),
+        "value",
+    ).createOrReplaceTempView("_ev_time")
+    return spark.sql(
+        """
+        SELECT CASE WHEN grouping(d) = 0 THEN 'day'
+                    WHEN grouping(w) = 0 THEN 'week'
+                    ELSE 'month' END AS granularity,
+               coalesce(d, w, m) AS bucket,
+               count(*) AS n,
+               round(sum(value), 4) AS sum_value
+        FROM _ev_time
+        GROUP BY GROUPING SETS ((d), (w), (m))
+        """
+    )
+
+
 QUERIES = {
+    "time_rollup_multi": q_time_rollup_multi,
     "value_histogram": q_value_histogram,
     "funnel_analysis": q_funnel_analysis,
     "cohort_retention": q_cohort_retention,
@@ -436,6 +465,22 @@ ORACLES = {
         FROM cnt CROSS JOIN stats
         ORDER BY cnt DESC, o_custkey
         LIMIT 10
+    """,
+    "time_rollup_multi": """
+        WITH t AS (
+            SELECT date_trunc('day', ts) AS d,
+                   date_trunc('week', ts) AS w,
+                   date_trunc('month', ts) AS m,
+                   value
+            FROM events)
+        SELECT CASE WHEN grouping(d) = 0 THEN 'day'
+                    WHEN grouping(w) = 0 THEN 'week'
+                    ELSE 'month' END AS granularity,
+               coalesce(d, w, m) AS bucket,
+               count(*) AS n,
+               round(sum(value), 4) AS sum_value
+        FROM t
+        GROUP BY GROUPING SETS ((d), (w), (m))
     """,
     "value_histogram": """
         WITH stats AS (
