@@ -42,3 +42,26 @@ def check_schema_drift(
             f"schema drift: source-only={only_src} archive-only={only_dst} "
             f"(order-or-type mismatch if both empty: {src} != {dst})"
         )
+
+
+def additive_columns(
+    source: StructType,
+    archive: StructType,
+    ignore_nullability: bool = True,
+) -> list[str]:
+    """Additive-evolution check (beyond the reference's strict
+    equality — the lakehouse policy): the source may GROW new columns
+    (returned, so the caller can log/merge them), but every archived
+    column must still exist in the source with an identical type —
+    renames, drops and type changes still raise. Column ORDER is
+    irrelevant here (parquet is name-addressed; only the strict check
+    treats order as drift, mirroring SHOW CREATE TABLE equality)."""
+    src = dict(_normalize(source, ignore_nullability))
+    dst = dict(_normalize(archive, ignore_nullability))
+    missing = {n: t for n, t in dst.items() if src.get(n) != t}
+    if missing:
+        raise SchemaDriftError(
+            f"non-additive drift: archive columns missing or retyped in "
+            f"source: {sorted(missing.items())}"
+        )
+    return sorted(set(src) - set(dst))

@@ -147,12 +147,17 @@ class ParquetArchiveSink(Sink):
         root: str,
         primary_keys: dict[str, str | list[str]],
         partition_column: str | None = None,
+        allow_additive: bool = False,
     ):
         self.root = root
         # single or composite keys (e.g. lineitem's (l_orderkey,
         # l_linenumber)); normalized to lists
         self.primary_keys = {t: [k] if isinstance(k, str) else list(k) for t, k in primary_keys.items()}
         self.partition_column = partition_column
+        # additive schema evolution: accept sources that have grown
+        # new columns (old files read them back as null via
+        # mergeSchema); renames/drops/type changes still raise
+        self.allow_additive = allow_additive
 
     def _path(self, table: str) -> str:
         return os.path.join(self.root, table)
@@ -169,7 +174,12 @@ class ParquetArchiveSink(Sink):
         mode = "overwrite"
         if existing is not None:
             incoming = existing.drop("_archive_dt") if "_archive_dt" in existing.columns else existing
-            check_schema_drift(df.schema, incoming.schema)
+            if self.allow_additive:
+                from osarchiver_spark.plans.schema_drift import additive_columns
+
+                additive_columns(df.schema, incoming.schema)
+            else:
+                check_schema_drift(df.schema, incoming.schema)
             # Idempotent insert-if-absent: drop rows whose pk is
             # already archived (anti-join replaces the reference's
             # ON DUPLICATE KEY UPDATE no-op upsert).
@@ -186,7 +196,12 @@ class ParquetArchiveSink(Sink):
             df.write.mode(mode).parquet(path)
 
     def read(self, spark, table: str) -> DataFrame:
-        df = spark.read.parquet(self._path(table))
+        reader = spark.read
+        if self.allow_additive:
+            # old files lack later-added columns; mergeSchema unions
+            # the file schemas and backfills them as null
+            reader = reader.option("mergeSchema", "true")
+        df = reader.parquet(self._path(table))
         return df.drop("_archive_dt") if "_archive_dt" in df.columns else df
 
 

@@ -164,3 +164,35 @@ def test_exclusion_regex_is_anchored():
     # matches excluded, substring matches kept; tables without the
     # deleted column never qualify
     assert names == ["xshadow_x", "orders"]
+
+
+def test_additive_schema_evolution_in_archive(spark, sf_small, tmp_path):
+    """allow_additive: a source that GROWS a column keeps archiving
+    (old files read back with the new column as null via mergeSchema);
+    renames/retypes still raise."""
+    from osarchiver_spark.plans.schema_drift import additive_columns
+    from osarchiver_spark.sinks.base import ParquetArchiveSink
+
+    orders = load_table(spark, sf_small, "orders").limit(100)
+    sink = ParquetArchiveSink(
+        str(tmp_path / "arch"), primary_keys={"orders": "o_orderkey"},
+        allow_additive=True,
+    )
+    sink.write("orders", orders.filter(F.col("o_orderkey") % 2 == 0))
+    grown = orders.filter(F.col("o_orderkey") % 2 == 1).withColumn(
+        "o_channel", F.lit("web")
+    )
+    sink.write("orders", grown)  # must NOT raise
+    back = sink.read(spark, "orders")
+    assert "o_channel" in back.columns
+    nulls = back.filter(F.col("o_channel").isNull()).count()
+    webs = back.filter(F.col("o_channel") == "web").count()
+    assert nulls > 0 and webs > 0
+    assert nulls + webs == back.count() == 100
+
+    # non-additive drift still raises, both in the helper and the sink
+    retyped = orders.withColumn("o_totalprice", F.col("o_totalprice").cast("string"))
+    with pytest.raises(SchemaDriftError):
+        additive_columns(retyped.schema, orders.schema)
+    with pytest.raises(SchemaDriftError):
+        sink.write("orders", orders.drop("o_orderstatus"))
