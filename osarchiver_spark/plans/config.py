@@ -381,6 +381,10 @@ def _build_sinks(dst: dict[str, str], dst_name: str, pks: dict[str, str]) -> lis
                 directory,
                 primary_keys=dict(pks),
                 partition_column=dst.get("partition_column"),
+                # additive_schema=true opts into lakehouse-style
+                # column growth (sinks/base.py allow_additive)
+                allow_additive=str(dst.get("additive_schema", "")).lower()
+                in ("1", "true", "yes", "on"),
             )
         ]
     raise ConfigError(f"[dst:{dst_name}] unsupported backend {backend!r}")
