@@ -165,9 +165,45 @@ def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship policy on top of near-dup clustering: within each
+    MinHash-LSH connected component, KEEP the member with the highest
+    quality score (doc_id breaks ties) and mark the rest as drops —
+    the decision layer a corpus pipeline actually ships (cf. keeping
+    the best-quality copy rather than an arbitrary one). The winner
+    per cluster is one map-combinable max_by over (quality, -doc_id);
+    no window over the corpus."""
+    from pyspark.sql import functions as F
+
+    from osarchiver_spark.operators.dedup import connected_components
+    from osarchiver_spark.queries.text import q_text_quality
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text",
+        shingle_n=3, num_hashes=NUM_HASHES, bands=BANDS, threshold=MINHASH_THRESHOLD,
+    )
+    comps = connected_components(pairs)
+    quality = q_text_quality(spark, sf_dir).select("doc_id", "quality")
+    member = comps.join(quality, "doc_id")
+    winners = member.groupBy("cluster_rep").agg(
+        F.max_by("doc_id", F.struct("quality", (-F.col("doc_id")).alias("nid"))).alias(
+            "keep_id"
+        )
+    )
+    return member.join(F.broadcast(winners), "cluster_rep").select(
+        "doc_id",
+        "cluster_rep",
+        "quality",
+        "keep_id",
+        (F.col("doc_id") == F.col("keep_id")).alias("kept"),
+    )
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_exact_rows": q_dedup_exact_rows,
+    "dedup_keep_best": q_dedup_keep_best,
     "dedup_substring_spans": q_dedup_substring_spans,
     "dedup_clusters": q_dedup_clusters,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -373,3 +409,33 @@ ORACLES["dedup_clusters"] = f"""
         FROM reach JOIN edges e ON e.a = reach.doc_id)
     SELECT doc_id, min(r) AS cluster_rep FROM reach GROUP BY doc_id
 """
+
+# Survivorship = clusters ⨝ quality, winner by (quality desc, doc_id):
+# both subqueries reuse the exact oracles of their base queries so the
+# composed result stays bit-identical.
+def _keep_best_oracle() -> str:
+    from osarchiver_spark.queries.text import ORACLES as _TEXT_ORACLES
+
+    quality_sql = _TEXT_ORACLES["text_quality"]
+    clusters_sql = ORACLES["dedup_clusters"]
+    return f"""
+        WITH comps AS (SELECT * FROM ({clusters_sql})),
+        quality AS (
+            SELECT doc_id, quality FROM ({quality_sql})),
+        member AS (
+            SELECT c.doc_id, c.cluster_rep, q.quality
+            FROM comps c JOIN quality q USING (doc_id)),
+        ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY cluster_rep
+                                         ORDER BY quality DESC, doc_id) AS rk
+            FROM member),
+        winners AS (
+            SELECT cluster_rep, doc_id AS keep_id FROM ranked WHERE rk = 1)
+        SELECT m.doc_id, m.cluster_rep, m.quality, w.keep_id,
+               m.doc_id = w.keep_id AS kept
+        FROM member m JOIN winners w USING (cluster_rep)
+    """
+
+
+ORACLES["dedup_keep_best"] = _keep_best_oracle()
+
