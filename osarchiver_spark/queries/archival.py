@@ -442,7 +442,31 @@ def q_grouped_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_archive_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-reconciliation digests for archive verification: the pk set
+    of each of 16 buckets summarized as (count, XOR of a 32-bit
+    md5-derived key hash). Comparing these digests between source and
+    archive proves row-set equality per bucket without moving data —
+    the distributed answer to 'did every archived pk land?', O(1)
+    output per bucket, map-combinable bit_xor agg, one pass. (XOR is
+    order- and partition-independent, which is exactly why it works as
+    a shuffle-free distributed checksum.)"""
+    orders = load_table(spark, sf_dir, "orders")
+    h32 = F.conv(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    return (
+        orders.select((F.col("o_orderkey") % 16).alias("bucket"), h32.alias("h"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.expr("bit_xor(h)").alias("set_digest"),
+        )
+    )
+
+
 QUERIES = {
+    "archive_checksums": q_archive_checksums,
     "cdc_apply": q_cdc_apply,
     "snapshot_diff": q_snapshot_diff,
     "grouped_mad": q_grouped_mad,
@@ -499,6 +523,14 @@ def _zorder_oracle() -> str:
 
 
 ORACLES = {
+    "archive_checksums": """
+        SELECT o_orderkey % 16 AS bucket,
+               count(*) AS n_rows,
+               CAST(bit_xor(CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))
+                                 AS UBIGINT)) AS BIGINT) AS set_digest
+        FROM orders
+        GROUP BY 1
+    """,
     "snapshot_diff": """
         WITH a AS (
             SELECT o_orderkey, o_totalprice AS price_a FROM orders),

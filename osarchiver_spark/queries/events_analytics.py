@@ -406,7 +406,32 @@ def q_time_rollup_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_event_time_disorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-sizing diagnostic: how out-of-order does event time
+    arrive, per user? Arrival order is event_id (the ingestion
+    sequence); an event is late if its ts is behind the running max
+    ts seen so far, and its disorder is that gap. The per-user p-max
+    of this gap IS the watermark delay a streaming job needs. One
+    running-max window per user (single shuffle), integer microsecond
+    arithmetic throughout."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("event_id").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    prev_max = F.max(F.unix_micros(F.col("ts"))).over(w)
+    gap_us = F.greatest(F.lit(0), prev_max - F.unix_micros(F.col("ts")))
+    per_event = ev.select("user_id", gap_us.alias("late_us")).filter(
+        F.col("late_us").isNotNull()
+    )
+    return per_event.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum((F.col("late_us") > 0).cast("long")).alias("n_out_of_order"),
+        (F.max("late_us") / F.lit(1_000_000)).alias("max_disorder_s"),
+    )
+
+
 QUERIES = {
+    "event_time_disorder": q_event_time_disorder,
     "time_rollup_multi": q_time_rollup_multi,
     "value_histogram": q_value_histogram,
     "funnel_analysis": q_funnel_analysis,
@@ -465,6 +490,22 @@ ORACLES = {
         FROM cnt CROSS JOIN stats
         ORDER BY cnt DESC, o_custkey
         LIMIT 10
+    """,
+    "event_time_disorder": """
+        WITH g AS (
+            SELECT user_id,
+                   greatest(0, max(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                     - epoch_us(ts)) AS late_us
+            FROM events)
+        SELECT user_id,
+               count(*) AS n_events,
+               CAST(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_out_of_order,
+               max(late_us) / 1000000.0 AS max_disorder_s
+        FROM g WHERE late_us IS NOT NULL
+        GROUP BY user_id
     """,
     "time_rollup_multi": """
         WITH t AS (
