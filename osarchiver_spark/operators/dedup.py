@@ -303,38 +303,67 @@ def repeated_span_report(
     min_docs: int = 2,
 ) -> DataFrame:
     """Span-level exact-substring dedup: per document, the merged
-    character ranges whose fixed-width windows also occur verbatim in
-    at least ``min_docs - 1`` OTHER documents — the repeated-passage
-    report a pretraining pipeline uses to mask or cut boilerplate
-    (the suffix-array span-dedup shape, approximated with strided
-    rolling windows so it stays a pure shuffle-friendly plan).
+    character ranges whose ``window``-char windows also occur verbatim
+    in at least ``min_docs - 1`` OTHER documents — the repeated-passage
+    report a pretraining pipeline uses to mask or cut boilerplate (the
+    suffix-array span-dedup shape at a minimum match length).
 
-    Plan: explode ~len/stride window positions per doc (codegen
-    sequence+substr, no UDF), md5 each window, one map-combinable
-    count-distinct-docs agg over the window hash, semi-join the
-    positions whose hash is cross-document, then a per-doc
-    gaps-and-islands window merge (positions within ``window`` chars
-    coalesce into one span). Every join/agg is an equi-join on a hash
-    key; nothing is all-pairs, nothing leaves codegen. window/stride
-    trade recall for cost: a duplicated passage shorter than
-    window + stride - 1 chars can be missed, exactly like
-    suffix-array dedup run at a minimum match length."""
+    Window positions are WINNOWED, not strided: every position gets a
+    cheap 8-gram anchor hash, and a position is selected iff its
+    anchor is the minimum of the next ``stride`` positions (Schleimer/
+    Wilkerson/Aiken winnowing). Selection is therefore CONTENT-defined
+    — two copies of a passage select the same relative positions no
+    matter where each copy starts — which fixed-grid striding cannot
+    do (copies whose offsets differ mod stride never align, a recall
+    hole a property test caught). Guarantee: any shared passage of
+    length >= window + 2*stride + 6 contains at least one selected
+    position in both copies, so it IS reported.
+
+    Plan: explode one row per character position (codegen
+    sequence+substr, no UDF — the explode factor is the honest price
+    of content-defined anchoring, same order as tokenizing), one
+    running-min window per doc for the selection, md5 the selected
+    windows, one map-combinable count-distinct-docs agg over the
+    window hash, semi-join the cross-document positions back, then a
+    per-doc gaps-and-islands merge. Every join/agg is an equi-join on
+    a hash key; nothing is all-pairs, nothing leaves codegen."""
     did = F.col(id_col)
     text = F.col(text_col)
-    spans = (
+    positions = (
         df.filter(F.length(text) >= window)
         .select(
             did.alias("doc_id"),
             F.explode(
-                F.sequence(F.lit(0), F.length(text) - window, F.lit(stride))
+                F.sequence(F.lit(0), F.length(text) - window)
             ).alias("pos"),
             text.alias("_t"),
         )
         .select(
             "doc_id",
             "pos",
-            F.md5(F.col("_t").substr(F.col("pos") + 1, F.lit(window))).alias("h"),
+            "_t",
+            # 32-bit anchor from an 8-gram: cheap, engine-portable
+            F.conv(
+                F.substring(
+                    F.md5(F.col("_t").substr(F.col("pos") + 1, F.lit(8))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long").alias("a"),
         )
+    )
+    wsel = (
+        W.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(0, stride - 1)
+    )
+    selected = positions.withColumn("amin", F.min("a").over(wsel)).filter(
+        F.col("a") == F.col("amin")
+    )
+    spans = selected.select(
+        "doc_id",
+        "pos",
+        F.md5(F.col("_t").substr(F.col("pos") + 1, F.lit(window))).alias("h"),
     )
     dup = (
         spans.groupBy("h")

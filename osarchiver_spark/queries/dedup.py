@@ -368,11 +368,22 @@ ORACLES = {
 ORACLES["dedup_minhash_xxhash64"] = ORACLES["dedup_minhash_lsh"]
 
 ORACLES["dedup_substring_spans"] = """
-    WITH spans AS (
-        SELECT doc_id, i AS pos, md5(substr(text, i + 1, 64)) AS h
+    WITH positions AS (
+        SELECT doc_id, i AS pos, text,
+               CAST(CAST(('0x' || substr(md5(substr(text, i + 1, 8)), 1, 8))
+                         AS UBIGINT) AS BIGINT) AS a
         FROM documents,
-             LATERAL unnest(range(0, length(text) - 64 + 1, 16)) AS t(i)
+             LATERAL unnest(range(0, length(text) - 64 + 1)) AS t(i)
         WHERE length(text) >= 64),
+    winnowed AS (
+        SELECT doc_id, pos, text,
+               a = min(a) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING)
+                   AS sel
+        FROM positions),
+    spans AS (
+        SELECT doc_id, pos, md5(substr(text, pos + 1, 64)) AS h
+        FROM winnowed WHERE sel),
     dup AS (
         SELECT h FROM spans GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
     hits AS (

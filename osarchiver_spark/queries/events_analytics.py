@@ -430,7 +430,29 @@ def q_event_time_disorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_daily_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day movement per event type: today's count next to
+    yesterday's and the integer delta — lag() composed OVER an
+    aggregate (the rollup-then-window layering), all integer outputs
+    so no cross-engine float rounding exists at all. The window runs
+    on the |types|×|days| rollup, never the fact table."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count("*").alias("n"))
+    w = W.partitionBy("event_type").orderBy("day")
+    prev = F.lag("n").over(w)
+    return daily.select(
+        "event_type",
+        "day",
+        "n",
+        prev.alias("prev_n"),
+        (F.col("n") - prev).alias("delta"),
+    )
+
+
 QUERIES = {
+    "daily_delta": q_daily_delta,
     "event_time_disorder": q_event_time_disorder,
     "time_rollup_multi": q_time_rollup_multi,
     "value_histogram": q_value_histogram,
@@ -490,6 +512,15 @@ ORACLES = {
         FROM cnt CROSS JOIN stats
         ORDER BY cnt DESC, o_custkey
         LIMIT 10
+    """,
+    "daily_delta": """
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+            FROM events GROUP BY 1, 2)
+        SELECT event_type, day, n,
+               lag(n) OVER (PARTITION BY event_type ORDER BY day) AS prev_n,
+               n - lag(n) OVER (PARTITION BY event_type ORDER BY day) AS delta
+        FROM daily
     """,
     "event_time_disorder": """
         WITH g AS (

@@ -93,3 +93,38 @@ def test_generations_are_mutually_independent(tables):
                     assert parent not in names, (
                         "a generation must never contain a child with its parent"
                     )
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    passage_len=st.integers(110, 240),
+    prefix_len=st.integers(0, 120),
+    seed=st.integers(0, 10_000),
+)
+def test_span_dedup_always_finds_long_planted_passages(
+    spark, passage_len, prefix_len, seed
+):
+    """Recall guarantee of the WINNOWED span dedup: selection is
+    content-defined (forward-window minimum of the anchor hash), so
+    both copies of a shared passage select the same relative
+    positions regardless of each copy's offset, and any passage of
+    length >= window + 2*stride + 6 must be reported for both docs —
+    including phase-misaligned copies, which fixed-grid striding
+    provably misses."""
+    import random
+
+    from osarchiver_spark.operators.dedup import repeated_span_report
+
+    rng = random.Random(seed)
+    alpha = "abcdefghijklmnopqrstuvwxyz "
+    passage = "".join(rng.choice(alpha) for _ in range(passage_len))
+    uniq = lambda n, tag: "".join(rng.choice(alpha) for _ in range(n)) + tag
+    rows = [
+        (1, uniq(prefix_len, "@") + passage + uniq(40, "#")),
+        (2, uniq(37, "%") + passage + uniq(11, "&")),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    # window=64, stride=16: guarantee kicks in at >= 102 shared chars
+    out = repeated_span_report(df, "doc_id", "text", window=64, stride=16)
+    docs_reported = {r.doc_id for r in out.collect()}
+    assert {1, 2} <= docs_reported
