@@ -156,3 +156,25 @@ def test_repeated_span_report_finds_planted_passage(spark):
         # strided, so edges are within one stride + window)
         assert s.span_start <= start + 16
         assert s.span_end >= start + len(boiler) - 16 - 64
+
+
+def test_repeated_span_report_xxhash64_mode_matches_md5(spark, sf_small):
+    """The production (xxhash64) anchor/window hashes select different
+    positions but must flag the same duplicated documents as the
+    md5 oracle mode."""
+    from osarchiver_spark.operators.dedup import repeated_span_report
+    from osarchiver_spark.sources.parquet import load_table
+
+    docs = load_table(spark, sf_small, "documents")
+    md5_docs = {
+        r.doc_id
+        for r in repeated_span_report(docs, "doc_id", "text").select("doc_id").distinct().collect()
+    }
+    xx_docs = {
+        r.doc_id
+        for r in repeated_span_report(docs, "doc_id", "text", hash_fn="xxhash64")
+        .select("doc_id")
+        .distinct()
+        .collect()
+    }
+    assert md5_docs == xx_docs and md5_docs
