@@ -158,23 +158,35 @@ def test_repeated_span_report_finds_planted_passage(spark):
         assert s.span_end >= start + len(boiler) - 16 - 64
 
 
-def test_repeated_span_report_xxhash64_mode_matches_md5(spark, sf_small):
-    """The production (xxhash64) anchor/window hashes select different
-    positions but must flag the same duplicated documents as the
-    md5 oracle mode."""
-    from osarchiver_spark.operators.dedup import repeated_span_report
-    from osarchiver_spark.sources.parquet import load_table
+def test_repeated_span_report_xxhash64_mode_matches_md5(spark):
+    """Both hash modes select different positions, but ABOVE the
+    recall-guarantee length (window + 2*stride + 6) detection is
+    certain in either mode, so they must flag the same documents.
+    (Below that length detection is anchor-dependent and the modes
+    may legitimately differ — fixture docs 89/114 do.)"""
+    import random
 
-    docs = load_table(spark, sf_small, "documents")
+    from osarchiver_spark.operators.dedup import repeated_span_report
+
+    rng = random.Random(7)
+    alpha = "abcdefghijklmnopqrstuvwxyz "
+    passage = "".join(rng.choice(alpha) for _ in range(140))
+    mk = lambda n: "".join(rng.choice(alpha) for _ in range(n))
+    rows = [
+        (1, mk(33) + passage + mk(50)),
+        (2, mk(18) + passage + mk(90)),
+        (3, mk(260)),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
     md5_docs = {
         r.doc_id
-        for r in repeated_span_report(docs, "doc_id", "text").select("doc_id").distinct().collect()
+        for r in repeated_span_report(df, "doc_id", "text").select("doc_id").distinct().collect()
     }
     xx_docs = {
         r.doc_id
-        for r in repeated_span_report(docs, "doc_id", "text", hash_fn="xxhash64")
+        for r in repeated_span_report(df, "doc_id", "text", hash_fn="xxhash64")
         .select("doc_id")
         .distinct()
         .collect()
     }
-    assert md5_docs == xx_docs and md5_docs
+    assert md5_docs == xx_docs == {1, 2}
