@@ -200,10 +200,40 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_duplicate_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-health metric: per source, how many documents sit inside
+    some near-dup cluster (MinHash-LSH connected components) vs the
+    source's total — the per-provider duplication report that decides
+    which crawl feeds get down-weighted. Cluster membership joins back
+    to documents on doc_id; all outputs are integer counts, so the
+    composed oracle is tie-free by construction."""
+    from osarchiver_spark.operators.dedup import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text",
+        shingle_n=3, num_hashes=NUM_HASHES, bands=BANDS, threshold=MINHASH_THRESHOLD,
+    )
+    comps = connected_components(pairs).select("doc_id")
+    flagged = docs.join(comps, "doc_id", "left_semi").groupBy("source").agg(
+        F.count("*").alias("n_dup")
+    )
+    totals = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    return (
+        totals.join(flagged, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce(F.col("n_dup"), F.lit(0)).alias("n_dup"),
+        )
+    )
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_exact_rows": q_dedup_exact_rows,
     "dedup_keep_best": q_dedup_keep_best,
+    "duplicate_rate_by_source": q_duplicate_rate_by_source,
     "dedup_substring_spans": q_dedup_substring_spans,
     "dedup_clusters": q_dedup_clusters,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -449,4 +479,22 @@ def _keep_best_oracle() -> str:
 
 
 ORACLES["dedup_keep_best"] = _keep_best_oracle()
+
+
+def _dup_rate_oracle() -> str:
+    clusters_sql = ORACLES["dedup_clusters"]
+    return f"""
+        WITH comps AS (SELECT doc_id FROM ({clusters_sql})),
+        flagged AS (
+            SELECT d.source, count(*) AS n_dup
+            FROM documents d JOIN comps USING (doc_id)
+            GROUP BY 1),
+        totals AS (
+            SELECT source, count(*) AS n_docs FROM documents GROUP BY 1)
+        SELECT t.source, t.n_docs, coalesce(f.n_dup, 0) AS n_dup
+        FROM totals t LEFT JOIN flagged f USING (source)
+    """
+
+
+ORACLES["duplicate_rate_by_source"] = _dup_rate_oracle()
 
