@@ -270,6 +270,15 @@ def q_streaming_outer_interval_join(spark: SparkSession, sf_dir: str) -> DataFra
     return streaming_outer_interval_join(spark, sf_dir)
 
 
+def q_streaming_full_outer_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER stream-stream interval join, trimmed per side to the
+    watermark-final region; checked against the batch full-outer SQL
+    with identical trims."""
+    from osarchiver_spark.streaming.pipeline import streaming_full_outer_interval_join
+
+    return streaming_full_outer_interval_join(spark, sf_dir)
+
+
 def q_streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows merged by the streaming engine's session state
     machine; same gaps-and-islands oracle as the batch session_window
@@ -340,6 +349,7 @@ QUERIES = {
     "streaming_sliding": q_streaming_sliding,
     "streaming_interval_join": q_streaming_interval_join,
     "streaming_outer_interval_join": q_streaming_outer_interval_join,
+    "streaming_full_outer_interval_join": q_streaming_full_outer_interval_join,
     "streaming_session_window": q_streaming_session_window,
     "asof_join": q_asof_join,
     "session_window": q_session_window,
@@ -412,6 +422,25 @@ ORACLES = {
           ON v.user_id = p.user_id
          AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 4 HOUR
         WHERE v.ts <= (SELECT cutoff FROM cut)
+    """,
+    "streaming_full_outer_interval_join": """
+        WITH cut AS (
+            SELECT least(
+                       max(CASE WHEN event_type = 'view' THEN ts END)
+                           - INTERVAL 4 HOUR,
+                       max(CASE WHEN event_type = 'purchase' THEN ts END)
+                           - INTERVAL 8 HOUR)
+                   - INTERVAL 5 HOUR AS cutoff
+            FROM events)
+        SELECT v.event_id AS view_id, p.event_id AS purchase_id,
+               coalesce(v.user_id, p.user_id) AS user_id,
+               v.ts AS view_ts, p.ts AS purchase_ts
+        FROM (SELECT * FROM events WHERE event_type = 'view') v
+        FULL OUTER JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+          ON v.user_id = p.user_id
+         AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 4 HOUR
+        WHERE (v.ts IS NULL OR v.ts <= (SELECT cutoff FROM cut))
+          AND (p.ts IS NULL OR p.ts <= (SELECT cutoff FROM cut))
     """,
     "asof_join": """
         WITH u AS (

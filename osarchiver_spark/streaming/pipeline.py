@@ -254,6 +254,86 @@ def streaming_outer_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame
     ).drop("cutoff")
 
 
+def streaming_full_outer_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER stream-stream interval join: views with their
+    following-4h purchases, plus NULL rows for views that never
+    converted AND purchases no view preceded. Each side's NULL rows
+    finalize only when the global watermark passes that side's whole
+    join range, so the finite-fixture trim applies PER SIDE: a
+    view-bearing row must have view_ts below the view cutoff, a
+    purchase-bearing row purchase_ts below the purchase cutoff, and
+    rows carrying both must satisfy both (matched rows always do when
+    either side does, since the range couples the two timestamps).
+    The batch oracle applies identical trims."""
+    ev = events_stream(spark, sf_dir)
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "4 hours")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "8 hours")
+    )
+    joined = views.join(
+        purchases,
+        (F.col("v_user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (F.col("purchase_ts") <= F.col("view_ts") + F.expr("INTERVAL 4 HOURS")),
+        "fullOuter",
+    ).select(
+        "view_id",
+        "purchase_id",
+        F.coalesce(F.col("v_user_id"), F.col("p_user_id")).alias("user_id"),
+        "view_ts",
+        "purchase_ts",
+    )
+    drained = drain_stream_to_parquet(joined, "append", "stream_foij")
+    from osarchiver_spark.sources.parquet import load_table
+
+    ev_batch = load_table(spark, sf_dir, "events")
+    bounds = ev_batch.agg(
+        (
+            F.least(
+                F.max(F.when(F.col("event_type") == "view", F.col("ts")))
+                - F.expr("INTERVAL 4 HOURS"),
+                F.max(F.when(F.col("event_type") == "purchase", F.col("ts")))
+                - F.expr("INTERVAL 8 HOURS"),
+            )
+            - F.expr("INTERVAL 5 HOURS")  # view range 4h + 1h margin
+        ).alias("v_cutoff"),
+        (
+            F.least(
+                F.max(F.when(F.col("event_type") == "view", F.col("ts")))
+                - F.expr("INTERVAL 4 HOURS"),
+                F.max(F.when(F.col("event_type") == "purchase", F.col("ts")))
+                - F.expr("INTERVAL 8 HOURS"),
+            )
+            - F.expr("INTERVAL 5 HOURS")  # purchase range reaches 4h back; 1h margin
+        ).alias("p_cutoff"),
+    )
+    return (
+        drained.crossJoin(F.broadcast(bounds))
+        .filter(
+            (F.col("view_ts").isNull() | (F.col("view_ts") <= F.col("v_cutoff")))
+            & (
+                F.col("purchase_ts").isNull()
+                | (F.col("purchase_ts") <= F.col("p_cutoff"))
+            )
+        )
+        .drop("v_cutoff", "p_cutoff")
+    )
+
+
 def stream_archive(
     spark: SparkSession,
     sf_dir: str,
