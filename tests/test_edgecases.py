@@ -83,3 +83,43 @@ def test_retention_filter_all_null_deleted(spark):
     )
     out = retention_filter(df, "deleted_at", datetime(2001, 1, 1))
     assert out.count() == 0  # NULL deleted_at is never archivable
+
+
+def test_round3_operators_survive_empty_and_degenerate_input(spark):
+    """The late round-3 operators must not blow up on empty inputs or
+    single-row degenerate data."""
+    from osarchiver_spark.operators.dedup import repeated_span_report
+    from osarchiver_spark.operators.layout import zorder_layout
+    from osarchiver_spark.operators.merge import cdc_apply
+    from osarchiver_spark.streaming.cdc import reconcile_cdc_state
+
+    empty_docs = spark.createDataFrame(
+        [], T.StructType([
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ])
+    )
+    assert repeated_span_report(empty_docs, "doc_id", "text").count() == 0
+    # text shorter than the window: no positions, no rows, no error
+    short = spark.createDataFrame([(1, "tiny"), (2, "")], ["doc_id", "text"])
+    assert repeated_span_report(short, "doc_id", "text").count() == 0
+
+    log_schema = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("op", T.StringType()),
+        T.StructField("seq", T.LongType()),
+        T.StructField("v", T.StringType()),
+    ])
+    empty_log = spark.createDataFrame([], log_schema)
+    assert cdc_apply(empty_log, "k", "seq").count() == 0
+    # delete-only changelog: no survivors but no error either
+    del_only = spark.createDataFrame([(1, "D", 1, None)], log_schema)
+    assert cdc_apply(del_only, "k", "seq").count() == 0
+    # reconcile with a no-op empty batch keeps state unchanged
+    state = reconcile_cdc_state(None, del_only, "k", "seq")
+    after = reconcile_cdc_state(state, empty_log, "k", "seq")
+    assert [r.asDict() for r in after.collect()] == [r.asDict() for r in state.collect()]
+
+    # z-order layout of a single-row / constant-column frame
+    one = spark.createDataFrame([(1, 2)], ["x", "y"])
+    assert zorder_layout(one, "x", "y", bits=4, num_files=2).count() == 1
