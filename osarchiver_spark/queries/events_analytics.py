@@ -451,7 +451,48 @@ def q_daily_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration (Pareto) report: customers ranked into
+    revenue deciles, each decile's size and revenue share inputs
+    (integer count + rounded sum; the reader derives percentages).
+    The ntile window runs over the CUSTOMER aggregate — dimension
+    cardinality, not the fact table — which is the acceptable global
+    sort; the fact-table pass is one hash agg."""
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue")
+    )
+    w = W.orderBy(F.col("revenue").desc(), "o_custkey")
+    return (
+        per_cust.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("revenue"), 2).alias("decile_revenue"),
+        )
+    )
+
+
+def q_hour_of_day_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diurnal activity profile: event counts and value sums per
+    (hour of day, event type) — the seasonality fingerprint used for
+    anomaly baselines and load forecasting. Pure hash agg on derived
+    integer keys."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.hour("ts").cast("int").alias("hour_of_day"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
 QUERIES = {
+    "revenue_pareto": q_revenue_pareto,
+    "hour_of_day_profile": q_hour_of_day_profile,
     "daily_delta": q_daily_delta,
     "event_time_disorder": q_event_time_disorder,
     "time_rollup_multi": q_time_rollup_multi,
@@ -512,6 +553,25 @@ ORACLES = {
         FROM cnt CROSS JOIN stats
         ORDER BY cnt DESC, o_custkey
         LIMIT 10
+    """,
+    "revenue_pareto": """
+        WITH per_cust AS (
+            SELECT o_custkey, round(sum(o_totalprice), 2) AS revenue
+            FROM orders GROUP BY 1)
+        SELECT decile, count(*) AS n_customers,
+               round(sum(revenue), 2) AS decile_revenue
+        FROM (
+            SELECT revenue,
+                   ntile(10) OVER (ORDER BY revenue DESC, o_custkey) AS decile
+            FROM per_cust)
+        GROUP BY decile
+    """,
+    "hour_of_day_profile": """
+        SELECT CAST(hour(ts) AS INT) AS hour_of_day, event_type,
+               count(*) AS n,
+               round(sum(value), 4) AS sum_value
+        FROM events
+        GROUP BY 1, 2
     """,
     "daily_delta": """
         WITH daily AS (
