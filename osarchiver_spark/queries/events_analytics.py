@@ -490,7 +490,30 @@ def q_hour_of_day_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_user_activity_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the event stream: how many users
+    produced exactly N events (bucketed to powers of two above 16 so
+    the tail stays readable) — the first diagnostic for bot detection
+    and per-key state sizing. Two chained hash aggs (user → count,
+    count-bucket → users), both map-combinable; integer-only output."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(F.count("*").alias("n_events"))
+    # integer comparisons only — a float log2 would put exact powers
+    # of two on a cross-engine rounding boundary
+    n = F.col("n_events")
+    bucket = F.when(n <= 16, n)
+    for p in (32, 64, 128, 256, 512, 1024, 2048, 4096):
+        bucket = bucket.when(n <= p, F.lit(p))
+    bucket = bucket.otherwise(F.lit(8192)).cast("long")
+    return (
+        per_user.select(bucket.alias("events_bucket"))
+        .groupBy("events_bucket")
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
 QUERIES = {
+    "user_activity_distribution": q_user_activity_distribution,
     "revenue_pareto": q_revenue_pareto,
     "hour_of_day_profile": q_hour_of_day_profile,
     "daily_delta": q_daily_delta,
@@ -553,6 +576,19 @@ ORACLES = {
         FROM cnt CROSS JOIN stats
         ORDER BY cnt DESC, o_custkey
         LIMIT 10
+    """,
+    "user_activity_distribution": """
+        WITH per_user AS (
+            SELECT user_id, count(*) AS n FROM events GROUP BY 1)
+        SELECT CAST(CASE WHEN n <= 16 THEN n
+                         WHEN n <= 32 THEN 32 WHEN n <= 64 THEN 64
+                         WHEN n <= 128 THEN 128 WHEN n <= 256 THEN 256
+                         WHEN n <= 512 THEN 512 WHEN n <= 1024 THEN 1024
+                         WHEN n <= 2048 THEN 2048 WHEN n <= 4096 THEN 4096
+                         ELSE 8192 END AS BIGINT) AS events_bucket,
+               count(*) AS n_users
+        FROM per_user
+        GROUP BY 1
     """,
     "revenue_pareto": """
         WITH per_cust AS (
