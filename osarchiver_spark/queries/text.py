@@ -428,7 +428,36 @@ def q_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_training_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The capstone accounting query: run the composed pre-filter
+    (quality + language gate + near-dup loser removal =
+    corpus_pipeline), assign every surviving document its
+    deterministic md5 train/val/test split, and report each split's
+    document and token budget — the numbers a training run is actually
+    provisioned from. Every stage reuses an already-oracle-checked
+    building block, and the output is integer-only."""
+    from osarchiver_spark.functions.text import token_count
+    from osarchiver_spark.queries.sampling import _TRAIN_UB, _VAL_UB
+
+    survivors = q_corpus_pipeline(spark, sf_dir).select("doc_id")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = (
+        F.when(bucket < _TRAIN_UB, "train").when(bucket < _VAL_UB, "val").otherwise("test")
+    )
+    return (
+        survivors.join(docs, "doc_id")
+        .select(split.alias("split"), token_count(F.col("text")).alias("n_tok"))
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("total_tokens"),
+        )
+    )
+
+
 QUERIES = {
+    "training_mix_report": q_training_mix_report,
     "bpe_merge_step": q_bpe_merge_step,
     "source_overlap": q_source_overlap,
     "source_divergence": q_source_divergence,
@@ -721,6 +750,31 @@ ORACLES = {
 }
 
 ORACLES["corpus_pipeline"] = _corpus_pipeline_sql()
+
+
+def _training_mix_sql() -> str:
+    from osarchiver_spark.queries.sampling import _TRAIN_UB, _VAL_UB
+
+    toks = _SQL_TOKENS.format(col="text")
+    return f"""
+        WITH survivors AS (
+            SELECT doc_id FROM ({_corpus_pipeline_sql()})),
+        j AS (
+            SELECT d.doc_id, len({toks}) AS n_tok
+            FROM documents d JOIN survivors USING (doc_id))
+        SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{_TRAIN_UB}'
+                        THEN 'train'
+                    WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{_VAL_UB}'
+                        THEN 'val'
+                    ELSE 'test' END AS split,
+               count(*) AS n_docs,
+               CAST(sum(n_tok) AS BIGINT) AS total_tokens
+        FROM j
+        GROUP BY 1
+    """
+
+
+ORACLES["training_mix_report"] = _training_mix_sql()
 
 
 def _streaming_corpus_sql() -> str:
