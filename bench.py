@@ -58,6 +58,7 @@ HEADLINE = [
     "knn_lsh",
     "knn_ivf",
     "corpus_pipeline",
+    "training_mix_report",
     "tfidf_top_terms",
     "unigram_logprob",
     "pii_scrub",
