@@ -308,3 +308,20 @@ directory={tmp_path}/arch
         a.spec, a.sinks, watermarks=a.watermarks(), max_parallel_tables=a.parallel_tables
     ).run(a.dataframes(spark))
     assert results[0].error is None and results[0].archived_rows > 0
+
+
+def test_cli_explain_prints_plan_without_executing(capsys):
+    from osarchiver_spark.main import explain_query, run
+
+    assert explain_query("retention_filter", "/root/testdata/sf0.001") == 0
+    out = capsys.readouterr().out
+    assert "Physical Plan" in out and "PushedFilters" in out
+
+    assert explain_query("no_such_query", "/root/testdata/sf0.001") == 1
+    assert explain_query("all", "/root/testdata/sf0.001") == 0
+    names = capsys.readouterr().out.split()
+    assert len(names) >= 148 and "retention_filter" in names
+
+    # --explain needs no --config; missing both is an argument error
+    assert run(["--explain", "all"]) == 0
+    assert run([]) == 2
