@@ -86,6 +86,13 @@ HEADLINE = [
     "zorder_locality",
     "source_divergence",
     "bpe_merge_step",
+    # round-4 additions
+    "pagerank",
+    "boilerplate_lines",
+    "inverted_index",
+    "streaming_static_enrich",
+    "attribution_last_touch",
+    "distinct_rollup_merge",
 ]
 
 

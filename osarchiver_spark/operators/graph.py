@@ -1,0 +1,83 @@
+"""Iterative graph analytics over relational edge lists — PageRank
+by power iteration.
+
+The reference has no graph surface at all; this is a north-star
+extension in the same family as the connected-components min-label
+propagation in ``operators/dedup.py`` (the other iterative-algorithm
+shape a 100 TB pipeline needs, e.g. for ranking crawl domains or
+scoring entities in a training corpus).
+
+Scale design:
+
+- The edge list is built once from a relational join, de-duplicated,
+  symmetrized, joined with out-degrees, and **persisted**: every
+  power iteration reuses the same keyed relation instead of
+  recomputing the orders ⋈ lineitem join.
+- Each iteration is one equi-join (edges ⋈ ranks on ``src``) and one
+  map-combinable sum aggregation keyed by ``dst`` — no windows, no
+  cross products, state per node is a single double. Both shuffles
+  key on node ids, so a cluster run can pre-partition edges by
+  ``src`` and reuse the exchange across iterations.
+- Iteration count is a fixed, shallow constant here (the oracle
+  mirrors each step as a CTE); an until-convergence variant would
+  add ``localCheckpoint()`` per round exactly like
+  ``connected_components`` (operators/dedup.py) to truncate lineage.
+- The only driver-side values are the node count N and the loop
+  counter — model-sized scalars, never data.
+
+Undirected formulation: every edge is added in both directions, so
+every node in the edge list has out-degree >= 1 and the dangling-mass
+term of directed PageRank vanishes (no rank leaks; the stationary
+vector sums to 1). Nodes with no edges at all are excluded — they
+would sit at the teleport floor (1-d)/N forever.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DAMPING = 0.85
+ITERATIONS = 3
+
+
+def pagerank(edges: DataFrame, damping: float = DAMPING, iterations: int = ITERATIONS) -> DataFrame:
+    """Power-iteration PageRank over an undirected edge list.
+
+    ``edges`` must have columns (src, dst) with one row per directed
+    edge (callers symmetrize first; ``trade_graph_edges`` below does).
+    Returns (node, rank) with ranks summing to 1 over the node set.
+    """
+    edges = edges.distinct()
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    # co-partitioned on src with the edge shuffle; persisted because
+    # every iteration probes it
+    edges_deg = edges.join(deg, "src").persist()
+    n_nodes = deg.count()  # scalar only — sizes the teleport term
+    teleport = (1.0 - damping) / n_nodes
+
+    ranks = deg.select(F.col("src").alias("node"), F.lit(1.0 / n_nodes).alias("rank"))
+    for _ in range(iterations):
+        contrib = edges_deg.join(ranks, edges_deg.src == ranks.node).select(
+            F.col("dst"), (F.col("rank") / F.col("deg")).alias("c")
+        )
+        ranks = contrib.groupBy(F.col("dst").alias("node")).agg(
+            (F.lit(teleport) + damping * F.sum("c")).alias("rank")
+        )
+    return ranks
+
+
+def trade_graph_edges(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Symmetrized customer <-> supplier edge list from the TPC-H-ish
+    fixture: an edge wherever a customer's order contains a
+    supplier's line item. Node ids are prefixed strings (``c<id>`` /
+    ``s<id>``) so the two key spaces can't collide."""
+    pairs = (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    return pairs.union(pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst")))

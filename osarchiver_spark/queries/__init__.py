@@ -27,6 +27,8 @@ _MODULES = [
     "text",
     "sampling",
     "multimodal",
+    "graph",
+    "indexing",
 ]
 
 

@@ -512,8 +512,81 @@ def q_user_activity_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: every purchase is attributed
+    to the SAME USER's most recent click at-or-before it (ties →
+    highest click id), kept only when that click is within the 7-day
+    lookback; revenue then rolls up per click campaign (the ``k``
+    property of the click's props JSON).
+
+    Composition, not new machinery: the point-in-time lookup is the
+    as-of union+window operator (operators/asof.py — one shuffle on
+    user_id, no range explosion), the lookback is a post-filter
+    (correct because the as-of match is the globally most recent
+    click: if IT is outside the window, no in-window click exists),
+    and the rollup is one map-combinable agg."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("click_id"),
+        F.get_json_object("props", "$.k").cast("int").alias("campaign"),
+        F.col("ts").alias("click_ts"),
+    )
+    from osarchiver_spark.operators.asof import asof_join_union
+
+    attributed = asof_join_union(
+        purchases,
+        clicks,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["campaign", "click_ts", "click_id"],
+        left_tiebreak="event_id",
+        right_tiebreak="click_id",
+    ).filter(
+        F.col("asof_click_ts").isNotNull()
+        & (F.col("ts") <= F.col("asof_click_ts") + F.expr("INTERVAL 7 DAYS"))
+    )
+    return attributed.groupBy(F.col("asof_campaign").alias("campaign")).agg(
+        F.count("*").alias("n_purchases"),
+        F.round(F.sum("value"), 4).alias("revenue"),
+    )
+
+
+def q_distinct_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly distinct users per event type computed FROM THE DAILY
+    PARTIAL — the mergeable-state form of COUNT DISTINCT.
+
+    Plain count-distinct partials don't merge (distinct-of-distincts
+    over-merges); the mergeable state is the deduplicated
+    (day, type, user) relation, which a real pipeline maintains
+    incrementally (yesterday's partial is never rescanned). The
+    weekly rollup re-deduplicates only that partial. The oracle
+    computes the weekly numbers DIRECTLY from raw events — the hash
+    match proves merge-from-partial == recompute, the same guarantee
+    incremental_rollup pins for sums."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.select(
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        "event_type",
+        "user_id",
+    ).distinct()
+    return daily.groupBy(
+        F.date_trunc("week", F.col("day")).alias("week"), "event_type"
+    ).agg(
+        F.count_distinct("user_id").alias("n_users"),
+        F.count("*").alias("n_user_days"),
+    )
+
+
 QUERIES = {
     "user_activity_distribution": q_user_activity_distribution,
+    "attribution_last_touch": q_attribution_last_touch,
+    "distinct_rollup_merge": q_distinct_rollup_merge,
     "revenue_pareto": q_revenue_pareto,
     "hour_of_day_profile": q_hour_of_day_profile,
     "daily_delta": q_daily_delta,
@@ -534,6 +607,33 @@ QUERIES = {
 }
 
 ORACLES = {
+    "attribution_last_touch": """
+        WITH p AS (
+            SELECT event_id, user_id, ts, value FROM events
+            WHERE event_type = 'purchase'),
+        c AS (
+            SELECT user_id, ts AS click_ts, event_id AS click_id,
+                   CAST(json_extract_string(props, '$.k') AS INT) AS campaign
+            FROM events WHERE event_type = 'click'),
+        ranked AS (
+            SELECT p.event_id, p.value, c.campaign,
+                   row_number() OVER (
+                       PARTITION BY p.event_id
+                       ORDER BY c.click_ts DESC, c.click_id DESC) AS rn
+            FROM p JOIN c ON p.user_id = c.user_id
+                         AND c.click_ts <= p.ts
+                         AND p.ts <= c.click_ts + INTERVAL 7 DAY)
+        SELECT campaign, count(*) AS n_purchases,
+               round(sum(value), 4) AS revenue
+        FROM ranked WHERE rn = 1 GROUP BY 1
+    """,
+    "distinct_rollup_merge": """
+        SELECT date_trunc('week', date_trunc('day', ts)) AS week,
+               event_type,
+               count(DISTINCT user_id) AS n_users,
+               count(DISTINCT (date_trunc('day', ts), user_id)) AS n_user_days
+        FROM events GROUP BY 1, 2
+    """,
     "funnel_analysis": """
         WITH v AS (
             SELECT user_id, min(ts) AS t_view FROM events

@@ -1,0 +1,161 @@
+"""Corpus-structure queries (north-star extension): CCNet-style
+boilerplate-line removal and an inverted index — the two
+"structure the corpus by its repeated content" operators a training
+pipeline runs between raw ingest and dedup.
+
+The fixture corpus has no newline structure, so "lines" are
+fixed 8-token windows (same normalization as the chunker in
+operators/chunking.py — the algorithm is identical when real
+newlines exist: hash the unit, count distinct documents per unit,
+drop units above the share threshold, reassemble).
+
+Scale design:
+
+- ``boilerplate_lines``: tokenize + window inside one codegen'd
+  projection (no explode-then-regroup for line assembly — the line
+  array is built per row with higher-order functions, so assembly
+  costs zero shuffles). The only shuffles are the line-frequency
+  count (map-combinable) and the doc reassembly agg. The frequent
+  set is joined back by line hash — an equi-join that AQE can
+  broadcast when the boilerplate set is small (the common case).
+- ``inverted_index``: (term, doc) partial counts combine map-side;
+  postings are truncated to the top 8 documents per term *before*
+  any per-term list is materialized (window row_number, then a
+  bounded sort_array/collect), so a 100 TB stop-word posting list
+  never concentrates in one task.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from osarchiver_spark.functions.text import tokens
+from osarchiver_spark.sources.parquet import load_table
+
+LINE_TOKENS = 8
+BOILER_MIN_DOCS = 2  # fixture-scale; production: a corpus-share threshold
+POSTINGS_PER_TERM = 8
+
+_SQL_TOKENS_LOWER = "list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), t -> t <> '')"
+
+
+def _doc_lines(docs: DataFrame) -> DataFrame:
+    """(doc_id, line_no, line): non-overlapping LINE_TOKENS-token
+    windows, assembled row-locally (no shuffle). Docs with zero
+    tokens yield zero lines (mirrors the oracle, where empty docs
+    produce no token rows)."""
+    toks = tokens(F.lower(F.col("text")))
+    n_lines = F.ceil(F.size(toks) / F.lit(LINE_TOKENS)).cast("int")
+    lines_arr = F.transform(
+        F.sequence(F.lit(0), n_lines - 1),
+        lambda i: F.array_join(F.slice(toks, i * LINE_TOKENS + 1, LINE_TOKENS), " "),
+    )
+    return docs.filter(F.size(toks) > 0).select(
+        "doc_id", F.posexplode(lines_arr).alias("line_no", "line")
+    )
+
+
+def q_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document boilerplate report + cleaned text: a line is
+    boilerplate when it occurs in >= BOILER_MIN_DOCS distinct
+    documents; the cleaned text is the in-order concatenation of the
+    surviving lines (order restored by sort_array over (line_no,
+    line) structs — deterministic under any partitioning)."""
+    docs = load_table(spark, sf_dir, "documents")
+    lines = _doc_lines(docs)
+    freq = lines.groupBy("line").agg(F.count_distinct("doc_id").alias("nd"))
+    flagged = lines.join(freq, "line").withColumn(
+        "is_boiler", (F.col("nd") >= BOILER_MIN_DOCS).cast("int")
+    )
+    kept_struct = F.when(
+        F.col("is_boiler") == 0, F.struct(F.col("line_no"), F.col("line"))
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_lines"),
+        F.sum("is_boiler").alias("n_boiler"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(kept_struct)), lambda s: s["line"]
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+
+
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term -> (document frequency, collection frequency, top-8
+    postings by tf desc / doc_id asc, comma-joined)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("token"))
+        .groupBy("token", "doc_id")
+        .agg(F.count("*").alias("tf"))
+    )
+    stats = tf.groupBy("token").agg(
+        F.count("*").alias("df"), F.sum("tf").alias("cf")
+    )
+    w = Window.partitionBy("token").orderBy(F.col("tf").desc(), F.col("doc_id"))
+    top = tf.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= POSTINGS_PER_TERM
+    )
+    postings = top.groupBy("token").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("rn", "doc_id"))),
+                lambda s: s["doc_id"].cast("string"),
+            ),
+            ",",
+        ).alias("postings")
+    )
+    return stats.join(postings, "token").select("token", "df", "cf", "postings")
+
+
+QUERIES = {
+    "boilerplate_lines": q_boilerplate_lines,
+    "inverted_index": q_inverted_index,
+}
+
+ORACLES = {
+    "boilerplate_lines": f"""
+        WITH d AS (
+            SELECT doc_id, {_SQL_TOKENS_LOWER} AS toks FROM documents),
+        tok AS (
+            SELECT doc_id, generate_subscripts(toks, 1) AS ord, unnest(toks) AS token
+            FROM d),
+        lines AS (
+            SELECT doc_id, CAST((ord - 1) // {LINE_TOKENS} AS INT) AS line_no,
+                   string_agg(token, ' ' ORDER BY ord) AS line
+            FROM tok GROUP BY 1, 2),
+        freq AS (SELECT line, count(DISTINCT doc_id) AS nd FROM lines GROUP BY 1),
+        flagged AS (
+            SELECT l.doc_id, l.line_no, l.line,
+                   CASE WHEN f.nd >= {BOILER_MIN_DOCS} THEN 1 ELSE 0 END AS is_boiler
+            FROM lines l JOIN freq f ON l.line = f.line)
+        SELECT doc_id, count(*) AS n_lines,
+               CAST(sum(is_boiler) AS BIGINT) AS n_boiler,
+               coalesce(string_agg(line, ' ' ORDER BY line_no)
+                            FILTER (WHERE is_boiler = 0), '') AS clean_text
+        FROM flagged GROUP BY doc_id
+    """,
+    "inverted_index": f"""
+        WITH tok AS (
+            SELECT doc_id, unnest({_SQL_TOKENS_LOWER}) AS token FROM documents),
+        tf AS (SELECT token, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2),
+        stats AS (
+            SELECT token, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf
+            FROM tf GROUP BY 1),
+        rk AS (
+            SELECT token, doc_id, tf,
+                   row_number() OVER (PARTITION BY token
+                                      ORDER BY tf DESC, doc_id) AS rn
+            FROM tf),
+        postings AS (
+            SELECT token,
+                   string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY rn) AS postings
+            FROM rk WHERE rn <= {POSTINGS_PER_TERM} GROUP BY 1)
+        SELECT s.token, s.df, s.cf, p.postings
+        FROM stats s JOIN postings p ON s.token = p.token
+    """,
+}

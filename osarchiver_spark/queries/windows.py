@@ -244,6 +244,15 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static dimension enrichment (events ⋈ customer⋈nation,
+    broadcast) + hourly rollup per nation, computed by the streaming
+    engine; oracle is the identical batch SQL."""
+    from osarchiver_spark.streaming.pipeline import streaming_static_enrich
+
+    return streaming_static_enrich(spark, sf_dir)
+
+
 def q_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding windows computed by the streaming engine; same oracle
     as the batch sliding query."""
@@ -346,6 +355,7 @@ QUERIES = {
     "time_weighted_avg": q_time_weighted_avg,
     "gapfill_hourly": q_gapfill_hourly,
     "streaming_tumbling": q_streaming_tumbling,
+    "streaming_static_enrich": q_streaming_static_enrich,
     "streaming_sliding": q_streaming_sliding,
     "streaming_interval_join": q_streaming_interval_join,
     "streaming_outer_interval_join": q_streaming_outer_interval_join,
@@ -477,6 +487,15 @@ ORACLES = {
                    AS window_start,
                event_type, count(*) AS n, round(sum(value), 4) AS sum_value
         FROM events GROUP BY 1, 2
+    """,
+    "streaming_static_enrich": """
+        SELECT make_timestamp(CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) * 3600000000)
+                   AS window_start,
+               n_name AS nation, count(*) AS n, round(sum(value), 4) AS sum_value
+        FROM events
+        JOIN customer ON user_id = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY 1, 2
     """,
     "latest_event_per_user": """
         SELECT user_id, event_id, ts, event_type, value FROM (

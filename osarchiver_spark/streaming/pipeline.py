@@ -155,6 +155,38 @@ def streaming_session_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join + windowed rollup: the event
+    stream joined per micro-batch to the (batch) customer ⋈ nation
+    dimension, then aggregated to 1-hour tumbling counts per nation.
+
+    This is the canonical dimension-enrichment pattern: the static
+    side is a plain DataFrame re-resolved each micro-batch (so a
+    dimension refresh is picked up without restarting the query), the
+    join itself is STATELESS — only the windowed agg keeps state —
+    and the explicit broadcast keeps the per-batch join shuffle-free:
+    dims are the classic small side, and a 100 TB/day stream never
+    reshuffles on the dim key. Oracle = the identical batch
+    join+rollup SQL."""
+    from osarchiver_spark.sources.parquet import load_table
+
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    dim = cust.join(nat, cust.c_nationkey == nat.n_nationkey).select(
+        F.col("c_custkey").alias("user_id"), F.col("n_name").alias("nation")
+    )
+    agg = (
+        events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .join(F.broadcast(dim), "user_id")
+        .groupBy(F.window("ts", "1 hour"), "nation")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+    )
+    return drain_stream_to_parquet(agg, "complete", "stream_enrich").select(
+        F.col("window.start").alias("window_start"), "nation", "n", "sum_value"
+    )
+
+
 def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream interval join: each view joined to the same
     user's purchases within the following 4 hours, computed BY THE

@@ -1,0 +1,73 @@
+"""Boilerplate-line removal and inverted index (queries/indexing.py)
+on constructed corpora with known structure. Fixture-scale oracle
+parity runs in test_oracle_parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from osarchiver_spark.queries.indexing import (
+    BOILER_MIN_DOCS,
+    LINE_TOKENS,
+    _doc_lines,
+)
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+
+
+def test_doc_lines_windows_are_exact_and_ordered(spark):
+    words = [f"w{i}" for i in range(LINE_TOKENS * 2 + 3)]  # 2 full + 1 partial
+    rows = (
+        _doc_lines(_docs(spark, [" ".join(words)]))
+        .orderBy("line_no")
+        .collect()
+    )
+    assert [r.line_no for r in rows] == [0, 1, 2]
+    assert rows[0].line == " ".join(words[:LINE_TOKENS])
+    assert rows[2].line == " ".join(words[LINE_TOKENS * 2 :])  # short tail kept
+
+
+def test_doc_lines_empty_doc_yields_no_rows(spark):
+    assert _doc_lines(_docs(spark, ["   "])).count() == 0
+
+
+def test_boilerplate_removal_on_known_corpus(spark, monkeypatch, sf_small, tmp_path):
+    # Three docs sharing one exact 8-token window (the "footer"); each
+    # also has a unique line. The shared window must be removed from
+    # every doc, the unique lines survive verbatim.
+    footer = " ".join(["foot"] * LINE_TOKENS)
+    texts = [f"{'u%d ' % i * LINE_TOKENS}{footer}" for i in range(BOILER_MIN_DOCS + 1)]
+    docs = _docs(spark, texts).withColumn("text", F.col("text"))
+    # run the query body against a view-equivalent: write a parquet
+    # documents table into tmp_path so load_table picks it up
+    docs.select("doc_id", "text").write.parquet(str(tmp_path / "documents.parquet"))
+    from osarchiver_spark.queries.indexing import q_boilerplate_lines
+
+    out = {r.doc_id: r for r in q_boilerplate_lines(spark, str(tmp_path)).collect()}
+    for i in range(BOILER_MIN_DOCS + 1):
+        r = out[i]
+        assert r.n_lines == 2
+        assert r.n_boiler == 1
+        assert r.clean_text == ("u%d " % i * LINE_TOKENS).strip()
+
+
+def test_inverted_index_postings_are_capped_and_sorted(spark, tmp_path):
+    from osarchiver_spark.queries.indexing import POSTINGS_PER_TERM, q_inverted_index
+
+    # 12 docs contain "common" (once each except doc 0, which has it
+    # 3x) → df=12, postings capped at 8, doc 0 first (highest tf)
+    texts = ["common common common"] + ["common filler%d" % i for i in range(1, 12)]
+    _docs(spark, texts).write.parquet(str(tmp_path / "documents.parquet"))
+    rows = {r.token: r for r in q_inverted_index(spark, str(tmp_path)).collect()}
+    common = rows["common"]
+    assert common.df == 12
+    assert common.cf == 14
+    posting_ids = common.postings.split(",")
+    assert len(posting_ids) == POSTINGS_PER_TERM
+    assert posting_ids[0] == "0"  # tf desc wins
+    assert posting_ids[1:] == sorted(posting_ids[1:], key=int)  # tie → doc asc

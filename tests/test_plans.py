@@ -211,3 +211,28 @@ def test_new_analytics_queries_stay_jvm_side(spark):
         plan = _formatted(spark, name)
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
         assert "CartesianProduct" not in plan, name
+
+
+def test_round4_ops_stay_jvm_side_and_join_safe(spark):
+    # pagerank / boilerplate / inverted index / attribution are pure
+    # DataFrame compositions: no Python evaluation, no cross products
+    for name in [
+        "pagerank",
+        "boilerplate_lines",
+        "inverted_index",
+        "attribution_last_touch",
+        "distinct_rollup_merge",
+    ]:
+        plan = _formatted(spark, name)
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_inverted_index_caps_postings_before_collect(spark):
+    # the per-term top-k must run as a window filter (rn <= cap)
+    # upstream of the list aggregation — a stop-word posting list
+    # never materializes unbounded in one task
+    plan = _formatted(spark, "inverted_index")
+    assert "row_number" in plan
+    assert "partial_count" in plan  # df/cf counts combine map-side
