@@ -45,10 +45,11 @@ def pagerank(edges: DataFrame, damping: float = DAMPING, iterations: int = ITERA
     """Power-iteration PageRank over an undirected edge list.
 
     ``edges`` must have columns (src, dst) with one row per directed
-    edge (callers symmetrize first; ``trade_graph_edges`` below does).
+    edge, already symmetrized and DE-DUPLICATED (``trade_graph_edges``
+    below guarantees both — re-deduplicating here would add a full
+    extra shuffle for callers that already paid it).
     Returns (node, rank) with ranks summing to 1 over the node set.
     """
-    edges = edges.distinct()
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
     # co-partitioned on src with the edge shuffle; persisted because
     # every iteration probes it
@@ -68,16 +69,24 @@ def pagerank(edges: DataFrame, damping: float = DAMPING, iterations: int = ITERA
 
 
 def trade_graph_edges(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
-    """Symmetrized customer <-> supplier edge list from the TPC-H-ish
-    fixture: an edge wherever a customer's order contains a
-    supplier's line item. Node ids are prefixed strings (``c<id>`` /
-    ``s<id>``) so the two key spaces can't collide."""
+    """Symmetrized, de-duplicated customer <-> supplier edge list from
+    the TPC-H-ish fixture: an edge wherever a customer's order
+    contains a supplier's line item.
+
+    Node ids are SIGNED LONGS — customer ``custkey + 1`` positive,
+    supplier ``-(suppkey + 1)`` negative — so the two key spaces
+    can't collide and every downstream shuffle hashes/sorts
+    fixed-width integers instead of strings (render to display form
+    only at the output edge). The deduped half-edge list is persisted
+    before symmetrization: the union consumes it twice, and without
+    the cache the source join + distinct would execute twice."""
     pairs = (
         orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
         .select(
-            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
-            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+            (F.col("o_custkey") + 1).alias("src"),
+            (-(F.col("l_suppkey") + 1)).alias("dst"),
         )
         .distinct()
+        .persist()
     )
     return pairs.union(pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst")))

@@ -25,7 +25,12 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
     )
     ranks = pagerank(edges)
-    return ranks.select("node", F.round("rank", 9).alias("pr"))
+    # ranks were computed on integer node ids; render the display form
+    # (c<custkey> / s<suppkey>) only here, after all shuffles
+    label = F.when(
+        F.col("node") > 0, F.concat(F.lit("c"), (F.col("node") - 1).cast("string"))
+    ).otherwise(F.concat(F.lit("s"), (-F.col("node") - 1).cast("string")))
+    return ranks.select(label.alias("node"), F.round("rank", 9).alias("pr"))
 
 
 def _pagerank_sql() -> str:
@@ -46,7 +51,7 @@ def _pagerank_sql() -> str:
     chain = ",\n        ".join(iters)
     return f"""
         WITH pairs AS (
-            SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+            SELECT DISTINCT o_custkey + 1 AS src, -(l_suppkey + 1) AS dst
             FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
         edges AS (SELECT src, dst FROM pairs
                   UNION ALL SELECT dst, src FROM pairs),
@@ -54,7 +59,10 @@ def _pagerank_sql() -> str:
         nn AS (SELECT count(*) AS n FROM deg),
         r0 AS (SELECT src AS node, 1.0 / (SELECT n FROM nn) AS pr FROM deg),
         {chain}
-        SELECT node, round(pr, 9) AS pr FROM {prev}
+        SELECT CASE WHEN node > 0 THEN 'c' || CAST(node - 1 AS VARCHAR)
+                    ELSE 's' || CAST(-node - 1 AS VARCHAR) END AS node,
+               round(pr, 9) AS pr
+        FROM {prev}
     """
 
 

@@ -48,6 +48,50 @@ def test_trade_graph_edges_are_symmetrized_and_distinct(spark, sf_small):
     # symmetry: reversing every edge yields the same set
     rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     assert edges.exceptAll(rev).count() == 0
-    # bipartite prefixes
-    bad = edges.filter(~F.col("src").rlike("^[cs]\\d+$")).count()
+    # bipartite signed-long encoding: every edge joins a customer
+    # (positive) and a supplier (negative); zero is unused
+    bad = edges.filter(
+        (F.col("src") * F.col("dst") >= 0) | (F.col("src") == 0) | (F.col("dst") == 0)
+    ).count()
     assert bad == 0
+
+
+def test_pagerank_matches_independent_numpy_reference(spark):
+    # differential check against a from-scratch NumPy power iteration
+    # on seeded random graphs — same damping, same iteration count
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    for _ in range(3):
+        n = 12
+        pairs = {
+            (min(int(a), int(b)), max(int(a), int(b)))
+            for a, b in rng.integers(0, n, size=(25, 2))
+            if a != b
+        }
+        edge_rows = [(f"n{a}", f"n{b}") for a, b in pairs] + [
+            (f"n{b}", f"n{a}") for a, b in pairs
+        ]
+        nodes = sorted({x for e in edge_rows for x in e})
+        idx = {x: i for i, x in enumerate(nodes)}
+        deg = np.zeros(len(nodes))
+        for s, _ in edge_rows:
+            deg[idx[s]] += 1
+        d, iters = 0.85, 3
+        r = np.full(len(nodes), 1.0 / len(nodes))
+        for _ in range(iters):
+            nxt = np.full(len(nodes), (1.0 - d) / len(nodes))
+            for s, t in edge_rows:
+                nxt[idx[t]] += d * r[idx[s]] / deg[idx[s]]
+            r = nxt
+        got = {
+            row.node: row.rank
+            for row in pagerank(
+                spark.createDataFrame(edge_rows, ["src", "dst"]),
+                damping=d,
+                iterations=iters,
+            ).collect()
+        }
+        assert set(got) == set(nodes)
+        for x in nodes:
+            assert got[x] == pytest.approx(r[idx[x]], abs=1e-12), x

@@ -71,3 +71,16 @@ def test_inverted_index_postings_are_capped_and_sorted(spark, tmp_path):
     assert len(posting_ids) == POSTINGS_PER_TERM
     assert posting_ids[0] == "0"  # tf desc wins
     assert posting_ids[1:] == sorted(posting_ids[1:], key=int)  # tie → doc asc
+
+
+def test_boilerplate_noop_on_unique_corpus_reconstructs_text(spark, tmp_path):
+    # with no repeated windows, nothing is removed and clean_text is
+    # exactly the normalized (lowercased, space-collapsed) source
+    texts = [" ".join(f"d{i}w{j}" for j in range(LINE_TOKENS * 2 + 5)) for i in range(4)]
+    _docs(spark, texts).write.parquet(str(tmp_path / "documents.parquet"))
+    from osarchiver_spark.queries.indexing import q_boilerplate_lines
+
+    out = {r.doc_id: r for r in q_boilerplate_lines(spark, str(tmp_path)).collect()}
+    for i, t in enumerate(texts):
+        assert out[i].n_boiler == 0
+        assert out[i].clean_text == t.lower()
