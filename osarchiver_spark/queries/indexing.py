@@ -64,7 +64,10 @@ def q_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     surviving lines (order restored by sort_array over (line_no,
     line) structs — deterministic under any partitioning)."""
     docs = load_table(spark, sf_dir, "documents")
-    lines = _doc_lines(docs)
+    # both the frequency count and the flag-back join consume the
+    # exploded lines; persist so tokenize+window runs once (CCNet's
+    # two passes over the same materialized line table)
+    lines = _doc_lines(docs).persist()
     freq = lines.groupBy("line").agg(F.count_distinct("doc_id").alias("nd"))
     flagged = lines.join(freq, "line").withColumn(
         "is_boiler", (F.col("nd") >= BOILER_MIN_DOCS).cast("int")
@@ -88,10 +91,13 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Term -> (document frequency, collection frequency, top-8
     postings by tf desc / doc_id asc, comma-joined)."""
     docs = load_table(spark, sf_dir, "documents")
+    # df/cf stats and the top-k ranking both read the tf relation;
+    # persist so tokenize+explode+first-agg runs once
     tf = (
         docs.select("doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("token"))
         .groupBy("token", "doc_id")
         .agg(F.count("*").alias("tf"))
+        .persist()
     )
     stats = tf.groupBy("token").agg(
         F.count("*").alias("df"), F.sum("tf").alias("cf")

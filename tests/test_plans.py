@@ -236,3 +236,6 @@ def test_inverted_index_caps_postings_before_collect(spark):
     plan = _formatted(spark, "inverted_index")
     assert "row_number" in plan
     assert "partial_count" in plan  # df/cf counts combine map-side
+    # Spark's group-limit pushdown: top-8-per-term applied BEFORE the
+    # token exchange, so a hot term ships <= 8 rows per map partition
+    assert "WindowGroupLimit" in plan
