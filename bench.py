@@ -93,6 +93,8 @@ HEADLINE = [
     "streaming_static_enrich",
     "attribution_last_touch",
     "distinct_rollup_merge",
+    "streaming_incremental_rollup",
+    "knn_ivf_pq",
 ]
 
 

@@ -1,0 +1,261 @@
+"""IVF-PQ approximate nearest neighbor — the compressed-index serving
+path (FAISS-style), completing the ANN family next to hyperplane LSH
+(operators/similarity.py) and plain IVF (operators/ivf.py).
+
+Why it matters at 100 TB: an IVF index still stores full vectors
+(64 dims × float64 = 512 B/vector). Product quantization stores
+``m`` small code ids per vector (here 4 × 16-code subspaces → 4
+bytes, ~128× smaller), so the candidate-scoring pass streams a
+byte-sized index instead of raw vectors; full vectors are touched
+only for the final exact re-rank of a per-query shortlist.
+
+Structure (every stage a DataFrame op or sanctioned Arrow/BLAS):
+
+- coarse quantizer: the existing ``kmeans_fit`` (tree-aggregated
+  Lloyd's, model-sized driver state).
+- PQ codebooks: ``kmeans_fit`` per subspace over ``F.slice`` of the
+  vector column — M small independent trainings.
+- encode: one mapInPandas pass; codes = argmin distance per
+  subspace (ties to lowest code id → deterministic).
+- search: probe ``nprobe`` nearest coarse cells, cogroup with the
+  encoded corpus per cell, score candidates by ADC (asymmetric
+  distance: per-query LUT of subspace distances, summed by code
+  lookup — one gather per candidate, no vector math), keep a
+  per-query shortlist, then EXACT cosine re-rank of the shortlist
+  only (join back to full vectors by id).
+
+Correctness contract mirrors knn_ivf: the registered query runs at
+swept full-recall parameters (probe all cells + a shortlist wide
+enough that the true top-k provably survives ADC at fixture scale)
+so the exact brute-force ranking is its oracle; production
+parameters keep pruning on and are recall-tested in
+tests/test_pq.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from osarchiver_spark.functions.vectors import as_double
+from osarchiver_spark.operators.ivf import kmeans_fit
+
+
+def pq_train(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int = 4,
+    codes: int = 16,
+    iters: int = 2,
+    dim: int | None = None,
+) -> list[list[list[float]]]:
+    """M per-subspace codebooks (each ``codes`` × dim/m), trained with
+    the shared tree-aggregated Lloyd's. Requires dim % m == 0."""
+    if dim is None:
+        dim = len(corpus.select(as_double(F.col(vec_col)).alias("v")).first().v)
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible into {m} subspaces")
+    sub = dim // m
+    books = []
+    for j in range(m):
+        sliced = corpus.select(
+            F.col(id_col).alias("vid"),
+            F.slice(as_double(F.col(vec_col)), j * sub + 1, sub).alias("v"),
+        )
+        books.append(kmeans_fit(sliced, "vid", "v", k=codes, iters=iters))
+    return books
+
+
+def _encode_pandas(base: DataFrame, books: list[list[list[float]]]) -> DataFrame:
+    """Add a ``code`` array column: per-subspace nearest codebook
+    entry (squared euclidean, ties to lowest id)."""
+    B = [np.asarray(b, dtype="float64") for b in books]  # m × codes × sub
+    b_sq = [(C * C).sum(axis=1) for C in B]
+    sub = B[0].shape[1]
+    schema = T.StructType(
+        base.schema.fields + [T.StructField("code", T.ArrayType(T.IntegerType()))]
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack([np.asarray(v, dtype="float64") for v in pdf["v"].to_numpy()])
+            cols = []
+            for j, (C, csq) in enumerate(zip(B, b_sq)):
+                Vj = V[:, j * sub : (j + 1) * sub]
+                cols.append((-2.0 * (Vj @ C.T) + csq).argmin(axis=1))
+            pdf = pdf.copy()
+            pdf["code"] = list(np.stack(cols, axis=1).astype("int32"))
+            yield pdf
+
+    return base.mapInPandas(encode, schema=schema)
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    n_clusters: int = 16,
+    nprobe: int = 4,
+    m: int = 16,
+    codes: int = 16,
+    shortlist: int = 32,
+) -> DataFrame:
+    """Top-k cosine neighbors via IVF cells + PQ-coded shortlisting +
+    exact re-rank. Output (query_id, rank, neighbor_id, cosine) —
+    identical shape and tie-break to brute_force_topk.
+
+    ``m`` must divide the vector dim; m=16 over 64 dims = 4-dim
+    subspaces, the granularity that keeps ADC informative even on
+    near-uniform data (the fixture's worst case — wider subspaces
+    collapse all codebook entries toward the mean there). Oracle-mode
+    callers disable the two lossy stages (``nprobe`` = n_clusters,
+    ``shortlist`` >= corpus) so the exact ranking survives and the
+    brute-force oracle applies — mirroring IVF's nprobe convention;
+    production parameters keep both cuts and are recall-tested."""
+    from osarchiver_spark.functions.vectors import cosine, norm
+
+    # L2-normalize before quantizing: on unit vectors |q-v|^2 =
+    # 2 - 2*cos, so the euclidean ADC ordering IS the cosine ordering
+    # — without this, PQ shortlists by euclidean while the re-rank
+    # scores cosine and the two disagree on unnormalized data
+    nrm = norm(as_double(F.col(vec_col)))
+    unit = F.when(nrm > 0, F.transform(as_double(F.col(vec_col)), lambda x: x / nrm)).otherwise(
+        as_double(F.col(vec_col))
+    )
+    corpus_n = corpus.select(F.col(id_col), unit.alias("_uv"))
+    queries_n = queries.select(F.col(id_col), unit.alias("_uv"))
+
+    coarse = kmeans_fit(corpus_n, id_col, "_uv", k=n_clusters)
+    books = pq_train(corpus_n, id_col, "_uv", m=m, codes=codes)
+    C = np.asarray(coarse, dtype="float64")
+    c_sq = (C * C).sum(axis=1)
+    B = [np.asarray(b, dtype="float64") for b in books]
+    b_sq = [(bb * bb).sum(axis=1) for bb in B]
+    sub = B[0].shape[1]
+
+    # the PQ index: ids + cell + m byte-sized codes; full vectors are
+    # NOT carried through the scoring pass
+    from osarchiver_spark.operators.ivf import _assign_pandas
+
+    encoded = _encode_pandas(
+        _assign_pandas(
+            corpus_n.select(F.col(id_col).alias("neighbor_id"), F.col("_uv").alias("v")),
+            coarse,
+        ).select("neighbor_id", "v", "cid"),
+        books,
+    ).select("neighbor_id", "cid", "code")
+
+    id_type = queries.schema[id_col].dataType
+    probe_schema = T.StructType(
+        [
+            T.StructField("query_id", id_type),
+            T.StructField("qv", T.ArrayType(T.DoubleType())),
+            T.StructField("cid", T.IntegerType()),
+        ]
+    )
+    n_take = min(nprobe, len(coarse))
+
+    def probe(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            Q = np.stack([np.asarray(v, dtype="float64") for v in pdf["qv"].to_numpy()])
+            d = -2.0 * (Q @ C.T) + c_sq
+            near = np.argsort(d, axis=1, kind="stable")[:, :n_take]
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].to_numpy(dtype=object).repeat(n_take),
+                    "qv": pdf["qv"].to_numpy().repeat(n_take),
+                    "cid": near.reshape(-1).astype("int32"),
+                }
+            )
+
+    qbase = queries_n.select(F.col(id_col).alias("query_id"), F.col("_uv").alias("qv"))
+    probed = qbase.mapInPandas(probe, schema=probe_schema)
+
+    adc_schema = T.StructType(
+        [
+            T.StructField("query_id", id_type),
+            T.StructField("neighbor_id", id_type),
+            T.StructField("adc", T.DoubleType()),
+        ]
+    )
+    local_take = shortlist + 1  # headroom for the self-match row
+
+    def adc_group(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if len(left) == 0 or len(right) == 0:
+            return pd.DataFrame(
+                {
+                    "query_id": pd.Series([], dtype=object),
+                    "neighbor_id": pd.Series([], dtype=object),
+                    "adc": pd.Series([], dtype="float64"),
+                }
+            )
+        Q = np.stack([np.asarray(v, dtype="float64") for v in left["qv"].to_numpy()])
+        codes_mat = np.stack(
+            [np.asarray(c, dtype="int64") for c in right["code"].to_numpy()]
+        )  # n_cand × m
+        nids = right["neighbor_id"].to_numpy()
+        out_q, out_n, out_d = [], [], []
+        for qi in range(len(Q)):
+            # per-query LUT: m × codes table of subspace squared dists
+            lut = np.stack(
+                [
+                    -2.0 * (B[j] @ Q[qi, j * sub : (j + 1) * sub]) + b_sq[j]
+                    for j in range(len(B))
+                ]
+            )
+            # ADC: gather + sum per candidate — no vector arithmetic
+            d = lut[np.arange(len(B))[:, None], codes_mat.T].sum(axis=0)
+            n_keep = min(local_take, len(d))
+            order = np.lexsort((nids, d))[:n_keep]
+            out_q.append(np.repeat(left["query_id"].to_numpy()[qi], n_keep))
+            out_n.append(nids[order])
+            out_d.append(d[order])
+        return pd.DataFrame(
+            {
+                "query_id": np.concatenate(out_q),
+                "neighbor_id": np.concatenate(out_n),
+                "adc": np.concatenate(out_d),
+            }
+        )
+
+    local = (
+        probed.groupBy("cid")
+        .cogroup(encoded.groupBy("cid"))
+        .applyInPandas(adc_group, schema=adc_schema)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    w_adc = W.partitionBy("query_id").orderBy(F.col("adc"), F.col("neighbor_id"))
+    short = (
+        local.withColumn("srank", F.row_number().over(w_adc))
+        .filter(F.col("srank") <= shortlist)
+        .select("query_id", "neighbor_id")
+    )
+
+    # exact re-rank: only shortlist × (qv, v) pairs see full vectors
+    qvecs = qbase
+    nvecs = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("v")
+    )
+    paired = short.join(qvecs, "query_id").join(nvecs, "neighbor_id")
+    scored = paired.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cosine"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )

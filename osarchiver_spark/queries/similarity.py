@@ -74,6 +74,35 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# PQ oracle mode: probe all cells AND shortlist everything => the
+# exact cosine re-rank sees every candidate, so the brute-force
+# ranking survives regardless of ADC noise — the same "disable the
+# lossy stage" convention as IVF_ORACLE_NPROBE above (on the fixture's
+# near-uniform embeddings no affordable shortlist reaches recall 1.0:
+# swept 32→256 gave 0.56→0.92). The encode/probe/ADC/re-rank machinery
+# still runs end-to-end and must be exact for the hash to match;
+# production pruning (nprobe=4, shortlist=32) is recall-tested in
+# tests/test_pq.py.
+PQ_ORACLE_SHORTLIST = 1_000_000
+
+
+def q_knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osarchiver_spark.operators.pq import ivf_pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % QUERY_MOD == 0)
+    return ivf_pq_topk(
+        emb,
+        queries,
+        "vec_id",
+        "embedding",
+        k=TOP_K,
+        n_clusters=16,
+        nprobe=IVF_ORACLE_NPROBE,
+        shortlist=PQ_ORACLE_SHORTLIST,
+    )
+
+
 def q_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return emb.select(
@@ -153,6 +182,7 @@ QUERIES = {
     "knn_bruteforce": q_knn_bruteforce,
     "knn_lsh": q_knn_lsh,
     "knn_ivf": q_knn_ivf,
+    "knn_ivf_pq": q_knn_ivf_pq,
     "vector_norms": q_vector_norms,
     "label_stats": q_label_stats,
     "label_centroids": q_label_centroids,
@@ -208,6 +238,7 @@ ORACLES = {
     # note above), so the exact brute-force ranking IS their oracle
     "knn_lsh": _TOPK_ORACLE,
     "knn_ivf": _TOPK_ORACLE,
+    "knn_ivf_pq": _TOPK_ORACLE,
     "vector_norms": """
         SELECT vec_id, label,
                CAST(len(embedding) AS INT) AS dim,

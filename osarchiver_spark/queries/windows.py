@@ -253,6 +253,15 @@ def q_streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_static_enrich(spark, sf_dir)
 
 
+def q_streaming_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two availableNow runs over staged file drops with one shared
+    checkpoint: run 2 reads only the new file and merges it into the
+    carried window state; oracle = batch rollup over everything."""
+    from osarchiver_spark.streaming.pipeline import streaming_incremental_rollup
+
+    return streaming_incremental_rollup(spark, sf_dir)
+
+
 def q_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding windows computed by the streaming engine; same oracle
     as the batch sliding query."""
@@ -356,6 +365,7 @@ QUERIES = {
     "gapfill_hourly": q_gapfill_hourly,
     "streaming_tumbling": q_streaming_tumbling,
     "streaming_static_enrich": q_streaming_static_enrich,
+    "streaming_incremental_rollup": q_streaming_incremental_rollup,
     "streaming_sliding": q_streaming_sliding,
     "streaming_interval_join": q_streaming_interval_join,
     "streaming_outer_interval_join": q_streaming_outer_interval_join,
@@ -496,6 +506,12 @@ ORACLES = {
         JOIN customer ON user_id = c_custkey
         JOIN nation ON c_nationkey = n_nationkey
         GROUP BY 1, 2
+    """,
+    "streaming_incremental_rollup": """
+        SELECT make_timestamp(CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) * 3600000000)
+                   AS window_start,
+               event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+        FROM events GROUP BY 1, 2
     """,
     "latest_event_per_user": """
         SELECT user_id, event_id, ts, event_type, value FROM (

@@ -366,6 +366,63 @@ def streaming_full_outer_interval_join(spark: SparkSession, sf_dir: str) -> Data
     )
 
 
+def incremental_stream_rollup(
+    spark: SparkSession, landing_dir: str, out_dir: str, checkpoint: str
+) -> DataFrame:
+    """One scheduled incremental run of a continuously-maintained
+    rollup: ``trigger(availableNow)`` processes ONLY the landing-dir
+    files no previous run has seen (the file-source log lives in the
+    checkpoint), merges them into the windowed aggregate state carried
+    in the same checkpoint, and rewrites the complete up-to-date
+    rollup. Calling this on a schedule gives incremental materialized
+    -view maintenance with exactly-once file tracking and restart
+    safety — the streaming twin of the batch watermark incrementality
+    in plans/watermark.py, with the bookkeeping done by the engine
+    instead of by hand."""
+    agg = (
+        spark.readStream.format("parquet")
+        .schema(EVENTS_RAW_SCHEMA)
+        .load(landing_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+    )
+
+    def write_batch(batch_df: DataFrame, _epoch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(out_dir)
+
+    q = (
+        agg.writeStream.outputMode("complete")
+        .foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir).select(
+        F.col("window.start").alias("window_start"), "event_type", "n", "sum_value"
+    )
+
+
+def streaming_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry form: stage the fixture's events as two file drops in
+    a scratch landing dir, run TWO separate availableNow invocations
+    against one checkpoint, and return the second run's rollup — the
+    oracle (the plain batch SQL over ALL events) passes only if run 2
+    read nothing but the new file yet merged it into run 1's window
+    state correctly."""
+    from osarchiver_spark.sources.parquet import load_table
+
+    base = os.environ.get("SPARK_GRAFT_STREAM_SCRATCH", tempfile.gettempdir())
+    root = f"{base.rstrip('/')}/incr_rollup_{uuid.uuid4().hex[:8]}"
+    landing, out, ckpt = f"{root}/landing", f"{root}/out", f"{root}/ckpt"
+    ev = load_table(spark, sf_dir, "events")
+    ev.filter(F.col("event_id") % 2 == 0).write.mode("append").parquet(landing)
+    incremental_stream_rollup(spark, landing, out, ckpt)
+    ev.filter(F.col("event_id") % 2 == 1).write.mode("append").parquet(landing)
+    return incremental_stream_rollup(spark, landing, out, ckpt)
+
+
 def stream_archive(
     spark: SparkSession,
     sf_dir: str,
