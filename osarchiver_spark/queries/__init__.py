@@ -59,8 +59,10 @@ def _load():
 # registry therefore orders itself LEAST-RECENTLY-VERIFIED-FIRST, derived
 # from the committed CORRECTNESS_r*.json records:
 #
-#   1. queries with no driver record at all (new this round),
-#   2. queries checked but never hash-green (errors, rows-only),
+#   1. queries checked but never hash-green (errors, rows-only): these
+#      carry a committed fix awaiting re-adjudication, the highest-value
+#      rows on the board,
+#   2. queries with no driver record at all (new this round),
 #   3. hash-green queries, oldest green round first (fair round-robin).
 #
 # This is a scheduling policy, not a result filter: every query cycles
@@ -98,7 +100,18 @@ def _adjudication_history() -> dict[str, tuple[int, int]]:
 
 def _prioritize(queries: dict[str, QueryFn]) -> dict[str, QueryFn]:
     hist = _adjudication_history()
-    ordered = sorted(queries, key=lambda n: (*hist.get(n, (-1, -1)), n))
+
+    def key(n: str):
+        last_green, last_checked = hist.get(n, (-1, -1))
+        if last_green < 0 <= last_checked:
+            tier = 0  # checked, never green: a fix awaits re-adjudication
+        elif last_checked < 0:
+            tier = 1  # brand new, never seen by the driver
+        else:
+            tier = 2  # green: round-robin, stalest first
+        return (tier, last_green, last_checked, n)
+
+    ordered = sorted(queries, key=key)
     return {n: queries[n] for n in ordered}
 
 
