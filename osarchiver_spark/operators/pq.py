@@ -11,10 +11,11 @@ only for the final exact re-rank of a per-query shortlist.
 
 Structure (every stage a DataFrame op or sanctioned Arrow/BLAS):
 
-- coarse quantizer: the existing ``kmeans_fit`` (tree-aggregated
-  Lloyd's, model-sized driver state).
-- PQ codebooks: ``kmeans_fit`` per subspace over ``F.slice`` of the
-  vector column — M small independent trainings.
+- coarse quantizer + PQ codebooks: ``pq_joint_fit`` — the m+1
+  independent Lloyd's trainings fused into ONE data pass per
+  iteration (model-sized partials only), so index build costs
+  max(iters) corpus scans regardless of m, not (m+1)×iters
+  sequential jobs.
 - encode: one mapInPandas pass; codes = argmin distance per
   subspace (ties to lowest code id → deterministic).
 - search: probe ``nprobe`` nearest coarse cells, cogroup with the
@@ -42,7 +43,134 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from osarchiver_spark.functions.vectors import as_double
-from osarchiver_spark.operators.ivf import kmeans_fit
+
+
+def pq_joint_fit(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_clusters: int = 16,
+    coarse_iters: int = 3,
+    m: int = 4,
+    codes: int = 16,
+    pq_iters: int = 2,
+) -> tuple[list[list[float]] | None, list[list[list[float]]]]:
+    """Coarse quantizer + M per-subspace codebooks in ONE fused
+    Lloyd's loop. The m+1 trainings are mutually independent, so a
+    single data pass per iteration can compute the assignment partials
+    for all of them at once — ``1 + max(iters)`` Spark jobs total
+    instead of ``(m+1) × (1 + iters)`` sequential ones. On a cluster
+    the training cost is (max iters) scans of the corpus, independent
+    of m; only model-sized (group, code, sum, n) partials reach the
+    driver. The per-model math is identical to running ``kmeans_fit``
+    separately (same init: lowest-id vectors; same tie-breaks), so
+    results are byte-equal to the unfused form.
+
+    Pass ``n_clusters=0`` to skip the coarse model (returns ``None``
+    for it) — that is ``pq_train``'s path."""
+    row0 = corpus.select(as_double(F.col(vec_col)).alias("v")).first()
+    dim = len(row0.v)
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible into {m} subspaces")
+    sub = dim // m
+
+    base = corpus.select(
+        F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("v")
+    ).cache()
+    try:
+        n_init = max(n_clusters, codes)
+        init = base.orderBy("vid").limit(n_init).collect()
+        init_mat = np.stack([np.asarray(r.v, dtype="float64") for r in init])
+        coarse = init_mat[:n_clusters].copy() if n_clusters else None
+        books = [init_mat[:codes, j * sub : (j + 1) * sub].copy() for j in range(m)]
+
+        partial_schema = T.StructType(
+            [
+                T.StructField("grp", T.IntegerType()),  # -1 coarse, j >= 0 subspace
+                T.StructField("cid", T.IntegerType()),
+                T.StructField("s", T.ArrayType(T.DoubleType())),
+                T.StructField("n", T.LongType()),
+            ]
+        )
+
+        for it in range(max(coarse_iters if n_clusters else 0, pq_iters)):
+            do_coarse = n_clusters and it < coarse_iters
+            do_pq = it < pq_iters
+            C = coarse.copy() if do_coarse else None
+            c_sq = (C * C).sum(axis=1) if do_coarse else None
+            B = [b.copy() for b in books] if do_pq else None
+            b_sq = [(bb * bb).sum(axis=1) for bb in B] if do_pq else None
+
+            def partials(batches, C=C, c_sq=c_sq, B=B, b_sq=b_sq):
+                c_sum = np.zeros((n_clusters, dim)) if C is not None else None
+                c_n = np.zeros(n_clusters, dtype="int64") if C is not None else None
+                p_sum = [np.zeros((codes, sub)) for _ in range(m)] if B is not None else None
+                p_n = [np.zeros(codes, dtype="int64") for _ in range(m)] if B is not None else None
+                for pdf in batches:
+                    if len(pdf) == 0:
+                        continue
+                    V = np.stack([np.asarray(v, dtype="float64") for v in pdf["v"].to_numpy()])
+                    if C is not None:
+                        cid = (-2.0 * (V @ C.T) + c_sq).argmin(axis=1)
+                        np.add.at(c_sum, cid, V)
+                        c_n += np.bincount(cid, minlength=n_clusters)
+                    if B is not None:
+                        for j in range(m):
+                            Vj = V[:, j * sub : (j + 1) * sub]
+                            code = (-2.0 * (Vj @ B[j].T) + b_sq[j]).argmin(axis=1)
+                            np.add.at(p_sum[j], code, Vj)
+                            p_n[j] += np.bincount(code, minlength=codes)
+                grp, cid_o, s_o, n_o = [], [], [], []
+                if C is not None:
+                    live = np.flatnonzero(c_n)
+                    grp += [-1] * len(live)
+                    cid_o += live.tolist()
+                    s_o += [c_sum[i] for i in live]
+                    n_o += c_n[live].tolist()
+                if B is not None:
+                    for j in range(m):
+                        live = np.flatnonzero(p_n[j])
+                        grp += [j] * len(live)
+                        cid_o += live.tolist()
+                        s_o += [p_sum[j][i] for i in live]
+                        n_o += p_n[j][live].tolist()
+                yield pd.DataFrame(
+                    {
+                        "grp": np.asarray(grp, dtype="int32"),
+                        "cid": np.asarray(cid_o, dtype="int32"),
+                        "s": s_o,
+                        "n": np.asarray(n_o, dtype="int64"),
+                    }
+                )
+
+            rows = base.mapInPandas(partials, schema=partial_schema).collect()
+            if do_coarse:
+                sums = np.zeros((n_clusters, dim))
+                counts = np.zeros(n_clusters, dtype="int64")
+                for r in rows:
+                    if r.grp == -1:
+                        sums[r.cid] += np.asarray(r.s)
+                        counts[r.cid] += r.n
+                for i in range(n_clusters):
+                    if counts[i]:
+                        coarse[i] = sums[i] / counts[i]
+            if do_pq:
+                sums_j = [np.zeros((codes, sub)) for _ in range(m)]
+                counts_j = [np.zeros(codes, dtype="int64") for _ in range(m)]
+                for r in rows:
+                    if r.grp >= 0:
+                        sums_j[r.grp][r.cid] += np.asarray(r.s)
+                        counts_j[r.grp][r.cid] += r.n
+                for j in range(m):
+                    for i in range(codes):
+                        if counts_j[j][i]:
+                            books[j][i] = sums_j[j][i] / counts_j[j][i]
+        return (
+            coarse.tolist() if coarse is not None else None,
+            [b.tolist() for b in books],
+        )
+    finally:
+        base.unpersist()
 
 
 def pq_train(
@@ -54,20 +182,12 @@ def pq_train(
     iters: int = 2,
     dim: int | None = None,
 ) -> list[list[list[float]]]:
-    """M per-subspace codebooks (each ``codes`` × dim/m), trained with
-    the shared tree-aggregated Lloyd's. Requires dim % m == 0."""
-    if dim is None:
-        dim = len(corpus.select(as_double(F.col(vec_col)).alias("v")).first().v)
-    if dim % m:
-        raise ValueError(f"dim {dim} not divisible into {m} subspaces")
-    sub = dim // m
-    books = []
-    for j in range(m):
-        sliced = corpus.select(
-            F.col(id_col).alias("vid"),
-            F.slice(as_double(F.col(vec_col)), j * sub + 1, sub).alias("v"),
-        )
-        books.append(kmeans_fit(sliced, "vid", "v", k=codes, iters=iters))
+    """M per-subspace codebooks (each ``codes`` × dim/m); one fused
+    Lloyd's loop over all subspaces (see pq_joint_fit). Requires
+    dim % m == 0."""
+    _, books = pq_joint_fit(
+        corpus, id_col, vec_col, n_clusters=0, m=m, codes=codes, pq_iters=iters
+    )
     return books
 
 
@@ -134,8 +254,9 @@ def ivf_pq_topk(
     corpus_n = corpus.select(F.col(id_col), unit.alias("_uv"))
     queries_n = queries.select(F.col(id_col), unit.alias("_uv"))
 
-    coarse = kmeans_fit(corpus_n, id_col, "_uv", k=n_clusters)
-    books = pq_train(corpus_n, id_col, "_uv", m=m, codes=codes)
+    coarse, books = pq_joint_fit(
+        corpus_n, id_col, "_uv", n_clusters=n_clusters, m=m, codes=codes
+    )
     C = np.asarray(coarse, dtype="float64")
     c_sq = (C * C).sum(axis=1)
     B = [np.asarray(b, dtype="float64") for b in books]
