@@ -41,7 +41,12 @@ DAMPING = 0.85
 ITERATIONS = 3
 
 
-def pagerank(edges: DataFrame, damping: float = DAMPING, iterations: int = ITERATIONS) -> DataFrame:
+def pagerank(
+    edges: DataFrame,
+    damping: float = DAMPING,
+    iterations: int = ITERATIONS,
+    broadcast_nodes_max: int = 2_000_000,
+) -> DataFrame:
     """Power-iteration PageRank over an undirected edge list.
 
     ``edges`` must have columns (src, dst) with one row per directed
@@ -49,17 +54,31 @@ def pagerank(edges: DataFrame, damping: float = DAMPING, iterations: int = ITERA
     below guarantees both — re-deduplicating here would add a full
     extra shuffle for callers that already paid it).
     Returns (node, rank) with ranks summing to 1 over the node set.
+
+    The degree table and each iteration's rank vector hold one row
+    per NODE — orders of magnitude smaller than the edge list. The
+    node count is already on the driver (it sizes the teleport term),
+    so when it fits a broadcast (<= ``broadcast_nodes_max``, ~48 MB
+    at 24 B/row) every edges-side join becomes a map-side broadcast
+    probe of the persisted edge cache: no Exchange+Sort of the edge
+    list in the build, no edge shuffle per iteration — the only
+    per-iteration shuffle is the map-combined contribution sum keyed
+    by dst. Above the cap (web-scale graphs) the joins fall back to
+    shuffle joins on node id, where the persisted edge partitioning
+    is reused across iterations.
     """
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
-    # co-partitioned on src with the edge shuffle; persisted because
-    # every iteration probes it
-    edges_deg = edges.join(deg, "src").persist()
-    n_nodes = deg.count()  # scalar only — sizes the teleport term
+    n_nodes = deg.count()  # scalar only — sizes teleport + join strategy
     teleport = (1.0 - damping) / n_nodes
+    small = n_nodes <= broadcast_nodes_max
+
+    # persisted: every iteration probes the same keyed relation
+    edges_deg = edges.join(F.broadcast(deg) if small else deg, "src").persist()
 
     ranks = deg.select(F.col("src").alias("node"), F.lit(1.0 / n_nodes).alias("rank"))
     for _ in range(iterations):
-        contrib = edges_deg.join(ranks, edges_deg.src == ranks.node).select(
+        r = F.broadcast(ranks) if small else ranks
+        contrib = edges_deg.join(r, edges_deg.src == r["node"]).select(
             F.col("dst"), (F.col("rank") / F.col("deg")).alias("c")
         )
         ranks = contrib.groupBy(F.col("dst").alias("node")).agg(
