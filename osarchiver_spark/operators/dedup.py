@@ -346,36 +346,49 @@ def repeated_span_report(
     def _whash(win):
         return F.xxhash64(win) if hash_fn == "xxhash64" else F.md5(win)
 
-    positions = (
+    # Winnowing is PER-DOCUMENT and the whole document sits in one
+    # row, so the selection needs no shuffle at all: build the anchor
+    # array with transform, keep positions whose anchor is the min of
+    # the next `stride` anchors (slice truncates at the end exactly
+    # like the trailing window frame would), hash the selected
+    # windows inside the same array expression, and only THEN explode
+    # — ~1/stride of the positions, (doc_id, pos, h) rows only. The
+    # earlier form exploded one row per character and sorted them
+    # through a per-doc window shuffle with the full text attached;
+    # this one keeps the per-character work inside whole-stage
+    # codegen and ships nothing.
+    # spread docs across the executor threads first: the per-char
+    # anchor/hash work is CPU-bound in the map stage now, and a small
+    # fixture arrives as one parquet split (one task) — a doc-sized
+    # round-robin shuffle is noise next to the hashing it parallelizes
+    base = (
         df.filter(F.length(text) >= window)
-        .select(
-            did.alias("doc_id"),
-            F.explode(
-                F.sequence(F.lit(0), F.length(text) - window)
-            ).alias("pos"),
-            text.alias("_t"),
-        )
-        .select(
-            "doc_id",
-            "pos",
-            "_t",
-            # 32-bit (md5) / 64-bit (xxhash64) anchor from an 8-gram
-            _anchor(F.col("_t").substr(F.col("pos") + 1, F.lit(8))).alias("a"),
-        )
+        .select(did.alias("doc_id"), text.alias("_t"))
+        .repartition(df.sparkSession.sparkContext.defaultParallelism)
     )
-    wsel = (
-        W.partitionBy("doc_id")
-        .orderBy("pos")
-        .rowsBetween(0, stride - 1)
+    pos_seq = F.sequence(F.lit(0), F.length("_t") - window)
+    with_anchors = base.withColumn(
+        # 32-bit (md5) / 64-bit (xxhash64) anchor from an 8-gram
+        "_a",
+        F.transform(pos_seq, lambda p: _anchor(F.col("_t").substr(p + F.lit(1), F.lit(8)))),
     )
-    selected = positions.withColumn("amin", F.min("a").over(wsel)).filter(
-        F.col("a") == F.col("amin")
+    sel_pos = F.filter(
+        pos_seq,
+        lambda p: F.element_at("_a", p + F.lit(1))
+        == F.array_min(F.slice("_a", p + F.lit(1), F.lit(stride))),
     )
-    spans = selected.select(
+    spans = with_anchors.select(
         "doc_id",
-        "pos",
-        _whash(F.col("_t").substr(F.col("pos") + 1, F.lit(window))).alias("h"),
-    )
+        F.explode(
+            F.transform(
+                sel_pos,
+                lambda p: F.struct(
+                    p.alias("pos"),
+                    _whash(F.col("_t").substr(p + F.lit(1), F.lit(window))).alias("h"),
+                ),
+            )
+        ).alias("_ph"),
+    ).select("doc_id", F.col("_ph.pos").alias("pos"), F.col("_ph.h").alias("h"))
     dup = (
         spans.groupBy("h")
         .agg(F.count_distinct("doc_id").alias("nd"))
