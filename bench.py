@@ -148,6 +148,10 @@ def main() -> None:
         dt = round(time.perf_counter() - t0, 3)
         timings[name] = dt
         total += dt
+        # several operators persist() intermediates the caller is
+        # expected to release; drop them so query N's cache residue
+        # doesn't tax query N+1's GC (each timing stands alone)
+        spark.catalog.clearCache()
     print(
         json.dumps(
             {
