@@ -98,28 +98,54 @@ HEADLINE = [
 ]
 
 
-def _knn_ivf_pq_production(spark, sf_dir):
-    """The registry's knn_ivf_pq runs at full-recall ORACLE parameters
-    (probe every cell, shortlist >= corpus) so it can share the exact
-    brute-force oracle — at sf0.1 that re-ranks every (query, vector)
-    pair, a path no deployment runs. Bench the production serving
-    parameters instead (pruning on; recall pinned in tests/test_pq.py)."""
+def _ann_queries(spark, sf_dir):
     from pyspark.sql import functions as F
 
-    from osarchiver_spark.operators.pq import ivf_pq_topk
-    from osarchiver_spark.queries.similarity import EMBED_DIM, QUERY_MOD, TOP_K
+    from osarchiver_spark.queries.similarity import QUERY_MOD
     from osarchiver_spark.sources.parquet import load_table
 
     emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") % QUERY_MOD == 0)
+    return emb, emb.filter(F.col("vec_id") % QUERY_MOD == 0)
+
+
+def _knn_lsh_production(spark, sf_dir):
+    from osarchiver_spark.operators.similarity import lsh_topk
+    from osarchiver_spark.queries.similarity import EMBED_DIM, TOP_K
+
+    emb, queries = _ann_queries(spark, sf_dir)
+    return lsh_topk(
+        emb, queries, "vec_id", "embedding", dim=EMBED_DIM, k=TOP_K, probe_hamming=2
+    )
+
+
+def _knn_ivf_production(spark, sf_dir):
+    from osarchiver_spark.operators.ivf import ivf_topk
+    from osarchiver_spark.queries.similarity import TOP_K
+
+    emb, queries = _ann_queries(spark, sf_dir)
+    return ivf_topk(emb, queries, "vec_id", "embedding", k=TOP_K, n_clusters=16, nprobe=4)
+
+
+def _knn_ivf_pq_production(spark, sf_dir):
+    from osarchiver_spark.operators.pq import ivf_pq_topk
+    from osarchiver_spark.queries.similarity import TOP_K
+
+    emb, queries = _ann_queries(spark, sf_dir)
     return ivf_pq_topk(
         emb, queries, "vec_id", "embedding", k=TOP_K, n_clusters=16, nprobe=4, shortlist=32
     )
 
 
-# name -> callable overriding the registry entry for benching; used when
-# the registered query deliberately disables pruning for oracle parity.
+# name -> callable overriding the registry entry for benching. The
+# registered ANN queries run at full-recall ORACLE parameters (probe
+# everything) so they can share the exact brute-force oracle — a path
+# no deployment runs. The bench measures the production serving
+# parameters (pruning on; recall pinned in tests/test_similarity.py,
+# tests/test_ivf.py, tests/test_pq.py), which is also what BENCH_r02
+# measured before the oracle modes landed.
 BENCH_OVERRIDES = {
+    "knn_lsh": _knn_lsh_production,
+    "knn_ivf": _knn_ivf_production,
     "knn_ivf_pq": _knn_ivf_pq_production,
 }
 
