@@ -130,6 +130,42 @@ def q_domain_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_split_leakage_free(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test split with the NEAR-DUP LEAKAGE GUARD: the
+    split decision hashes the document's near-dup CLUSTER
+    representative (MinHash-LSH connected components), not the
+    document itself, so two near-duplicate documents can never land
+    on opposite sides of the split — the eval-contamination failure
+    mode a naive per-doc hash split has. Docs in no cluster fall back
+    to their own id (identical to sample_split for them). Scale
+    shape: the cluster map is the pair-graph closure already computed
+    for dedup (vertices only in near-dup components, a small fraction
+    of the corpus), left-joined onto the corpus on doc_id; the split
+    itself stays a pure scan-side hash with zero extra shuffles."""
+    from osarchiver_spark.operators.dedup import connected_components
+    from osarchiver_spark.queries.dedup import (
+        BANDS,
+        MINHASH_THRESHOLD,
+        NUM_HASHES,
+        minhash_lsh_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text",
+        shingle_n=3, num_hashes=NUM_HASHES, bands=BANDS, threshold=MINHASH_THRESHOLD,
+    )
+    comps = connected_components(pairs)
+    rep = F.coalesce(F.col("cluster_rep"), F.col("doc_id"))
+    bucket = F.substring(F.md5(rep.cast("string")), 1, 2)
+    split = (
+        F.when(bucket < _TRAIN_UB, "train").when(bucket < _VAL_UB, "val").otherwise("test")
+    )
+    return docs.join(comps, "doc_id", "left").select(
+        "doc_id", "source", rep.alias("split_key"), split.alias("split")
+    )
+
+
 SEQ_LEN = 2048  # training sequence length (tokens)
 N_SHARDS = 8  # independent packing streams; >> executor count at scale
 
@@ -178,6 +214,7 @@ QUERIES = {
     "domain_upsample": q_domain_upsample,
     "sequence_pack": q_sequence_pack,
     "tfidf_top_terms": q_tfidf_top_terms,
+    "split_leakage_free": q_split_leakage_free,
 }
 
 _SQL_TOKENS_LOWER = "list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), t -> t <> '')"
@@ -238,6 +275,7 @@ ORACLES = {
                   / 4294967296.0
               < (CAST(regexp_extract(source, '[0-9]+') AS INT) % 4 + 1) / 4.0
     """,
+    "split_leakage_free": None,  # composed below (needs the clusters oracle)
     "tfidf_top_terms": f"""
         WITH tf AS (
             SELECT doc_id, t.term, count(*) AS tf
@@ -256,3 +294,29 @@ ORACLES = {
         WHERE rk <= 3
     """,
 }
+
+
+def _leakage_free_oracle() -> str:
+    # Reuses the recursive-CTE closure oracle verbatim: split_key is
+    # the cluster rep where one exists, else the doc's own id, and
+    # the bucket rule is byte-identical to sample_split's.
+    from osarchiver_spark.queries.dedup import ORACLES as _DEDUP_ORACLES
+
+    clusters_sql = _DEDUP_ORACLES["dedup_clusters"]
+    return f"""
+        WITH comps AS (SELECT * FROM ({clusters_sql})),
+        rep AS (
+            SELECT d.doc_id, d.source,
+                   coalesce(c.cluster_rep, d.doc_id) AS split_key
+            FROM documents d LEFT JOIN comps c USING (doc_id))
+        SELECT doc_id, source, split_key,
+               CASE WHEN substr(md5(CAST(split_key AS VARCHAR)), 1, 2) < '{_TRAIN_UB}'
+                        THEN 'train'
+                    WHEN substr(md5(CAST(split_key AS VARCHAR)), 1, 2) < '{_VAL_UB}'
+                        THEN 'val'
+                    ELSE 'test' END AS split
+        FROM rep
+    """
+
+
+ORACLES["split_leakage_free"] = _leakage_free_oracle()
