@@ -290,6 +290,50 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram LM quality score — the next step up from
+    unigram_logprob toward the KenLM-style perplexity filter: each
+    document's mean log10 add-one-smoothed bigram probability
+    p(w2|w1) = (c(w1 w2)+1) / (c(w1 ·)+V), with the corpus itself as
+    the LM. Shape at 100 TB: bigrams come from one zip_with over the
+    token array inside the scan (no per-token explode before the
+    counts), then two map-combinable count aggs (bigram and context),
+    equi-joins of the exploded bigram stream against both count
+    tables on their keys (AQE broadcasts them when they fit), and a
+    per-doc re-agg. Linear, no cross joins, no Python."""
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    t = tokens(F.lower(F.col("text")))
+    big = docs.filter(F.size(t) >= 2).select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice(t, 1, F.size(t) - 1),
+                F.slice(t, 2, F.size(t) - 1),
+                lambda a, b: F.struct(a.alias("w1"), F.concat_ws(" ", a, b).alias("bg")),
+            )
+        ).alias("_p"),
+    ).select("doc_id", F.col("_p.w1").alias("w1"), F.col("_p.bg").alias("bg"))
+    c2 = big.groupBy("bg").agg(F.count("*").alias("n2"))
+    c1 = big.groupBy("w1").agg(F.count("*").alias("n1"))
+    vocab = (
+        docs.select(F.explode(t).alias("token"))
+        .agg(F.count_distinct("token").alias("v"))
+    )
+    logp = F.log10((F.col("n2") + 1).cast("double") / (F.col("n1") + F.col("v")))
+    return (
+        big.join(c2, "bg")
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_bigrams"),
+            F.round(F.avg(logp), 4).alias("avg_logprob"),
+        )
+    )
+
+
 HASH_DIM = 64  # feature-hashing bucket count
 
 
@@ -464,6 +508,7 @@ QUERIES = {
     "streaming_corpus_pipeline": q_streaming_corpus_pipeline,
     "pii_scrub": q_pii_scrub,
     "unigram_logprob": q_unigram_logprob,
+    "bigram_logprob": q_bigram_logprob,
     "hashed_features": q_hashed_features,
     "doc_chunks": q_doc_chunks,
     "corpus_pipeline": q_corpus_pipeline,
@@ -626,6 +671,27 @@ ORACLES = {
                CAST(count(*) AS INT) AS n_tokens,
                round(avg(log10(CAST(cnt AS DOUBLE) / total)), 4) AS avg_logprob
         FROM tok JOIN vocab USING (token) CROSS JOIN tot
+        GROUP BY doc_id
+    """,
+    "bigram_logprob": f"""
+        WITH tok AS (
+            SELECT doc_id, {_SQL_TOKENS_LOWER} AS toks FROM documents),
+        uni AS (
+            SELECT count(DISTINCT token) AS v
+            FROM (SELECT unnest(toks) AS token FROM tok)),
+        pos AS (
+            SELECT doc_id, toks,
+                   unnest(generate_series(1, len(toks) - 1)) AS i
+            FROM tok),
+        big AS (
+            SELECT doc_id, toks[i] AS w1, toks[i] || ' ' || toks[i + 1] AS bg
+            FROM pos),
+        c2 AS (SELECT bg, count(*) AS n2 FROM big GROUP BY 1),
+        c1 AS (SELECT w1, count(*) AS n1 FROM big GROUP BY 1)
+        SELECT doc_id,
+               CAST(count(*) AS INT) AS n_bigrams,
+               round(avg(log10(CAST(n2 + 1 AS DOUBLE) / (n1 + v))), 4) AS avg_logprob
+        FROM big JOIN c2 USING (bg) JOIN c1 USING (w1) CROSS JOIN uni
         GROUP BY doc_id
     """,
     "hashed_features": f"""
