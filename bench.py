@@ -95,6 +95,8 @@ HEADLINE = [
     "distinct_rollup_merge",
     "streaming_incremental_rollup",
     "knn_ivf_pq",
+    "split_leakage_free",
+    "bigram_logprob",
 ]
 
 
