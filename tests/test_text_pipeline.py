@@ -190,3 +190,72 @@ def test_repeated_span_report_xxhash64_mode_matches_md5(spark):
         .collect()
     }
     assert md5_docs == xx_docs == {1, 2}
+
+
+def test_split_leakage_free_keeps_clusters_together(spark, sf_medium):
+    """The defining property: every near-dup cluster lands entirely in
+    ONE split, and unclustered docs get exactly sample_split's
+    assignment."""
+    from osarchiver_spark.queries.sampling import q_sample_split, q_split_leakage_free
+
+    guarded = q_split_leakage_free(spark, sf_medium)
+    per_key = guarded.groupBy("split_key").agg(
+        F.count_distinct("split").alias("n_splits"), F.count("*").alias("n_docs")
+    )
+    assert per_key.filter(F.col("n_splits") > 1).count() == 0
+    # some real multi-doc clusters exist at this scale, or the guard is vacuous
+    assert per_key.filter(F.col("n_docs") > 1).count() > 0
+
+    naive = q_sample_split(spark, sf_medium).select("doc_id", F.col("split").alias("naive"))
+    singles = (
+        guarded.filter(F.col("split_key") == F.col("doc_id"))
+        .join(naive, "doc_id")
+        .filter(F.col("split") != F.col("naive"))
+    )
+    assert singles.count() == 0
+
+
+def test_bigram_logprob_on_hand_corpus(spark):
+    """Hand-checkable LM: corpus 'a b', 'a b', 'a c' => V=3,
+    c(a·)=3, c(a b)=2, c(a c)=1."""
+    from osarchiver_spark.queries import all_queries
+    import math
+
+    rows = [(1, "a b"), (2, "a b"), (3, "a c")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    # call the underlying plan through a shim sf_dir-free path: rebuild
+    # the same expression stack directly
+    from osarchiver_spark.functions.text import tokens
+
+    t = tokens(F.lower(F.col("text")))
+    big = df.filter(F.size(t) >= 2).select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice(t, 1, F.size(t) - 1),
+                F.slice(t, 2, F.size(t) - 1),
+                lambda a, b: F.struct(a.alias("w1"), F.concat_ws(" ", a, b).alias("bg")),
+            )
+        ).alias("_p"),
+    ).select("doc_id", "_p.w1", "_p.bg")
+    c2 = big.groupBy("bg").agg(F.count("*").alias("n2"))
+    c1 = big.groupBy("w1").agg(F.count("*").alias("n1"))
+    vocab = df.select(F.explode(t).alias("tok")).agg(F.count_distinct("tok").alias("v"))
+    scored = {
+        r.doc_id: r.lp
+        for r in big.join(c2, "bg")
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.avg(F.log10((F.col("n2") + 1).cast("double") / (F.col("n1") + F.col("v"))))
+                , 4
+            ).alias("lp")
+        )
+        .collect()
+    }
+    # p(b|a) = (2+1)/(3+3) = 0.5 ; p(c|a) = (1+1)/(3+3) = 1/3
+    assert scored[1] == scored[2] == round(math.log10(0.5), 4)
+    assert scored[3] == round(math.log10(1 / 3), 4)
