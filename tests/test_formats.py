@@ -3,6 +3,8 @@ round trips with explicit schemas (inference never at scale)."""
 
 from __future__ import annotations
 
+import glob
+
 from pyspark.sql import functions as F
 
 from osarchiver_spark.sources.parquet import load_table
@@ -120,3 +122,57 @@ formats=orc
     (a,) = load_config(text=ini)
     kinds = {type(s).__name__ for s in a.sinks}
     assert kinds == {"OrcSink"}
+
+
+def test_read_jsonl_roundtrips_documents_with_embedded_newlines(spark, sf_small, tmp_path):
+    """JSONL source reads back exactly what JsonlSink wrote — including
+    free-text payloads — with an explicit schema (no inference pass)."""
+    from osarchiver_spark.sinks.base import JsonlSink
+    from osarchiver_spark.sources.files import read_jsonl
+    from osarchiver_spark.sources.parquet import load_table
+
+    docs = load_table(spark, sf_small, "documents")
+    JsonlSink(str(tmp_path / "jl"), compression="gzip").write("documents", docs)
+    (path,) = glob.glob(str(tmp_path / "jl" / "*" / "documents.jsonl"))
+    back = read_jsonl(spark, path, docs.schema)
+    assert back.schema == docs.schema
+    a = sorted(map(tuple, docs.collect()))
+    b = sorted(map(tuple, back.collect()))
+    assert a == b
+
+
+def test_read_csv_roundtrips_and_applies_bad_record_policy(spark, sf_small, tmp_path):
+    from pyspark.sql import types as T
+
+    from osarchiver_spark.sinks.base import CsvSink
+    from osarchiver_spark.sources.files import CORRUPT_COL, read_csv
+    from osarchiver_spark.sources.parquet import load_table
+
+    region = load_table(spark, sf_small, "region")
+    CsvSink(str(tmp_path / "csv")).write("region", region)
+    (path,) = glob.glob(str(tmp_path / "csv" / "*" / "region.csv"))
+    back = read_csv(spark, path, region.schema)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, region.collect()))
+
+    # bad-record policies over a hand-made drop with one corrupt line
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    (drop / "part-0.csv").write_text("id,n\n1,10\n2,not_an_int\n3,30\n")
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("n", T.LongType())]
+    )
+    dropped = read_csv(spark, str(drop), schema, bad_records="drop")
+    assert sorted(r.id for r in dropped.collect()) == [1, 3]
+    # quarantining must cache the parse first (Spark disallows plans
+    # that prune a raw file scan to only the corrupt-record column)
+    kept = read_csv(spark, str(drop), schema, bad_records="keep").cache()
+    try:
+        quarantined = kept.filter(kept[CORRUPT_COL].isNotNull())
+        assert quarantined.count() == 1
+        assert sorted(r.id for r in kept.filter(kept[CORRUPT_COL].isNull()).collect()) == [1, 3]
+    finally:
+        kept.unpersist()
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        read_csv(spark, str(drop), schema, bad_records="fail").collect()
