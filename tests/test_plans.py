@@ -239,3 +239,36 @@ def test_inverted_index_caps_postings_before_collect(spark):
     # Spark's group-limit pushdown: top-8-per-term applied BEFORE the
     # token exchange, so a hot term ships <= 8 rows per map partition
     assert "WindowGroupLimit" in plan
+
+
+def test_substring_spans_selection_is_map_side(spark):
+    # winnowing runs as array expressions in the scan stage: the plan
+    # must have exactly the two aggregation/window shuffles downstream
+    # of the explode and NO per-position window sort upstream of the
+    # semi-join probe (the shape that shipped one row per character)
+    plan = _formatted(spark, "dedup_substring_spans")
+    probe, _, build = plan.partition("BroadcastExchange")
+    assert build, "expected a broadcast semi-join of the duplicate hashes"
+    # upstream (probe side incl. cached spans subtree): generate only
+    # after selection, never Sort+Window over exploded positions
+    cached = probe.split("InMemoryRelation")[-1] if "InMemoryRelation" in probe else probe
+    assert "Window" not in cached.split("BroadcastHashJoin")[0]
+
+
+def test_pagerank_iterations_broadcast_node_relations(spark):
+    # at fixture scale the node count is far under the broadcast cap,
+    # so rank/degree joins must be broadcast probes (no SortMergeJoin
+    # of the edge list) — the web-scale fallback is covered by the
+    # operator's n_nodes gate
+    plan = _formatted(spark, "pagerank")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pq_search_never_carries_vectors_through_candidate_scoring(spark):
+    # the PQ scoring pass streams (neighbor_id, cid, code) only; full
+    # vectors appear in the probe/encode inputs and the final re-rank
+    # join, never in the ADC cogroup output
+    plan = _formatted(spark, "knn_ivf_pq")
+    assert "FlatMapCoGroupsInPandas" in plan
+    assert "CartesianProduct" not in plan
