@@ -97,6 +97,7 @@ HEADLINE = [
     "knn_ivf_pq",
     "split_leakage_free",
     "bigram_logprob",
+    "weighted_sample",
 ]
 
 

@@ -166,6 +166,41 @@ def q_split_leakage_free(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WEIGHTED_KEEP = 5  # docs kept per source by the weighted sampler
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, Efraimidis–Spirakis
+    scheme, deterministic: each doc gets key = ln(u)/w with u an
+    md5-uniform in (0,1] and w its weight (here n_chars — sampling
+    proportional to length approximates token-budget-proportional
+    selection); the top-k keys per source ARE a weighted sample
+    without replacement. No rand(), no state: membership is a pure
+    function of the key, so the sample survives re-runs and
+    repartitioning like every sampler here. Shape: one expression per
+    row + one per-source window top-k — the same skew-safe single
+    shuffle as class_cap_sample. The float key itself is never
+    emitted (cross-engine libm ln differs in the last ulp); only the
+    integer rank is, and a rank flip would need two keys within that
+    ulp — vanishing, and doc_id breaks exact ties."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    # (hash32 + 1) / 2^32 in (0, 1] — ln is finite
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+            "long"
+        )
+        + 1
+    ) / F.lit(float(1 << 32))
+    key = F.log(u) / F.col("n_chars")
+    w = W.partitionBy("source").orderBy(F.desc(key), F.col("doc_id"))
+    return (
+        docs.select("doc_id", "source", "n_chars", key.alias("_k"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= WEIGHTED_KEEP)
+        .select("doc_id", "source", "n_chars", F.col("rk").cast("int").alias("rk"))
+    )
+
+
 SEQ_LEN = 2048  # training sequence length (tokens)
 N_SHARDS = 8  # independent packing streams; >> executor count at scale
 
@@ -215,6 +250,7 @@ QUERIES = {
     "sequence_pack": q_sequence_pack,
     "tfidf_top_terms": q_tfidf_top_terms,
     "split_leakage_free": q_split_leakage_free,
+    "weighted_sample": q_weighted_sample,
 }
 
 _SQL_TOKENS_LOWER = "list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), t -> t <> '')"
@@ -276,6 +312,18 @@ ORACLES = {
               < (CAST(regexp_extract(source, '[0-9]+') AS INT) % 4 + 1) / 4.0
     """,
     "split_leakage_free": None,  # composed below (needs the clusters oracle)
+    "weighted_sample": f"""
+        SELECT doc_id, source, n_chars, CAST(rk AS INT) AS rk FROM (
+            SELECT doc_id, source, n_chars,
+                   row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                                         AS UBIGINT) + 1) / 4294967296.0)
+                                / n_chars DESC,
+                                doc_id) AS rk
+            FROM documents WHERE n_chars > 0)
+        WHERE rk <= {WEIGHTED_KEEP}
+    """,
     "tfidf_top_terms": f"""
         WITH tf AS (
             SELECT doc_id, t.term, count(*) AS tf

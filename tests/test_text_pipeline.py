@@ -259,3 +259,32 @@ def test_bigram_logprob_on_hand_corpus(spark):
     # p(b|a) = (2+1)/(3+3) = 0.5 ; p(c|a) = (1+1)/(3+3) = 1/3
     assert scored[1] == scored[2] == round(math.log10(0.5), 4)
     assert scored[3] == round(math.log10(1 / 3), 4)
+
+
+def test_weighted_sample_determinism_and_weight_dominance(spark, sf_small):
+    from osarchiver_spark.queries.sampling import WEIGHTED_KEEP, q_weighted_sample
+
+    out = q_weighted_sample(spark, sf_small)
+    rows = sorted(map(tuple, out.collect()))
+    per_src = out.groupBy("source").count().collect()
+    assert all(r["count"] <= WEIGHTED_KEEP for r in per_src)
+    # deterministic: a second planning/run yields the identical sample
+    assert rows == sorted(map(tuple, q_weighted_sample(spark, sf_small).collect()))
+
+    # Efraimidis-Spirakis dominance: an overwhelming weight wins rank 1
+    # (key = ln(u)/w -> ~0 for huge w; a tiny-weight doc would need
+    # u > exp(ln(u_heavy) * w_light / w_heavy) ~ 1 to beat it)
+    heavy = spark.createDataFrame(
+        [(i, "s", 5) for i in range(1, 40)] + [(99, "s", 10**9)],
+        ["doc_id", "source", "n_chars"],
+    )
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast("long")
+        + 1
+    ) / F.lit(float(1 << 32))
+    key = F.log(u) / F.col("n_chars")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("source").orderBy(F.desc(key), F.col("doc_id"))
+    top = heavy.withColumn("rk", F.row_number().over(w)).filter("rk = 1").collect()
+    assert top[0].doc_id == 99
