@@ -98,6 +98,7 @@ HEADLINE = [
     "split_leakage_free",
     "bigram_logprob",
     "weighted_sample",
+    "kmv_distinct",
 ]
 
 

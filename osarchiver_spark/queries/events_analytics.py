@@ -583,7 +583,47 @@ def q_distinct_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KMV_K = 32  # k-minimum-values sketch width
+
+
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct counting with a DETERMINISTIC, mergeable
+    sketch: KMV (k-minimum-values). Keep the k smallest md5-uniform
+    hashes of the key per group; the kth smallest fraction h_k gives
+    the estimate (k-1)/h_k (fewer than k distinct hashes → the sketch
+    IS the exact count). Unlike HLL (`approx_sketches`, whose
+    engine-specific registers can't cross-check), KMV is pure
+    hash+order arithmetic, so DuckDB reproduces it bit-for-bit and
+    the estimator itself gets an exact oracle row — alongside the
+    exact count for error inspection. Merge discipline mirrors
+    distinct_rollup_merge: the union of two groups' k-min sets,
+    re-truncated to k, is the sketch of the union — sketches compose
+    upward, counted estimates do not."""
+    ev = load_table(spark, sf_dir, "events")
+    u = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10).cast(
+            "long"
+        )
+        + 1
+    ) / F.lit(float(1 << 32))
+    hashes = ev.select("event_type", u.alias("u")).distinct()
+    w = W.partitionBy("event_type").orderBy("u")
+    ranked = hashes.withColumn("rk", F.row_number().over(w))
+    agg = ranked.groupBy("event_type").agg(
+        F.count("*").alias("n_seen"),
+        F.max(F.when(F.col("rk") == KMV_K, F.col("u"))).alias("h_k"),
+    )
+    est = F.when(F.col("n_seen") < KMV_K, F.col("n_seen").cast("double")).otherwise(
+        (KMV_K - 1) / F.col("h_k")
+    )
+    exact = ev.groupBy("event_type").agg(F.count_distinct("user_id").alias("n_exact"))
+    return agg.join(exact, "event_type").select(
+        "event_type", "n_exact", F.round(est, 4).alias("kmv_estimate")
+    )
+
+
 QUERIES = {
+    "kmv_distinct": q_kmv_distinct,
     "user_activity_distribution": q_user_activity_distribution,
     "attribution_last_touch": q_attribution_last_touch,
     "distinct_rollup_merge": q_distinct_rollup_merge,
@@ -607,6 +647,28 @@ QUERIES = {
 }
 
 ORACLES = {
+    "kmv_distinct": f"""
+        WITH hashes AS (
+            SELECT DISTINCT event_type,
+                   (CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                         AS UBIGINT) + 1) / 4294967296.0 AS u
+            FROM events),
+        ranked AS (
+            SELECT event_type, u,
+                   row_number() OVER (PARTITION BY event_type ORDER BY u) AS rk
+            FROM hashes),
+        agg AS (
+            SELECT event_type, count(*) AS n_seen,
+                   max(CASE WHEN rk = {KMV_K} THEN u END) AS h_k
+            FROM ranked GROUP BY 1),
+        exact AS (
+            SELECT event_type, count(DISTINCT user_id) AS n_exact
+            FROM events GROUP BY 1)
+        SELECT a.event_type, e.n_exact,
+               round(CASE WHEN n_seen < {KMV_K} THEN CAST(n_seen AS DOUBLE)
+                          ELSE ({KMV_K} - 1) / h_k END, 4) AS kmv_estimate
+        FROM agg a JOIN exact e USING (event_type)
+    """,
     "attribution_last_touch": """
         WITH p AS (
             SELECT event_id, user_id, ts, value FROM events
