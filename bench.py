@@ -164,6 +164,13 @@ def main() -> None:
     # Python worker pool) so query timings measure the engine, not
     # first-use setup
     spark.range(1_000).selectExpr("sum(id) as s").write.format("noop").mode("overwrite").save()
+    # ... and the Arrow/Python worker pool, which otherwise taxes the
+    # first pandas-UDF query with ~seconds of interpreter spin-up
+    import pandas as _pd  # noqa: F401
+
+    spark.range(1_000).repartition(int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))).mapInPandas(
+        lambda it: it, schema="id long"
+    ).write.format("noop").mode("overwrite").save()
     timings: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
