@@ -355,6 +355,22 @@ def _build_jdbc_source(src: dict[str, str], src_name: str) -> JdbcSourceConfig:
     )
 
 
+def _load_sink_plugin(path: str, dst_name: str) -> type:
+    """Resolve ``formats=my_pkg.my_mod.MySink`` to a Sink subclass.
+    The class is instantiated like the built-in file formatters:
+    ``cls(directory, compression=...)``."""
+    import importlib
+
+    mod_name, _, cls_name = path.rpartition(".")
+    try:
+        cls = getattr(importlib.import_module(mod_name), cls_name)
+    except (ImportError, AttributeError) as e:
+        raise ConfigError(f"[dst:{dst_name}] cannot load format plugin {path!r}: {e}") from e
+    if not (isinstance(cls, type) and issubclass(cls, Sink)):
+        raise ConfigError(f"[dst:{dst_name}] format plugin {path!r} is not a Sink subclass")
+    return cls
+
+
 def _build_sinks(dst: dict[str, str], dst_name: str, pks: dict[str, str]) -> list[Sink]:
     backend = dst.get("backend", "file")
     directory = dst.get("directory")
@@ -371,6 +387,14 @@ def _build_sinks(dst: dict[str, str], dst_name: str, pks: dict[str, str]) -> lis
                 sinks.append(JsonlSink(directory, compression=dst.get("compression")))
             elif fmt == "orc":
                 sinks.append(OrcSink(directory, compression=dst.get("compression")))
+            elif "." in fmt:
+                # plugin formatter by dotted path — the reference's
+                # extension surface, where formatters/backends load by
+                # naming convention via import_module
+                # (destination/file/base.py:154-177,
+                # common/__init__.py:11-28)
+                cls = _load_sink_plugin(fmt, dst_name)
+                sinks.append(cls(directory, compression=dst.get("compression")))
             else:
                 raise ConfigError(f"[dst:{dst_name}] unknown file format {fmt!r}")
         return sinks

@@ -176,3 +176,69 @@ def test_read_csv_roundtrips_and_applies_bad_record_policy(spark, sf_small, tmp_
 
     with _pytest.raises(Exception):
         read_csv(spark, str(drop), schema, bad_records="fail").collect()
+
+
+class MarkerSink:
+    """Placeholder rebound below — needs the real Sink base."""
+
+
+def _define_marker_sink():
+    from osarchiver_spark.sinks.base import _DatedFileSink
+
+    class _Marker(_DatedFileSink):
+        """Plugin formatter for the dotted-path loading test: writes
+        one row-count marker file per table per dated run."""
+
+        def __init__(self, root, compression=None, run_template="{date}"):
+            super().__init__(root, run_template)
+
+        def write(self, table, df):
+            import os
+
+            out = self._out_path(f"{table}.count")
+            os.makedirs(os.path.dirname(out), exist_ok=True)
+            with open(out, "w") as f:
+                f.write(str(df.count()))
+
+    return _Marker
+
+
+MarkerSink = _define_marker_sink()
+
+
+def test_format_plugin_loads_by_dotted_path(sf_small, tmp_path):
+    """The reference loads formatters/backends by naming convention via
+    import_module (destination/file/base.py:154-177); the INI front end
+    mirrors that: formats= accepts a dotted path to a Sink subclass."""
+    import pytest
+
+    from osarchiver_spark.plans.config import ConfigError, load_config
+
+    ini = f"""
+[archiver:orders]
+src=orders_src
+dst=files
+
+[src:orders_src]
+backend=parquet
+directory={sf_small}
+now=2001-12-01T00:00:00
+primary_keys=orders:o_orderkey
+tables=orders
+
+[dst:files]
+backend=file
+directory={tmp_path}/cfg
+formats=csv, tests.test_formats.MarkerSink
+"""
+    (a,) = load_config(text=ini)
+    kinds = {type(s).__name__ for s in a.sinks}
+    assert kinds == {"CsvSink", "_Marker"}
+
+    bad = ini.replace("tests.test_formats.MarkerSink", "tests.test_formats.no_such_thing")
+    with pytest.raises(ConfigError):
+        load_config(text=bad)
+    # a resolvable attribute that is not a Sink subclass must also fail
+    bad2 = ini.replace("tests.test_formats.MarkerSink", "tests.test_formats.glob")
+    with pytest.raises(ConfigError):
+        load_config(text=bad2)
