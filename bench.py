@@ -99,6 +99,7 @@ HEADLINE = [
     "bigram_logprob",
     "weighted_sample",
     "kmv_distinct",
+    "knn_label_vote",
 ]
 
 

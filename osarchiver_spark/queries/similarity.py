@@ -103,6 +103,39 @@ def q_knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN weak labeling: predict each query vector's label by
+    majority vote over its TOP_K exact cosine neighbors (vote-count
+    desc, label asc tie-break — fully deterministic), reported next
+    to the true label — the semi-supervised label-propagation /
+    label-denoising primitive a training pipeline runs over an
+    embedded corpus. Composition: the brute-force ranking (one BLAS
+    scoring pass, no join), a neighbor→label equi-join against the
+    corpus (AQE broadcasts the small side), one count agg and a
+    per-query top-1 window."""
+    from pyspark.sql import Window as W
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % QUERY_MOD == 0)
+    topk = brute_force_topk(emb, queries, "vec_id", "embedding", k=TOP_K)
+    labels = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("label").alias("n_label"))
+    votes = (
+        topk.join(labels, "neighbor_id")
+        .groupBy("query_id", "n_label")
+        .agg(F.count("*").alias("votes"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("votes"), F.col("n_label"))
+    best = votes.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1)
+    truth = emb.select(F.col("vec_id").alias("query_id"), F.col("label").alias("true_label"))
+    return best.join(truth, "query_id").select(
+        "query_id",
+        F.col("n_label").alias("pred_label"),
+        F.col("votes").cast("int").alias("votes"),
+        "true_label",
+        (F.col("n_label") == F.col("true_label")).alias("correct"),
+    )
+
+
 def q_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return emb.select(
@@ -180,6 +213,7 @@ def q_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "embedding_quantization": q_embedding_quantization,
     "knn_bruteforce": q_knn_bruteforce,
+    "knn_label_vote": q_knn_label_vote,
     "knn_lsh": q_knn_lsh,
     "knn_ivf": q_knn_ivf,
     "knn_ivf_pq": q_knn_ivf_pq,
@@ -239,6 +273,24 @@ ORACLES = {
     "knn_lsh": _TOPK_ORACLE,
     "knn_ivf": _TOPK_ORACLE,
     "knn_ivf_pq": _TOPK_ORACLE,
+    "knn_label_vote": f"""
+        WITH topk AS (SELECT * FROM ({_TOPK_ORACLE})),
+        votes AS (
+            SELECT t.query_id, e.label AS n_label, count(*) AS votes
+            FROM topk t JOIN embeddings e ON t.neighbor_id = e.vec_id
+            GROUP BY 1, 2),
+        best AS (
+            SELECT query_id, n_label, votes,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY votes DESC, n_label) AS rk
+            FROM votes)
+        SELECT b.query_id, b.n_label AS pred_label,
+               CAST(b.votes AS INT) AS votes,
+               e.label AS true_label,
+               b.n_label = e.label AS correct
+        FROM best b JOIN embeddings e ON b.query_id = e.vec_id
+        WHERE rk = 1
+    """,
     "vector_norms": """
         SELECT vec_id, label,
                CAST(len(embedding) AS INT) AS dim,
