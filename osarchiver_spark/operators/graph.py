@@ -67,7 +67,9 @@ def pagerank(
     shuffle joins on node id, where the persisted edge partitioning
     is reused across iterations.
     """
-    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    # node-sized and consumed three times (count, the edge join, the
+    # rank init) — each use would otherwise recompute the union+agg
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg")).persist()
     n_nodes = deg.count()  # scalar only — sizes teleport + join strategy
     teleport = (1.0 - damping) / n_nodes
     small = n_nodes <= broadcast_nodes_max
