@@ -100,6 +100,7 @@ HEADLINE = [
     "weighted_sample",
     "kmv_distinct",
     "knn_label_vote",
+    "streaming_kmv",
 ]
 
 

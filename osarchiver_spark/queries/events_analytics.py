@@ -622,8 +622,19 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpoint-carried streaming KMV sketch; see
+    streaming/sketch.py. The oracle is the batch estimator over ALL
+    events — it matches only if run 2 merged its drop into run 1's
+    carried k-min sets correctly."""
+    from osarchiver_spark.streaming.sketch import streaming_kmv_registry
+
+    return streaming_kmv_registry(spark, sf_dir)
+
+
 QUERIES = {
     "kmv_distinct": q_kmv_distinct,
+    "streaming_kmv": q_streaming_kmv,
     "user_activity_distribution": q_user_activity_distribution,
     "attribution_last_touch": q_attribution_last_touch,
     "distinct_rollup_merge": q_distinct_rollup_merge,
@@ -668,6 +679,25 @@ ORACLES = {
                round(CASE WHEN n_seen < {KMV_K} THEN CAST(n_seen AS DOUBLE)
                           ELSE ({KMV_K} - 1) / h_k END, 4) AS kmv_estimate
         FROM agg a JOIN exact e USING (event_type)
+    """,
+    "streaming_kmv": f"""
+        WITH hashes AS (
+            SELECT DISTINCT event_type,
+                   (CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                         AS UBIGINT) + 1) / 4294967296.0 AS u
+            FROM events),
+        ranked AS (
+            SELECT event_type, u,
+                   row_number() OVER (PARTITION BY event_type ORDER BY u) AS rk
+            FROM hashes),
+        agg AS (
+            SELECT event_type, count(*) AS n_seen,
+                   max(CASE WHEN rk = {KMV_K} THEN u END) AS h_k
+            FROM ranked GROUP BY 1)
+        SELECT event_type,
+               round(CASE WHEN n_seen < {KMV_K} THEN CAST(n_seen AS DOUBLE)
+                          ELSE ({KMV_K} - 1) / h_k END, 4) AS kmv_estimate
+        FROM agg
     """,
     "attribution_last_touch": """
         WITH p AS (

@@ -97,3 +97,29 @@ def test_streaming_dedup_watermark_evicts_state(spark, tmp_path):
         assert keeps == {1, 50, 51, 60}
     finally:
         q.stop()
+
+
+def test_streaming_kmv_merges_state_across_batches(spark, tmp_path):
+    """Below-k regime: the carried sketch is the exact distinct set,
+    so two drops with overlapping keys must yield the exact distinct
+    count of the union — proving dedup ACROSS the checkpoint
+    boundary, not just within a batch."""
+    from datetime import datetime
+
+    from osarchiver_spark.streaming.sketch import incremental_stream_kmv
+
+    landing = str(tmp_path / "landing")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def drop(users):
+        rows = [(i, datetime(2024, 1, 1), u, "t", 1.0, "{}") for i, u in enumerate(users)]
+        spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+        ).write.mode("append").parquet(landing)
+
+    drop([1, 2, 3, 4])
+    r1 = {r.event_type: r.kmv_estimate for r in incremental_stream_kmv(spark, landing, out, ckpt).collect()}
+    assert r1["t"] == 4.0
+    drop([3, 4, 5, 6])  # overlaps run 1 — only 5 and 6 are new
+    r2 = {r.event_type: r.kmv_estimate for r in incremental_stream_kmv(spark, landing, out, ckpt).collect()}
+    assert r2["t"] == 6.0
