@@ -1,0 +1,27 @@
+"""The registry's least-recently-verified-first scheduling is
+load-bearing (it decides which entries the external harness
+re-adjudicates under its ~50-row cap) — pin the tier order."""
+
+from __future__ import annotations
+
+import osarchiver_spark.queries as reg
+
+
+def test_prioritize_tiers(monkeypatch):
+    hist = {
+        "green_old": (1, 2),     # hash-green in r1, last checked r2
+        "green_new": (2, 2),     # hash-green in r2
+        "failed_once": (-1, 2),  # checked r2, never green -> tier 0
+        # "brand_new" absent -> tier 1
+    }
+    monkeypatch.setattr(reg, "_adjudication_history", lambda: hist)
+    queries = {n: (lambda s, d: None) for n in
+               ["green_new", "brand_new", "failed_once", "green_old"]}
+    ordered = list(reg._prioritize(queries))
+    assert ordered == ["failed_once", "brand_new", "green_old", "green_new"]
+
+
+def test_prioritize_is_total_and_stable():
+    q = reg.all_queries()
+    assert sorted(q) == sorted(reg.all_queries())  # same set, any order
+    assert len(q) == len(set(q))
