@@ -101,6 +101,7 @@ HEADLINE = [
     "kmv_distinct",
     "knn_label_vote",
     "streaming_kmv",
+    "sampled_percentiles",
 ]
 
 

@@ -211,6 +211,36 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SAMPLE_RATE_HEX = "28f5c28f"  # 4-hex-byte threshold ~ 16% Bernoulli rate
+
+
+def q_sampled_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentiles over a DETERMINISTIC Bernoulli sample — the
+    sample-don't-sort pattern for quantiles at scale, with a twist
+    the engine-specific sketches (GK/t-digest, `approx_sketches`)
+    can't offer: membership is md5(key) < threshold, so the sample —
+    and therefore the estimate — is a pure function of the data,
+    reproducible across engines, re-runs and repartitionings, and
+    the whole query is oracle-checkable. Scan-side filter (~16%
+    survives), then the exact interpolated percentile on the sample;
+    error vs the full-data exact value is bounded by the usual
+    order-statistic bounds and reported side-by-side."""
+    li = load_table(spark, sf_dir, "lineitem")
+    keep = F.substring(F.md5(F.col("l_orderkey").cast("string")), 1, 8) < SAMPLE_RATE_HEX
+    samp = li.filter(keep).groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("sample_p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias("sample_p95"),
+        F.count("*").alias("n_sample"),
+    )
+    full = li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("exact_p50"),
+        F.count("*").alias("n_rows"),
+    )
+    return samp.join(full, "l_returnflag").select(
+        "l_returnflag", "n_rows", "n_sample", "sample_p50", "sample_p95", "exact_p50"
+    )
+
+
 def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate sketches (HLL++ distinct, GK quantiles): the scale
     path where exact distinct/percentile shuffles are too expensive.
@@ -406,6 +436,7 @@ QUERIES = {
     "grouping_sets": q_grouping_sets,
     "unpivot_metrics": q_unpivot,
     "percentiles": q_percentiles,
+    "sampled_percentiles": q_sampled_percentiles,
     "approx_sketches": q_approx_sketches,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -513,6 +544,23 @@ ORACLES = {
         SELECT l_orderkey, l_linenumber, 'discount', round(l_discount, 4) FROM lineitem
         UNION ALL
         SELECT l_orderkey, l_linenumber, 'tax', round(l_tax, 4) FROM lineitem
+    """,
+    "sampled_percentiles": f"""
+        WITH samp AS (
+            SELECT l_returnflag,
+                   round(quantile_cont(l_extendedprice, 0.5), 4) AS sample_p50,
+                   round(quantile_cont(l_extendedprice, 0.95), 4) AS sample_p95,
+                   count(*) AS n_sample
+            FROM lineitem
+            WHERE substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 8) < '{SAMPLE_RATE_HEX}'
+            GROUP BY 1),
+        whole AS (
+            SELECT l_returnflag,
+                   round(quantile_cont(l_extendedprice, 0.5), 4) AS exact_p50,
+                   count(*) AS n_rows
+            FROM lineitem GROUP BY 1)
+        SELECT l_returnflag, n_rows, n_sample, sample_p50, sample_p95, exact_p50
+        FROM samp JOIN whole USING (l_returnflag)
     """,
     "percentiles": """
         SELECT o_orderpriority,
