@@ -42,3 +42,21 @@ def test_jdbc_options_build_keyset_parallel_scan():
     # retention predicate pushed into the database-side subquery
     assert "WHERE deleted_at <= '2001-12-01'" in opts["dbtable"]
     assert opts["lowerBound"] == "0" and opts["upperBound"] == "1000000"
+
+
+def test_kmv_estimate_within_20pct(spark, sf_medium):
+    """KMV at k=32 has relative std-error ~ 1/sqrt(k-2) ~ 18%; the
+    fixture estimates sit well inside it (and the estimator itself is
+    oracle-checked — this pins the ACCURACY, not the arithmetic)."""
+    from osarchiver_spark.queries.events_analytics import q_kmv_distinct
+
+    for r in q_kmv_distinct(spark, sf_medium).collect():
+        assert abs(r.kmv_estimate - r.n_exact) / r.n_exact < 0.20, r
+
+
+def test_sampled_percentiles_within_5pct(spark, sf_medium):
+    from osarchiver_spark.queries.relational import q_sampled_percentiles
+
+    for r in q_sampled_percentiles(spark, sf_medium).collect():
+        assert abs(r.sample_p50 - r.exact_p50) / r.exact_p50 < 0.05, r
+        assert 0.10 < r.n_sample / r.n_rows < 0.22  # ~16% Bernoulli rate
