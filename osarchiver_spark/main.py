@@ -34,8 +34,17 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
                         help="Print the optimized physical plan of a registry "
                              "query (by name; 'all' lists names) against "
                              "--sf-dir, without executing it")
+    parser.add_argument("--run", default=None, metavar="QUERY",
+                        help="Execute a registry query (by name) against "
+                             "--sf-dir; prints --limit rows, or writes the "
+                             "full result as parquet when --out is given")
+    parser.add_argument("--out", default=None, metavar="PATH",
+                        help="With --run: write the result dataset here "
+                             "(parquet) instead of printing")
+    parser.add_argument("--limit", type=int, default=20,
+                        help="With --run and no --out: rows to print")
     parser.add_argument("--sf-dir", default="/root/testdata/sf0.01",
-                        help="Scale-factor directory --explain plans against")
+                        help="Scale-factor directory --explain/--run use")
     parser.add_argument("--log-file", default=None, help="Append log to the specified file")
     parser.add_argument("--log-level", choices=["info", "warn", "error", "debug"],
                         default="info", help="Set log level")
@@ -81,11 +90,33 @@ def explain_query(name: str, sf_dir: str) -> int:
     return 0
 
 
+def run_query(name: str, sf_dir: str, out: str | None, limit: int) -> int:
+    """Execute one registry query end-to-end — the ad-hoc entry for
+    a user who wants a single analytic over a table directory without
+    writing a config."""
+    from osarchiver_spark.queries import all_queries
+
+    registry = all_queries()
+    if name not in registry:
+        logging.error("unknown query %r (try --explain all)", name)
+        return 1
+    spark = get_spark("osarchiver_spark_run")
+    df = registry[name](spark, sf_dir)
+    if out:
+        df.write.mode("overwrite").parquet(out)
+        logging.info("wrote %s rows to %s", spark.read.parquet(out).count(), out)
+    else:
+        df.show(limit, truncate=False)
+    return 0
+
+
 def run(argv: list[str] | None = None) -> int:
     args = parse_args(argv)
     configure_logger(args.log_level, args.log_file)
     if args.explain:
         return explain_query(args.explain, args.sf_dir)
+    if args.run:
+        return run_query(args.run, args.sf_dir, args.out, args.limit)
     if not args.config:
         logging.error("--config is required (or use --explain)")
         return 2

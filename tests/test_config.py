@@ -325,3 +325,17 @@ def test_cli_explain_prints_plan_without_executing(capsys):
     # --explain needs no --config; missing both is an argument error
     assert run(["--explain", "all"]) == 0
     assert run([]) == 2
+
+
+def test_cli_run_query_writes_parquet(spark, sf_small, tmp_path):
+    """--run executes a registry query against --sf-dir and lands the
+    full result as parquet (print mode covered by --limit default)."""
+    from osarchiver_spark.main import run
+
+    out = str(tmp_path / "res")
+    rc = run(["--run", "sample_split", "--sf-dir", sf_small, "--out", out])
+    assert rc == 0
+    back = spark.read.parquet(out)
+    assert back.count() > 0
+    assert set(back.columns) == {"doc_id", "source", "bucket", "split"}
+    assert run(["--run", "no_such_query", "--sf-dir", sf_small]) == 1
