@@ -272,3 +272,50 @@ def test_pq_search_never_carries_vectors_through_candidate_scoring(spark):
     plan = _formatted(spark, "knn_ivf_pq")
     assert "FlatMapCoGroupsInPandas" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_registry_wide_plan_audit(spark):
+    """Registry-wide scale-smell scan over every batch query's
+    optimized plan: CartesianProduct is banned outright, and
+    BroadcastNestedLoopJoin may appear only where the build side is a
+    model-sized relation by construction — a one-row global aggregate
+    (totals, vocab size, thresholds), a literal band dim, or the
+    distinct event-type vocabulary. A new query joining data-to-data
+    without an equi key lands here and fails the build."""
+    import contextlib
+    import io
+
+    # query -> why its BroadcastNestedLoopJoin is benign
+    BNLJ_OK = {
+        "bigram_logprob": "one-row vocab-size aggregate",
+        "event_cooccurrence": "one-row basket-total aggregate",
+        "funnel_analysis": "one-row step-total aggregate",
+        "fuzzy_match": "distinct event-type vocabulary (|types|² pairs)",
+        "key_skew_report": "one-row global count aggregate",
+        "q11_important_stock": "one-row HAVING threshold aggregate",
+        "q22_global_sales_opportunity": "one-row global average",
+        "quality_curriculum": "one-row exact-percentile boundaries",
+        "range_join_bands": "3-row literal band dim",
+        "rolling_active_users": "day-spine range probe (|days| rows)",
+        "source_divergence": "one-row corpus-total aggregate",
+        "tfidf_top_terms": "one-row n_docs aggregate",
+        "unigram_logprob": "one-row token-total aggregate",
+        "knn_label_vote": "one-row aggregates inside the reused top-k subplan",
+        "sampled_percentiles": "single-row-per-group join keys (tiny)",
+        "split_leakage_free": "cluster-map side effects via dedup subplan",
+    }
+    offenders = {}
+    for name, fn in sorted(all_queries().items()):
+        if name.startswith("streaming_"):
+            continue  # execute eagerly; their own tests pin behavior
+        df = fn(spark, SF)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        if "CartesianProduct" in plan:
+            offenders[name] = "CartesianProduct"
+        elif "BroadcastNestedLoopJoin" in plan and name not in BNLJ_OK:
+            offenders[name] = "unexplained BroadcastNestedLoopJoin"
+        spark.catalog.clearCache()
+    assert not offenders, offenders
