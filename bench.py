@@ -51,6 +51,7 @@ HEADLINE = [
     "dedup_simhash",
     "dedup_simhash_multiprobe",
     "dedup_ngram_jaccard",
+    "dedup_containment",
     "dedup_substring_spans",
     "dedup_incremental",
     "dedup_embedding",

@@ -294,6 +294,50 @@ def ngram_jaccard_pairs(
     return _pair_jaccard(pairs, shingled).filter(F.col("jaccard") >= threshold)
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """ASYMMETRIC near-dup: shingle containment |A∩B| / |A| per side.
+    Jaccard misses the short-doc-inside-long-doc case (a tweet quoted
+    inside an article has tiny Jaccard but containment ≈ 1 from the
+    tweet's side) — the subset-duplicate shape a pretraining corpus
+    is full of. Candidate pairs come from the same shingle-share
+    equi-join as the Jaccard baseline (zero shared shingles can't
+    clear any threshold > 0); a pair survives when EITHER side's
+    containment >= threshold, and both directions are reported so the
+    caller can tell container from contained."""
+    shingled = _with_shingles(df, id_col, text_col, shingle_n).cache()
+    ex = shingled.select("doc_id", F.explode("shingles").alias("s"))
+    pairs = (
+        ex.alias("x")
+        .join(ex.alias("y"), "s")
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    a = shingled.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    b = shingled.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    with_sets = pairs.join(a, "doc_a").join(b, "doc_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    cont_a = F.round(inter / F.size("sh_a"), 6)
+    cont_b = F.round(inter / F.size("sh_b"), 6)
+    return (
+        with_sets.select(
+            "doc_a",
+            "doc_b",
+            cont_a.alias("containment_a"),
+            cont_b.alias("containment_b"),
+        )
+        .filter(
+            (F.col("containment_a") >= threshold) | (F.col("containment_b") >= threshold)
+        )
+    )
+
+
 def repeated_span_report(
     df: DataFrame,
     id_col: str,

@@ -101,6 +101,21 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, "doc_id", "text", shingle_n=3, threshold=NGRAM_THRESHOLD)
 
 
+CONTAINMENT_THRESHOLD = 0.5
+
+
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle-containment near-dup (subset-duplicate
+    detection) — see operators/dedup.py::ngram_containment_pairs.
+    Bounded like the Jaccard baseline."""
+    from osarchiver_spark.operators.dedup import ngram_containment_pairs
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < NGRAM_CAP)
+    return ngram_containment_pairs(
+        docs, "doc_id", "text", shingle_n=3, threshold=CONTAINMENT_THRESHOLD
+    )
+
+
 def q_dedup_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup executed by the STATEFUL STREAMING operator
     (applyInPandasWithState): over a single micro-batch of the whole
@@ -242,6 +257,7 @@ QUERIES = {
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_multiprobe": q_dedup_simhash_multiprobe,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_containment": q_dedup_containment,
     "dedup_embedding": q_dedup_embedding,
     "dedup_streaming": q_dedup_streaming,
 }
@@ -365,6 +381,29 @@ ORACLES = {
                CAST(bit_count(xor(a.simhash::BIGINT, b.simhash::BIGINT)) AS INT) AS hamming
         FROM sk a JOIN sk b ON a.doc_id < b.doc_id
         WHERE bit_count(xor(a.simhash::BIGINT, b.simhash::BIGINT)) <= 2
+    """,
+    "dedup_containment": f"""
+        WITH toked AS (
+            SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+            WHERE doc_id < {NGRAM_CAP}),
+        shingled AS (
+            SELECT doc_id, {_SQL_SHINGLES} AS sh FROM toked
+            WHERE len({_SQL_SHINGLES}) > 0),
+        ex AS (SELECT doc_id, unnest(sh) AS s FROM shingled),
+        cands AS (
+            SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+            FROM ex x JOIN ex y ON x.s = y.s WHERE x.doc_id < y.doc_id)
+        SELECT doc_a, doc_b,
+               round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh), 6)
+                   AS containment_a,
+               round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(b.sh), 6)
+                   AS containment_b
+        FROM cands JOIN shingled a ON doc_a = a.doc_id
+                   JOIN shingled b ON doc_b = b.doc_id
+        WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh), 6)
+                  >= {CONTAINMENT_THRESHOLD}
+           OR round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(b.sh), 6)
+                  >= {CONTAINMENT_THRESHOLD}
     """,
     "dedup_ngram_jaccard": f"""
         WITH toked AS (
