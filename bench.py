@@ -98,6 +98,7 @@ HEADLINE = [
     "knn_ivf_pq",
     "split_leakage_free",
     "bigram_logprob",
+    "interpolated_logprob",
     "weighted_sample",
     "kmv_distinct",
     "knn_label_vote",

@@ -334,6 +334,58 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+JM_LAMBDA = 0.7  # Jelinek-Mercer bigram weight
+
+
+def q_interpolated_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jelinek-Mercer interpolated LM score — the smoothing family's
+    third member next to the unigram MLE and the add-one bigram:
+    p(w2|w1) = λ·p_bi_MLE + (1-λ)·p_uni(w2). On held-out text the
+    unigram term absorbs unseen bigrams; scored over the training
+    corpus itself every bigram is seen, so the mixture is exact
+    arithmetic both engines reproduce. Same plan shape as
+    bigram_logprob: zip_with bigrams in the scan, map-combinable
+    count aggs, key equi-joins, per-doc re-agg."""
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    t = tokens(F.lower(F.col("text")))
+    big = docs.filter(F.size(t) >= 2).select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice(t, 1, F.size(t) - 1),
+                F.slice(t, 2, F.size(t) - 1),
+                lambda a, b: F.struct(
+                    a.alias("w1"), b.alias("w2"), F.concat_ws(" ", a, b).alias("bg")
+                ),
+            )
+        ).alias("_p"),
+    ).select("doc_id", "_p.w1", "_p.w2", "_p.bg")
+    c2 = big.groupBy("bg").agg(F.count("*").alias("n2"))
+    c1 = big.groupBy("w1").agg(F.count("*").alias("n1"))
+    uni = (
+        docs.select(F.explode(t).alias("w2"))
+        .groupBy("w2")
+        .agg(F.count("*").alias("nu"))
+    )
+    tot = docs.select(F.explode(t).alias("tok")).agg(F.count("*").alias("total"))
+    p = JM_LAMBDA * (F.col("n2") / F.col("n1")) + (1 - JM_LAMBDA) * (
+        F.col("nu") / F.col("total")
+    )
+    return (
+        big.join(c2, "bg")
+        .join(c1, "w1")
+        .join(uni, "w2")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_bigrams"),
+            F.round(F.avg(F.log10(p)), 4).alias("avg_logprob"),
+        )
+    )
+
+
 HASH_DIM = 64  # feature-hashing bucket count
 
 
@@ -509,6 +561,7 @@ QUERIES = {
     "pii_scrub": q_pii_scrub,
     "unigram_logprob": q_unigram_logprob,
     "bigram_logprob": q_bigram_logprob,
+    "interpolated_logprob": q_interpolated_logprob,
     "hashed_features": q_hashed_features,
     "doc_chunks": q_doc_chunks,
     "corpus_pipeline": q_corpus_pipeline,
@@ -671,6 +724,32 @@ ORACLES = {
                CAST(count(*) AS INT) AS n_tokens,
                round(avg(log10(CAST(cnt AS DOUBLE) / total)), 4) AS avg_logprob
         FROM tok JOIN vocab USING (token) CROSS JOIN tot
+        GROUP BY doc_id
+    """,
+    "interpolated_logprob": f"""
+        WITH tok AS (
+            SELECT doc_id, {_SQL_TOKENS_LOWER} AS toks FROM documents),
+        uni AS (
+            SELECT token AS w2, count(*) AS nu
+            FROM (SELECT unnest(toks) AS token FROM tok) GROUP BY 1),
+        tot AS (SELECT sum(nu) AS total FROM uni),
+        pos AS (
+            SELECT doc_id, toks,
+                   unnest(generate_series(1, len(toks) - 1)) AS i
+            FROM tok),
+        big AS (
+            SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2,
+                   toks[i] || ' ' || toks[i + 1] AS bg
+            FROM pos),
+        c2 AS (SELECT bg, count(*) AS n2 FROM big GROUP BY 1),
+        c1 AS (SELECT w1, count(*) AS n1 FROM big GROUP BY 1)
+        SELECT doc_id,
+               CAST(count(*) AS INT) AS n_bigrams,
+               round(avg(log10({JM_LAMBDA} * (CAST(n2 AS DOUBLE) / n1)
+                              + {1 - JM_LAMBDA} * (CAST(nu AS DOUBLE) / total))), 4)
+                   AS avg_logprob
+        FROM big JOIN c2 USING (bg) JOIN c1 USING (w1) JOIN uni USING (w2)
+             CROSS JOIN tot
         GROUP BY doc_id
     """,
     "bigram_logprob": f"""
