@@ -123,3 +123,41 @@ def test_round3_operators_survive_empty_and_degenerate_input(spark):
     # z-order layout of a single-row / constant-column frame
     one = spark.createDataFrame([(1, 2)], ["x", "y"])
     assert zorder_layout(one, "x", "y", bits=4, num_files=2).count() == 1
+
+
+def test_containment_detects_subset_duplicate_jaccard_misses(spark):
+    """The defining case: a short doc quoted inside a long doc has
+    containment 1.0 from the short side but Jaccard far below any
+    near-dup threshold — and empty/degenerate text never errors."""
+    from osarchiver_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    short = "the quick brown fox jumps over the lazy dog"
+    long_ = short + " " + " ".join(f"filler{i} word{i} pad{i}" for i in range(40))
+    df = spark.createDataFrame([(1, short), (2, long_)], ["doc_id", "text"])
+    got = ngram_containment_pairs(df, "doc_id", "text", threshold=0.9).collect()
+    assert len(got) == 1 and got[0].containment_a == 1.0
+    assert ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.3).count() == 0
+
+    degenerate = spark.createDataFrame([(1, ""), (2, "one two")], ["doc_id", "text"])
+    assert ngram_containment_pairs(degenerate, "doc_id", "text").count() == 0
+
+
+def test_lm_scores_survive_single_token_docs(spark, tmp_path, monkeypatch):
+    """Docs with < 2 tokens have no bigrams: they drop out of the
+    bigram/interpolated scores (matching the oracle) without
+    erroring the scan."""
+    import os
+
+    from osarchiver_spark.queries.text import q_bigram_logprob, q_interpolated_logprob
+
+    docs = spark.createDataFrame(
+        [(1, "solo", "en", "s", 4), (2, "", "en", "s", 0), (3, "a b a", "en", "s", 5)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    for fn in (q_bigram_logprob, q_interpolated_logprob):
+        out = {r.doc_id: r.n_bigrams for r in fn(spark, str(tmp_path)).collect()}
+        assert out == {3: 2}
