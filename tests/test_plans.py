@@ -288,6 +288,7 @@ def test_registry_wide_plan_audit(spark):
     # query -> why its BroadcastNestedLoopJoin is benign
     BNLJ_OK = {
         "bigram_logprob": "one-row vocab-size aggregate",
+        "interpolated_logprob": "one-row token-total aggregate",
         "event_cooccurrence": "one-row basket-total aggregate",
         "funnel_analysis": "one-row step-total aggregate",
         "fuzzy_match": "distinct event-type vocabulary (|types|² pairs)",
