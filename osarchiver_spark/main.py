@@ -43,8 +43,14 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
                              "(parquet) instead of printing")
     parser.add_argument("--limit", type=int, default=20,
                         help="With --run and no --out: rows to print")
+    parser.add_argument("--export-training-set", default=None, metavar="OUT",
+                        help="Run the full corpus build (gate + near-dup "
+                             "removal + leakage-free split) over --sf-dir and "
+                             "write gzip JSONL shards per split + a manifest "
+                             "under OUT")
     parser.add_argument("--sf-dir", default="/root/testdata/sf0.01",
-                        help="Scale-factor directory --explain/--run use")
+                        help="Scale-factor directory --explain/--run/"
+                             "--export-training-set use")
     parser.add_argument("--log-file", default=None, help="Append log to the specified file")
     parser.add_argument("--log-level", choices=["info", "warn", "error", "debug"],
                         default="info", help="Set log level")
@@ -117,6 +123,14 @@ def run(argv: list[str] | None = None) -> int:
         return explain_query(args.explain, args.sf_dir)
     if args.run:
         return run_query(args.run, args.sf_dir, args.out, args.limit)
+    if args.export_training_set:
+        from osarchiver_spark.operators.export import export_training_set
+
+        spark = get_spark("osarchiver_spark_export")
+        manifest = export_training_set(spark, args.sf_dir, args.export_training_set)
+        for r in manifest.orderBy("split").collect():
+            logging.info("%s: %d docs, %d tokens", r.split, r.n_docs, r.n_tokens)
+        return 0
     if not args.config:
         logging.error("--config is required (or use --explain)")
         return 2

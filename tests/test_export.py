@@ -45,3 +45,11 @@ def test_export_matches_query_twins_and_roundtrips(spark, sf_small, tmp_path):
     for s in m:
         again |= {r.doc_id for r in spark.read.json(f"{out}/{s}").collect()}
     assert again == exported
+
+
+def test_cli_export_training_set(spark, sf_small, tmp_path):
+    from osarchiver_spark.main import run
+
+    out = str(tmp_path / "cli_set")
+    assert run(["--export-training-set", out, "--sf-dir", sf_small]) == 0
+    assert spark.read.parquet(f"{out}/manifest").count() > 0
