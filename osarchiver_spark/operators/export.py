@@ -32,15 +32,26 @@ from pyspark.sql import functions as F
 SPLITS = ("train", "val", "test")
 
 
+N_PACK_SHARDS = 8
+PACK_SEQ_LEN = 2048
+
+
 def export_training_set(
     spark: SparkSession,
     sf_dir: str,
     out_dir: str,
     compression: str | None = "gzip",
+    pack_train: bool = True,
 ) -> DataFrame:
     """Run the full corpus build and write one JSONL dataset per
     split under ``out_dir``. Returns the manifest (split, n_docs,
-    n_tokens), also written to ``out_dir``/manifest (parquet)."""
+    n_tokens), also written to ``out_dir``/manifest (parquet).
+    With ``pack_train`` (default) the TRAIN split additionally gets a
+    packing layout at ``out_dir``/train_layout — each surviving doc's
+    (shard, seq_id, offset, spans_boundary) position in a stream of
+    PACK_SEQ_LEN-token training sequences (the sequence_pack
+    assignment computed over the survivors, not the raw corpus), so a
+    trainer can assemble fixed-length batches without re-planning."""
     from osarchiver_spark.functions.text import token_count
     from osarchiver_spark.operators.dedup import connected_components, minhash_lsh_pairs
     from osarchiver_spark.queries.dedup import (
@@ -85,6 +96,28 @@ def export_training_set(
             if compression:
                 writer = writer.option("compression", compression)
             writer.json(f"{out_dir.rstrip('/')}/{s}")
+        if pack_train:
+            from pyspark.sql import Window as W
+
+            sized = tagged.filter(F.col("split") == "train").select(
+                "doc_id",
+                (F.col("doc_id") % N_PACK_SHARDS).alias("shard"),
+                (F.col("n_tokens") + 1).alias("n_slots"),  # +1 separator
+            )
+            w = W.partitionBy("shard").orderBy("doc_id")
+            start = (F.sum("n_slots").over(w) - F.col("n_slots")).alias("start_slot")
+            layout = sized.select("doc_id", "shard", "n_slots", start).select(
+                "doc_id",
+                "shard",
+                F.col("n_slots").cast("int").alias("n_slots"),
+                F.floor(F.col("start_slot") / PACK_SEQ_LEN).cast("int").alias("seq_id"),
+                (F.col("start_slot") % PACK_SEQ_LEN).cast("int").alias("offset"),
+                (
+                    F.floor((F.col("start_slot") + F.col("n_slots") - 1) / PACK_SEQ_LEN)
+                    > F.floor(F.col("start_slot") / PACK_SEQ_LEN)
+                ).alias("spans_boundary"),
+            )
+            layout.write.mode("overwrite").parquet(f"{out_dir.rstrip('/')}/train_layout")
         manifest = tagged.groupBy("split").agg(
             F.count("*").alias("n_docs"), F.sum("n_tokens").alias("n_tokens")
         )

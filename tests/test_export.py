@@ -53,3 +53,23 @@ def test_cli_export_training_set(spark, sf_small, tmp_path):
     out = str(tmp_path / "cli_set")
     assert run(["--export-training-set", out, "--sf-dir", sf_small]) == 0
     assert spark.read.parquet(f"{out}/manifest").count() > 0
+
+
+def test_export_train_layout_packs_exactly_the_train_split(spark, sf_small, tmp_path):
+    from osarchiver_spark.operators.export import PACK_SEQ_LEN
+
+    out = str(tmp_path / "packed")
+    export_training_set(spark, sf_small, out)
+    layout = spark.read.parquet(f"{out}/train_layout")
+    train_ids = {r.doc_id for r in spark.read.json(f"{out}/train").collect()}
+    assert {r.doc_id for r in layout.collect()} == train_ids
+    # per-shard invariants: offsets valid, starts strictly increasing in doc order
+    rows = sorted(
+        ((r.shard, r.doc_id, r.seq_id, r.offset, r.n_slots) for r in layout.collect())
+    )
+    for shard in {r[0] for r in rows}:
+        start_prev = -1
+        for _, _, seq_id, offset, n_slots in (r for r in rows if r[0] == shard):
+            start = seq_id * PACK_SEQ_LEN + offset
+            assert start > start_prev and 0 <= offset < PACK_SEQ_LEN and n_slots >= 1
+            start_prev = start
