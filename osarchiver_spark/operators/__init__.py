@@ -7,14 +7,22 @@ from osarchiver_spark.operators.retention import (
 from osarchiver_spark.operators.archive import Archiver, ArchivingFailed, archive_and_remaining
 from osarchiver_spark.operators.asof import asof_join_pandas, asof_join_union
 from osarchiver_spark.operators.dedup import (
+    connected_components,
+    embedding_lsh_neardup_pairs,
     embedding_neardup_pairs,
     exact_dedup,
     exact_dedup_groups,
     minhash_lsh_pairs,
+    ngram_containment_pairs,
     ngram_jaccard_pairs,
+    repeated_span_report,
     simhash_candidates,
+    simhash_multiprobe_pairs,
 )
+from osarchiver_spark.operators.export import export_training_set
+from osarchiver_spark.operators.graph import pagerank, trade_graph_edges
 from osarchiver_spark.operators.ivf import ivf_topk, kmeans_fit
+from osarchiver_spark.operators.pq import ivf_pq_topk, pq_joint_fit, pq_train
 from osarchiver_spark.operators.merge import merge_insert_if_absent, merge_upsert
 from osarchiver_spark.operators.multimodal import (
     attach_binary,
@@ -36,14 +44,25 @@ __all__ = [
     "archive_and_remaining",
     "asof_join_pandas",
     "asof_join_union",
+    "connected_components",
+    "embedding_lsh_neardup_pairs",
     "embedding_neardup_pairs",
     "exact_dedup",
     "exact_dedup_groups",
+    "export_training_set",
     "minhash_lsh_pairs",
+    "ngram_containment_pairs",
     "ngram_jaccard_pairs",
+    "pagerank",
+    "repeated_span_report",
     "simhash_candidates",
+    "simhash_multiprobe_pairs",
+    "trade_graph_edges",
     "ivf_topk",
+    "ivf_pq_topk",
     "kmeans_fit",
+    "pq_joint_fit",
+    "pq_train",
     "merge_insert_if_absent",
     "merge_upsert",
     "attach_binary",

@@ -178,10 +178,6 @@ def test_read_csv_roundtrips_and_applies_bad_record_policy(spark, sf_small, tmp_
         read_csv(spark, str(drop), schema, bad_records="fail").collect()
 
 
-class MarkerSink:
-    """Placeholder rebound below — needs the real Sink base."""
-
-
 def _define_marker_sink():
     from osarchiver_spark.sinks.base import _DatedFileSink
 
