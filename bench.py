@@ -55,6 +55,7 @@ HEADLINE = [
     "dedup_substring_spans",
     "dedup_incremental",
     "dedup_embedding",
+    "semdedup",
     "knn_bruteforce",
     "knn_lsh",
     "knn_ivf",

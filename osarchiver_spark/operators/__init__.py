@@ -23,6 +23,12 @@ from osarchiver_spark.operators.export import export_training_set
 from osarchiver_spark.operators.graph import pagerank, trade_graph_edges
 from osarchiver_spark.operators.ivf import ivf_topk, kmeans_fit
 from osarchiver_spark.operators.pq import ivf_pq_topk, pq_joint_fit, pq_train
+from osarchiver_spark.operators.semdedup import (
+    semantic_assign,
+    semantic_cluster_profile,
+    semdedup_losers,
+    semdedup_pairs,
+)
 from osarchiver_spark.operators.merge import merge_insert_if_absent, merge_upsert
 from osarchiver_spark.operators.multimodal import (
     attach_binary,
@@ -61,6 +67,10 @@ __all__ = [
     "ivf_topk",
     "ivf_pq_topk",
     "kmeans_fit",
+    "semantic_assign",
+    "semantic_cluster_profile",
+    "semdedup_losers",
+    "semdedup_pairs",
     "pq_joint_fit",
     "pq_train",
     "merge_insert_if_absent",

@@ -63,9 +63,23 @@ def _assign_pandas(base: DataFrame, centroids: list[list[float]]) -> DataFrame:
 
 
 def kmeans_fit(
-    df: DataFrame, id_col: str, vec_col: str, k: int = 16, iters: int = 3
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 16,
+    iters: int = 3,
+    quantize: int | None = None,
 ) -> list[list[float]]:
-    """Lloyd's iterations; returns k centroids (driver-side model)."""
+    """Lloyd's iterations; returns k centroids (driver-side model).
+
+    ``quantize`` rounds each updated mean to that many decimals
+    before the next assignment pass. With it set, the whole
+    clustering becomes bit-reproducible across engines (a SQL replay
+    of the same iterations lands on identical centroids — the
+    property operators/semdedup.py's exact oracle relies on);
+    cross-engine summation-order noise (~1e-12) sits far below the
+    rounding grid. ``None`` keeps raw float64 means (the IVF default,
+    where only ranking — not bit equality — matters)."""
     base = df.select(F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("v")).cache()
     try:
         init = base.orderBy("vid").limit(k).collect()
@@ -93,6 +107,8 @@ def kmeans_fit(
                     np.add.at(sums, cid, V)
                     counts += np.bincount(cid, minlength=k)
                 live = np.flatnonzero(counts)
+                if len(live) == 0:  # empty partition: an empty frame's "s"
+                    return  # column would arrive numeric-typed and break Arrow
                 yield pd.DataFrame(
                     {"cid": live.astype("int32"), "s": list(sums[live]), "n": counts[live]}
                 )
@@ -105,9 +121,13 @@ def kmeans_fit(
                 sums[r.cid] += np.asarray(r.s)
                 counts[r.cid] += r.n
             # empty clusters keep their previous centroid
-            centroids = [
-                (sums[i] / counts[i]).tolist() if counts[i] else centroids[i] for i in range(k)
-            ]
+            def _mean(i: int) -> list[float]:
+                m = sums[i] / counts[i]
+                if quantize is not None:
+                    m = np.round(m, quantize)
+                return m.tolist()
+
+            centroids = [_mean(i) if counts[i] else centroids[i] for i in range(k)]
         return centroids
     finally:
         base.unpersist()

@@ -148,6 +148,49 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_lsh_neardup_pairs(emb, "vec_id", "embedding", threshold=EMBED_THRESHOLD)
 
 
+SEMDEDUP_K = 8  # fixture-scale k; production contract: k ~ n / target_cluster_size
+SEMDEDUP_ITERS = 2
+SEMDEDUP_QUANT = 6  # centroid quantization — what makes the oracle replay exact
+
+
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (k-means-partitioned embedding dedup): prune every
+    vector with a smaller-id SAME-CLUSTER neighbor at rounded cosine
+    >= threshold. The clustering is the candidate generator — the
+    deliberate SemDeDup trade vs the LSH path (dedup_embedding). The
+    oracle replays the quantized Lloyd's iterations as SQL CTEs, so
+    it adjudicates the REAL clustering code path, not a
+    lossiness-disabled variant."""
+    from osarchiver_spark.operators.semdedup import semdedup_losers
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semdedup_losers(
+        emb,
+        "vec_id",
+        "embedding",
+        threshold=EMBED_THRESHOLD,
+        n_clusters=SEMDEDUP_K,
+        iters=SEMDEDUP_ITERS,
+        quantize=SEMDEDUP_QUANT,
+    )
+
+
+def q_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster size + inertia over the same quantized k-means —
+    the k-sizing / skew-flagging diagnostic next to semdedup."""
+    from osarchiver_spark.operators.semdedup import semantic_cluster_profile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_cluster_profile(
+        emb,
+        "vec_id",
+        "embedding",
+        n_clusters=SEMDEDUP_K,
+        iters=SEMDEDUP_ITERS,
+        quantize=SEMDEDUP_QUANT,
+    )
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive closure over the MinHash-LSH pair graph: one
     (doc_id, cluster_rep) row per document in any near-dup pair —
@@ -260,6 +303,8 @@ QUERIES = {
     "dedup_containment": q_dedup_containment,
     "dedup_embedding": q_dedup_embedding,
     "dedup_streaming": q_dedup_streaming,
+    "semdedup": q_semdedup,
+    "semantic_clusters": q_semantic_clusters,
 }
 
 # ---------------------------------------------------------------- oracles
@@ -537,3 +582,73 @@ def _dup_rate_oracle() -> str:
 
 ORACLES["duplicate_rate_by_source"] = _dup_rate_oracle()
 
+
+
+# SemDeDup oracle: replay the quantized Lloyd's iterations as SQL
+# CTEs. Init = k lowest-id vectors (cid by vid order); assignment =
+# squared-euclidean argmin with ties to the lowest cid (-2 v.c + |c|²
+# — the |v|² term is a per-row constant); update = per-dimension mean
+# rounded to SEMDEDUP_QUANT decimals; empty clusters keep their
+# previous centroid (the coalesce). Validated bit-identical against
+# the numpy path before registration.
+def _kmeans_cte(k: int, iters: int, q: int) -> str:
+    parts = [
+        "base AS (SELECT vec_id AS vid, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"c0 AS (SELECT CAST(row_number() OVER (ORDER BY vid) - 1 AS INT) AS cid, v AS c "
+        f"FROM (SELECT vid, v FROM base ORDER BY vid LIMIT {k}))",
+    ]
+    prev = "c0"
+    for i in range(1, iters + 1):
+        parts.append(
+            f"a{i} AS (SELECT vid, v, cid FROM ("
+            f"SELECT b.vid, b.v, {prev}.cid, row_number() OVER (PARTITION BY b.vid ORDER BY "
+            f"-2 * list_dot_product(b.v, {prev}.c) + list_dot_product({prev}.c, {prev}.c), "
+            f"{prev}.cid) AS rn FROM base b CROSS JOIN {prev}) WHERE rn = 1)"
+        )
+        parts.append(
+            f"m{i} AS (SELECT cid, list(round(av, {q}) ORDER BY d) AS c FROM ("
+            f"SELECT cid, d, avg(val) AS av FROM ("
+            f"SELECT cid, generate_subscripts(v, 1) AS d, unnest(v) AS val FROM a{i}) "
+            f"GROUP BY cid, d) GROUP BY cid)"
+        )
+        parts.append(
+            f"c{i} AS (SELECT {prev}.cid, coalesce(m{i}.c, {prev}.c) AS c "
+            f"FROM {prev} LEFT JOIN m{i} USING (cid))"
+        )
+        prev = f"c{i}"
+    parts.append(
+        f"assigned AS (SELECT vid, v, cid FROM ("
+        f"SELECT b.vid, b.v, {prev}.cid, row_number() OVER (PARTITION BY b.vid ORDER BY "
+        f"-2 * list_dot_product(b.v, {prev}.c) + list_dot_product({prev}.c, {prev}.c), "
+        f"{prev}.cid) AS rn FROM base b CROSS JOIN {prev}) WHERE rn = 1)"
+    )
+    return ",\n".join(parts)
+
+
+ORACLES["semdedup"] = f"""
+    WITH {_kmeans_cte(SEMDEDUP_K, SEMDEDUP_ITERS, SEMDEDUP_QUANT)},
+    pairs AS (
+        SELECT x.vid AS vec_a, y.vid AS vec_b,
+               round(coalesce(list_dot_product(x.v, y.v) /
+                     nullif(sqrt(list_dot_product(x.v, x.v)) *
+                            sqrt(list_dot_product(y.v, y.v)), 0), 0), 6) AS cosine
+        FROM assigned x JOIN assigned y ON x.cid = y.cid AND x.vid < y.vid),
+    hits AS (SELECT * FROM pairs WHERE cosine >= {EMBED_THRESHOLD})
+    SELECT vec_b AS vec_id, vec_a AS dup_of, cosine FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_b
+                                     ORDER BY cosine DESC, vec_a) AS rn
+        FROM hits) t
+    WHERE rn = 1
+"""
+
+ORACLES["semantic_clusters"] = f"""
+    WITH {_kmeans_cte(SEMDEDUP_K, SEMDEDUP_ITERS, SEMDEDUP_QUANT)},
+    cents AS (SELECT cid, c FROM c{SEMDEDUP_ITERS}),
+    d AS (SELECT a.cid,
+                 round(list_dot_product(a.v, a.v)
+                       - 2 * list_dot_product(a.v, ct.c)
+                       + list_dot_product(ct.c, ct.c), 6) AS d2
+          FROM assigned a JOIN cents ct USING (cid))
+    SELECT cid, count(*) AS n_vecs, round(sum(d2), 3) AS inertia
+    FROM d GROUP BY cid
+"""
