@@ -88,6 +88,8 @@ HEADLINE = [
     "zorder_locality",
     "source_divergence",
     "bpe_merge_step",
+    "bpe_train",
+    "bpe_segment",
     # round-4 additions
     "pagerank",
     "boilerplate_lines",

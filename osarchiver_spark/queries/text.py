@@ -552,9 +552,42 @@ def q_training_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BPE_N_MERGES = 8
+
+
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL BPE trainer (driver loop of vocab-sized passes —
+    operators/bpe.py): count adjacent symbol pairs, merge the argmax,
+    recount, so later merges combine earlier multi-char symbols
+    (bpe_merge_step is the single-step version). Oracle replays the
+    iterations as chained CTEs (one pair-count + one list_reduce fold
+    per step); validated against an independent pure-Python BPE
+    trainer."""
+    from osarchiver_spark.operators.bpe import bpe_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges, vocab = bpe_train(docs, "text", n_merges=BPE_N_MERGES)
+    vocab.unpersist()
+    return merges
+
+
+def q_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BPE apply path: per-document piece budget after
+    BPE_N_MERGES learned merges. Documents never see the merge loop —
+    segmentation is a pure function of the word, so they equi-join
+    the |vocab|-sized segmentation table."""
+    from osarchiver_spark.operators.bpe import bpe_segment_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_segment_counts(docs, "doc_id", "text", n_merges=BPE_N_MERGES)
+
+
+
 QUERIES = {
     "training_mix_report": q_training_mix_report,
     "bpe_merge_step": q_bpe_merge_step,
+    "bpe_train": q_bpe_train,
+    "bpe_segment": q_bpe_segment,
     "source_overlap": q_source_overlap,
     "source_divergence": q_source_divergence,
     "streaming_corpus_pipeline": q_streaming_corpus_pipeline,
@@ -968,4 +1001,56 @@ ORACLES["doc_chunks"] = """
                unnest(range(1, greatest(length(text), 1) + 1, 300)) AS start
         FROM documents
     )
+"""
+
+
+# BPE oracle: chained CTEs, one (pair-count argmax, greedy-fold
+# rewrite) pair per merge step. list_reduce's running accumulator
+# checks "tail ends with sym_a" — exactly left-to-right greedy
+# non-overlapping because a merged symbol a||b can never equal a.
+def _bpe_ctes(n: int) -> str:
+    parts = [
+        f"tok AS (SELECT unnest({_SQL_TOKENS_LOWER}) AS token FROM documents)",
+        "vocab AS (SELECT token, count(*) AS freq FROM tok GROUP BY 1)",
+        "v0 AS (SELECT token, freq, list_transform(range(1, length(token)+1), "
+        "i -> substring(token, CAST(i AS INT), 1)) AS syms FROM vocab)",
+    ]
+    for i in range(1, n + 1):
+        prev = f"v{i-1}"
+        parts.append(
+            f"p{i} AS (SELECT sy[t.i] AS a, sy[t.i+1] AS b, "
+            f"CAST(sum(freq) AS BIGINT) AS n "
+            f"FROM (SELECT freq, syms AS sy FROM {prev} WHERE len(syms) >= 2) vv, "
+            f"UNNEST(range(1, len(sy))) AS t(i) "
+            f"GROUP BY 1, 2 ORDER BY n DESC, a, b LIMIT 1)"
+        )
+        parts.append(
+            f"v{i} AS (SELECT token, freq, "
+            f"CASE WHEN len(syms) < 2 THEN syms ELSE "
+            f"list_reduce(list_transform(syms, x -> [x]), "
+            f"(acc, x) -> CASE WHEN acc[-1] = p{i}.a AND x[1] = p{i}.b "
+            f"THEN list_append(acc[1:len(acc)-1], p{i}.a || p{i}.b) "
+            f"ELSE list_concat(acc, x) END) END AS syms "
+            f"FROM {prev}, p{i})"
+        )
+    merge_rows = " UNION ALL ".join(
+        f"SELECT {i} AS step, a AS sym_a, b AS sym_b, n FROM p{i}"
+        for i in range(1, n + 1)
+    )
+    parts.append(f"merges AS ({merge_rows})")
+    return ",\n".join(parts)
+
+
+ORACLES["bpe_train"] = f"""
+    WITH {_bpe_ctes(BPE_N_MERGES)}
+    SELECT CAST(step AS INT) AS step, sym_a, sym_b, n FROM merges
+"""
+
+ORACLES["bpe_segment"] = f"""
+    WITH {_bpe_ctes(BPE_N_MERGES)},
+    dtok AS (SELECT doc_id, unnest({_SQL_TOKENS_LOWER}) AS token FROM documents)
+    SELECT doc_id, count(*) AS n_tokens,
+           CAST(sum(len(v.syms)) AS BIGINT) AS n_pieces
+    FROM dtok JOIN v{BPE_N_MERGES} v USING (token)
+    GROUP BY doc_id
 """

@@ -1,0 +1,100 @@
+"""BPE trainer semantics on constructed corpora: merges match an
+independent pure-Python BPE reference, the greedy fold handles
+overlapping pair runs, and the apply path agrees with the learned
+segmentation. Oracle parity for the registered queries runs in
+tests/test_oracle_parity.py."""
+
+from __future__ import annotations
+
+import collections
+
+from pyspark.sql import types as T
+
+from osarchiver_spark.operators.bpe import bpe_segment_counts, bpe_train
+
+DOC_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+
+
+def _py_bpe(texts: list[str], n_merges: int):
+    """Independent reference: textbook BPE over whitespace words."""
+    vocab = collections.Counter()
+    for t in texts:
+        vocab.update(t.lower().split())
+    segs = {w: list(w) for w in vocab}
+    merges = []
+    for step in range(1, n_merges + 1):
+        pc = collections.Counter()
+        for w, syms in segs.items():
+            for x, y in zip(syms, syms[1:]):
+                pc[(x, y)] += vocab[w]
+        if not pc:
+            break
+        (a, b), n = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((step, a, b, n))
+        for w, syms in segs.items():
+            out = []
+            for x in syms:
+                if out and out[-1] == a and x == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x)
+            segs[w] = out
+    return merges, segs
+
+
+def test_merges_match_reference(spark):
+    texts = [
+        "low low low low low",
+        "lower lower newest newest newest",
+        "newest newest newest widest widest",
+    ]
+    rows = [(i, t) for i, t in enumerate(texts)]
+    docs = spark.createDataFrame(rows, DOC_SCHEMA)
+    merges_df, vocab = bpe_train(docs, "text", n_merges=6)
+    got = [(r["step"], r["sym_a"], r["sym_b"], r["n"]) for r in merges_df.collect()]
+    expected, segs = _py_bpe(texts, 6)
+    assert got == expected
+    # learned segmentation matches the reference word-by-word
+    spark_segs = {r["token"]: list(r["syms"]) for r in vocab.collect()}
+    assert spark_segs == segs
+    vocab.unpersist()
+
+
+def test_greedy_fold_overlapping_run(spark):
+    # "aaaa" with dominant pair (a,a): greedy left-to-right gives
+    # [aa, aa], not [aa, a, a] and not a triple merge
+    docs = spark.createDataFrame([(0, "aaaa aaaa aaaa")], DOC_SCHEMA)
+    merges_df, vocab = bpe_train(docs, "text", n_merges=1)
+    (m,) = merges_df.collect()
+    assert (m["sym_a"], m["sym_b"]) == ("a", "a")
+    (v,) = vocab.collect()
+    assert list(v["syms"]) == ["aa", "aa"]
+    vocab.unpersist()
+
+
+def test_segment_counts_agree_with_vocab(spark):
+    texts = ["the cat sat on the mat", "the hat of the cat"]
+    docs = spark.createDataFrame(list(enumerate(texts)), DOC_SCHEMA)
+    _, segs = _py_bpe(texts, 4)
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["n_pieces"])
+        for r in bpe_segment_counts(docs, "doc_id", "text", n_merges=4).collect()
+    }
+    for i, t in enumerate(texts):
+        words = t.lower().split()
+        assert out[i] == (len(words), sum(len(segs[w]) for w in words))
+
+
+def test_trainer_stops_when_fully_merged(spark):
+    # single repeated 2-char word: step 1 merges it whole; afterwards
+    # no adjacent pairs remain and the trainer stops early
+    docs = spark.createDataFrame([(0, "ab ab ab")], DOC_SCHEMA)
+    merges_df, vocab = bpe_train(docs, "text", n_merges=5)
+    got = merges_df.collect()
+    assert len(got) == 1 and got[0]["sym_a"] == "a" and got[0]["sym_b"] == "b"
+    vocab.unpersist()
