@@ -62,6 +62,7 @@ HEADLINE = [
     "corpus_pipeline",
     "training_mix_report",
     "tfidf_top_terms",
+    "vocab_coverage",
     "unigram_logprob",
     "pii_scrub",
     "label_centroids",

@@ -242,7 +242,38 @@ def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-side OOV rate per source: how much of the held-out text
+    the TRAIN split's vocabulary covers — the tokenizer/LM coverage
+    diagnostic a pipeline checks before provisioning a vocab size.
+    Reuses sample_split's exact md5 rule (train = bucket < _TRAIN_UB),
+    so the number describes the split the other queries actually
+    produce. Shape at 100 TB: one token explode feeding (a) a distinct
+    hash agg for the train vocabulary and (b) an equi-join probe for
+    the eval side; all counts map-combinable."""
+    docs = load_table(spark, sf_dir, "documents")
+    is_train = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < _TRAIN_UB
+    tok = docs.select(
+        is_train.alias("is_train"),
+        "source",
+        F.explode(tokens(F.lower(F.col("text")))).alias("token"),
+    )
+    train_vocab = tok.filter(F.col("is_train")).select("token").distinct()
+    ev = tok.filter(~F.col("is_train")).join(
+        train_vocab.withColumn("seen", F.lit(True)), "token", "left"
+    )
+    oov = F.col("seen").isNull()
+    return ev.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_eval_tokens"),
+        F.sum(oov.cast("long")).alias("n_oov"),
+        F.round(F.sum(oov.cast("long")) / F.count(F.lit(1)), 6).alias("oov_rate"),
+        F.count_distinct(F.when(oov, F.col("token"))).alias("n_unique_oov"),
+    )
+
+
 QUERIES = {
+    "vocab_coverage": q_vocab_coverage,
     "sample_split": q_sample_split,
     "class_cap_sample": q_class_cap_sample,
     "domain_mix_sample": q_domain_mix_sample,
@@ -368,3 +399,24 @@ def _leakage_free_oracle() -> str:
 
 
 ORACLES["split_leakage_free"] = _leakage_free_oracle()
+
+
+_SQL_TOKS_LOWER = "list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), t -> t <> '')"
+
+ORACLES["vocab_coverage"] = f"""
+    WITH tok AS (
+        SELECT substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{_TRAIN_UB}' AS is_train,
+               source, unnest({_SQL_TOKS_LOWER}) AS token
+        FROM documents),
+    tv AS (SELECT DISTINCT token FROM tok WHERE is_train),
+    ev AS (
+        SELECT e.source, e.token, tv.token IS NOT NULL AS seen
+        FROM tok e LEFT JOIN tv ON e.token = tv.token
+        WHERE NOT e.is_train)
+    SELECT source,
+           count(*) AS n_eval_tokens,
+           CAST(count(*) FILTER (NOT seen) AS BIGINT) AS n_oov,
+           round(count(*) FILTER (NOT seen) / count(*), 6) AS oov_rate,
+           count(DISTINCT CASE WHEN NOT seen THEN token END) AS n_unique_oov
+    FROM ev GROUP BY source
+"""
