@@ -54,6 +54,7 @@ HEADLINE = [
     "dedup_containment",
     "dedup_substring_spans",
     "dedup_incremental",
+    "entity_resolution",
     "dedup_embedding",
     "semdedup",
     "knn_bruteforce",

@@ -423,7 +423,54 @@ def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+ER_BLOCK_LEN = 16  # "Customer#0000001…" — bounds block width by construction
+ER_MAX_LEV = 1
+
+
+def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage (entity resolution): for every customer, the
+    best candidate duplicate by name edit distance — the
+    blocking-then-verify shape. Candidates come from an EQUI-JOIN on
+    (name-prefix block, market segment) — never all-pairs; the
+    expensive verify (levenshtein, JVM codegen) runs only within
+    blocks, and the linkage decision is a per-record top-1 window
+    (distance asc, key asc — deterministic). At 100 TB the blocking
+    key is the design knob: prefix length bounds block width, skewed
+    blocks split under AQE, and a second blocking pass (e.g. phonetic
+    key) unions in recall the first key misses."""
+    cust = load_table(spark, sf_dir, "customer")
+    b = cust.select(
+        "c_custkey", "c_name", "c_mktsegment",
+        F.substring("c_name", 1, ER_BLOCK_LEN).alias("blk"),
+    )
+    left = b.select(
+        F.col("c_custkey"), F.col("c_name"),
+        F.col("c_mktsegment").alias("seg"), F.col("blk"),
+    )
+    right = b.select(
+        F.col("c_custkey").alias("match_key"), F.col("c_name").alias("match_name"),
+        F.col("c_mktsegment").alias("seg"), F.col("blk"),
+    )
+    lev = F.levenshtein("c_name", "match_name")
+    cand = (
+        left.join(right, ["blk", "seg"])
+        .filter(F.col("c_custkey") != F.col("match_key"))
+        .filter(lev <= ER_MAX_LEV)
+        .select("c_custkey", "match_key", "match_name", lev.cast("int").alias("lev"))
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("c_custkey").orderBy("lev", "match_key")
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("c_custkey", "match_key", "match_name", "lev")
+    )
+
+
 QUERIES = {
+    "entity_resolution": q_entity_resolution,
     "numeric_stats": q_numeric_stats,
     "skew_salted_agg": q_skew_salted_agg,
     "skew_salted_join": q_skew_salted_join,
@@ -682,3 +729,22 @@ ORACLES = {
         FROM orders
     """,
 }
+
+
+ORACLES["entity_resolution"] = f"""
+    WITH b AS (
+        SELECT c_custkey, c_name, c_mktsegment,
+               substr(c_name, 1, {ER_BLOCK_LEN}) AS blk
+        FROM customer),
+    cand AS (
+        SELECT a.c_custkey, b2.c_custkey AS match_key, b2.c_name AS match_name,
+               CAST(levenshtein(a.c_name, b2.c_name) AS INT) AS lev
+        FROM b a JOIN b b2 ON a.blk = b2.blk AND a.c_mktsegment = b2.c_mktsegment
+                          AND a.c_custkey <> b2.c_custkey
+        WHERE levenshtein(a.c_name, b2.c_name) <= {ER_MAX_LEV})
+    SELECT c_custkey, match_key, match_name, lev FROM (
+        SELECT *, row_number() OVER (PARTITION BY c_custkey
+                                     ORDER BY lev, match_key) AS rn
+        FROM cand) t
+    WHERE rn = 1
+"""
