@@ -742,9 +742,13 @@ def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     for the large-star/small-star formulation — same join primitive.
     """
     edges = pairs.select("doc_a", "doc_b")
+    # the edge list is consumed by EVERY propagation round (plus the
+    # label init); checkpointing it materializes the upstream pair
+    # generator (e.g. the whole MinHash-LSH pipeline) exactly once
+    # instead of once per round
     sym = edges.union(
         edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    )
+    ).localCheckpoint()
     labels = (
         sym.select(F.col("doc_a").alias("doc_id"))
         .distinct()
