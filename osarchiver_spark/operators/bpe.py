@@ -113,6 +113,7 @@ def bpe_train(
     the apply-path lookup table."""
     spark = docs.sparkSession
     v = bpe_vocab(docs, text_col, lowercase=lowercase).persist()
+    prev: DataFrame | None = None
     merges: list[tuple[int, str, str, int]] = []
     try:
         for step in range(1, n_merges + 1):
@@ -124,15 +125,20 @@ def bpe_train(
                 .limit(1)
                 .collect()
             )
+            # this collect just materialized v's cache, so its parent
+            # (one step behind) can go — no extra count() job per step
+            if prev is not None:
+                prev.unpersist()
+                prev = None
             if not top:
                 break  # vocabulary fully merged — nothing adjacent left
             a, b, n = top[0]["a"], top[0]["b"], int(top[0]["n"])
             merges.append((step, a, b, n))
             v_next = v.withColumn("syms", _merge_fold(F.col("syms"), a, b)).persist()
-            v_next.count()  # materialize before dropping the parent
-            v.unpersist()
-            v = v_next
+            prev, v = v, v_next
     except Exception:
+        if prev is not None:
+            prev.unpersist()
         v.unpersist()
         raise
     merges_df = spark.createDataFrame(merges, MERGE_SCHEMA)
