@@ -64,6 +64,7 @@ HEADLINE = [
     "training_mix_report",
     "tfidf_top_terms",
     "vocab_coverage",
+    "lr_train",
     "unigram_logprob",
     "pii_scrub",
     "label_centroids",

@@ -29,6 +29,7 @@ _MODULES = [
     "multimodal",
     "graph",
     "indexing",
+    "ml",
 ]
 
 

@@ -1,0 +1,117 @@
+"""Model-training queries: logistic regression trained and scored as
+DataFrame passes (operators/lr.py). The oracle replays every gradient
+step as a SQL CTE — the weight quantization after each update is what
+makes the replay bit-exact (same convention as the k-means oracle in
+queries/dedup.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from osarchiver_spark.operators.lr import (
+    ITERATIONS,
+    LEARNING_RATE,
+    QUANTIZE,
+    WEIGHTS_SCHEMA,
+    lr_score_by_source,
+    lr_train,
+)
+from osarchiver_spark.sources.parquet import load_table
+
+_SQL_TOKS_LOWER = "list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), t -> t <> '')"
+_EN_MARKERS = "['the', 'and', 'of', 'to', 'a', 'in', 'is', 'it']"
+_SQL_TOKS = "list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '')"
+
+
+def q_lr_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight trajectory of the full-batch GD language classifier —
+    one row per gradient step (post-update, quantized). Each step is
+    one map-combinable aggregation; only a single gradient row
+    reaches the driver per step."""
+    docs = load_table(spark, sf_dir, "documents")
+    traj, _ = lr_train(docs)
+    return spark.createDataFrame(traj, WEIGHTS_SCHEMA)
+
+
+def q_lr_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source confusion counts of the trained classifier — the
+    calibration report before using the model as a corpus gate.
+    Scoring is one codegen scan; the decision threshold compares the
+    ROUNDED probability so engine exp() last-ulp noise can't flip a
+    prediction."""
+    docs = load_table(spark, sf_dir, "documents")
+    return lr_score_by_source(docs)
+
+
+QUERIES = {
+    "lr_train": q_lr_train,
+    "lr_score": q_lr_score,
+}
+
+
+def _feat_cte() -> str:
+    from osarchiver_spark.operators.lr import QUALITY_GATE
+
+    return f"""raw AS (
+        SELECT source,
+               CASE WHEN len(ltoks) > 0
+                    THEN CAST(len(list_filter(ltoks, t -> list_contains({_EN_MARKERS}, t))) AS DOUBLE)
+                         / len(ltoks)
+                    ELSE 0.0 END AS stop_r,
+               least(len(toks) / 100.0, 1.0) AS len_score,
+               CASE WHEN length(text) > 0
+                    THEN CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+                         / length(text)
+                    ELSE 0.0 END AS punct_r
+        FROM (SELECT source, text, {_SQL_TOKS} AS toks, {_SQL_TOKS_LOWER} AS ltoks
+              FROM documents)),
+    feat AS (
+        SELECT source,
+               CASE WHEN round(0.5 * stop_r + 0.3 * len_score + 0.2 * (1.0 - punct_r), 6)
+                         >= {QUALITY_GATE} THEN 1.0 ELSE 0.0 END AS y,
+               stop_r AS x1, len_score AS x2
+        FROM raw),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM feat),
+    w0 AS (SELECT 0.0 AS b, 0.0 AS w1, 0.0 AS w2)"""
+
+
+def _step_cte(i: int, lr: float, q: int) -> str:
+    return f"""w{i} AS (
+        SELECT round(any_value(wb) + {lr} * sum(r) / any_value(n), {q}) AS b,
+               round(any_value(ww1) + {lr} * sum(r * x1) / any_value(n), {q}) AS w1,
+               round(any_value(ww2) + {lr} * sum(r * x2) / any_value(n), {q}) AS w2
+        FROM (
+            SELECT w.b AS wb, w.w1 AS ww1, w.w2 AS ww2, nn.n AS n, f.x1, f.x2,
+                   f.y - 1 / (1 + exp(-(w.b + w.w1 * f.x1 + w.w2 * f.x2))) AS r
+            FROM feat f, w{i-1} w, nn))"""
+
+
+def _lr_ctes(iters: int = ITERATIONS, lr: float = LEARNING_RATE, q: int = QUANTIZE) -> str:
+    parts = [_feat_cte()]
+    parts += [_step_cte(i, lr, q) for i in range(1, iters + 1)]
+    return ",\n".join(parts)
+
+
+ORACLES = {
+    "lr_train": f"""
+        WITH {_lr_ctes()}
+        {" UNION ALL ".join(
+            f"SELECT CAST({i} AS INT) AS step, b AS bias, w1 AS w_stopword, w2 AS w_len FROM w{i}"
+            for i in range(1, ITERATIONS + 1)
+        )}
+    """,
+    "lr_score": f"""
+        WITH {_lr_ctes()}
+        SELECT source, count(*) AS n,
+               CAST(sum(y) AS BIGINT) AS n_pos,
+               CAST(sum(pred) AS BIGINT) AS n_pred_pos,
+               CAST(sum(CASE WHEN y = pred THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+               round(sum(CASE WHEN y = pred THEN 1 ELSE 0 END) / count(*), 6) AS accuracy
+        FROM (
+            SELECT f.source, f.y,
+                   CASE WHEN round(1 / (1 + exp(-(w.b + w.w1 * f.x1 + w.w2 * f.x2))), 6) >= 0.5
+                        THEN 1.0 ELSE 0.0 END AS pred
+            FROM feat f, w{ITERATIONS} w)
+        GROUP BY source
+    """,
+}
