@@ -56,6 +56,7 @@ HEADLINE = [
     "dedup_incremental",
     "entity_resolution",
     "dedup_embedding",
+    "dedup_embedding_incremental",
     "semdedup",
     "knn_bruteforce",
     "knn_lsh",

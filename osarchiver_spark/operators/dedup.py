@@ -702,6 +702,125 @@ def embedding_lsh_neardup_pairs(
     return pairs.groupBy("vec_a", "vec_b").agg(F.max("cosine").alias("cosine"))
 
 
+def embedding_lsh_incremental(
+    corpus: DataFrame,
+    new: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.45,
+    n_tables: int = 64,
+    planes_per_table: int = 6,
+    dim: int = 64,
+    seed: str = "emb",
+) -> DataFrame:
+    """Incremental embedding near-dup check: match NEW vectors against
+    an EXISTING corpus without pairing the corpus with itself — the
+    vector twin of minhash_lsh_incremental, keeping an embedded
+    corpus deduplicated batch-by-batch at O(|new| + one corpus scan).
+
+    Asymmetric like the text version: the new side's (table, bucket)
+    keys — |new|·L rows, a crawl drop against a corpus — are
+    BROADCAST; the corpus streams through a map-side hash join with
+    NO corpus shuffle (the only exchange is the tiny candidate-pair
+    dedup at the end). Verification is exact row-wise cosine on the
+    candidates (Arrow/BLAS), rounded before the threshold compare.
+    Same hyperplane model and (b, L) contract as
+    embedding_lsh_neardup_pairs — the swept full-recall parameters
+    make the exact new×corpus all-pairs SQL the oracle.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from osarchiver_spark.functions.vectors import _pseudo_coeff, as_double
+
+    planes = np.array(
+        [
+            [_pseudo_coeff(f"{seed}{l}", k, i) for i in range(dim)]
+            for l in range(n_tables)
+            for k in range(planes_per_table)
+        ]
+    )
+    bit_weights = (1 << np.arange(planes_per_table)).astype("int64")
+    thr = float(threshold)
+    L, b = n_tables, planes_per_table
+    id_type = corpus.schema[id_col].dataType
+
+    def keyed_schema(idc: str) -> T.StructType:
+        return T.StructType(
+            [
+                T.StructField("table_idx", T.IntegerType()),
+                T.StructField("bucket", T.LongType()),
+                T.StructField(idc, id_type),
+                T.StructField(f"{idc}_v", T.ArrayType(T.DoubleType())),
+            ]
+        )
+
+    def keyed(df: DataFrame, idc: str) -> DataFrame:
+        base = df.select(F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("v"))
+
+        def bucketize(batches):
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                V = np.stack(pdf["v"].to_numpy())
+                signs = (V @ planes.T) >= 0
+                buckets = signs.reshape(len(pdf), L, b) @ bit_weights
+                yield pd.DataFrame(
+                    {
+                        "table_idx": np.tile(np.arange(L, dtype="int32"), len(pdf)),
+                        "bucket": buckets.reshape(-1),
+                        idc: pdf["vid"].to_numpy(dtype=object).repeat(L),
+                        f"{idc}_v": pdf["v"].to_numpy().repeat(L),
+                    }
+                )
+
+        return base.mapInPandas(bucketize, schema=keyed_schema(idc))
+
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    ckeyed = keyed(corpus.repartition(par), "corpus_id")
+    nkeyed = keyed(new, "new_id")
+    cand = ckeyed.join(F.broadcast(nkeyed), ["table_idx", "bucket"]).select(
+        "new_id", "new_id_v", "corpus_id", "corpus_id_v"
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("new_id", id_type),
+            T.StructField("corpus_id", id_type),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+
+    def pair_cosine(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            A = np.stack(pdf["new_id_v"].to_numpy())
+            B = np.stack(pdf["corpus_id_v"].to_numpy())
+            na = np.sqrt((A * A).sum(axis=1))
+            nb = np.sqrt((B * B).sum(axis=1))
+            na = np.where(na > 0, na, np.inf)
+            nb = np.where(nb > 0, nb, np.inf)
+            vals = np.round((A * B).sum(axis=1) / (na * nb), 6)
+            mask = vals >= thr
+            yield pd.DataFrame(
+                {
+                    "new_id": pdf["new_id"].to_numpy(dtype=object)[mask],
+                    "corpus_id": pdf["corpus_id"].to_numpy(dtype=object)[mask],
+                    "cosine": vals[mask],
+                }
+            )
+
+    # the same pair survives from several tables; values are identical
+    # after rounding — one tiny aggregate deduplicates
+    return (
+        cand.mapInPandas(pair_cosine, schema=out_schema)
+        .groupBy("new_id", "corpus_id")
+        .agg(F.max("cosine").alias("cosine"))
+    )
+
+
 def embedding_neardup_pairs(df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.95) -> DataFrame:
     """Embedding-cosine near-dup pairs (brute force within a bounded
     set; the LSH-bucketed scale path is operators/similarity.py).

@@ -191,6 +191,24 @@ def q_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def q_dedup_embedding_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector twin of dedup_incremental: new arrivals (vec_id % 10 ==
+    3) probed against the existing embedding corpus — the new side's
+    bucket keys broadcast, the corpus never shuffles. Full recall at
+    the swept (b=6, L=64) parameters makes the exact new×corpus
+    all-pairs SQL the oracle."""
+    from osarchiver_spark.operators.dedup import embedding_lsh_incremental
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    new = emb.filter(F.col("vec_id") % 10 == 3)
+    corpus = emb.filter(F.col("vec_id") % 10 != 3)
+    return embedding_lsh_incremental(
+        corpus, new, "vec_id", "embedding", threshold=EMBED_THRESHOLD
+    )
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive closure over the MinHash-LSH pair graph: one
     (doc_id, cluster_rep) row per document in any near-dup pair —
@@ -304,6 +322,7 @@ QUERIES = {
     "dedup_embedding": q_dedup_embedding,
     "dedup_streaming": q_dedup_streaming,
     "semdedup": q_semdedup,
+    "dedup_embedding_incremental": q_dedup_embedding_incremental,
     "semantic_clusters": q_semantic_clusters,
 }
 
@@ -651,4 +670,20 @@ ORACLES["semantic_clusters"] = f"""
           FROM assigned a JOIN cents ct USING (cid))
     SELECT cid, count(*) AS n_vecs, round(sum(d2), 3) AS inertia
     FROM d GROUP BY cid
+"""
+
+
+ORACLES["dedup_embedding_incremental"] = f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    nw AS (SELECT * FROM v WHERE vec_id % 10 = 3),
+    cp AS (SELECT * FROM v WHERE vec_id % 10 != 3)
+    SELECT n.vec_id AS new_id, c.vec_id AS corpus_id,
+           round(coalesce(list_dot_product(n.e, c.e) /
+                 nullif(sqrt(list_dot_product(n.e, n.e)) *
+                        sqrt(list_dot_product(c.e, c.e)), 0), 0), 6) AS cosine
+    FROM nw n CROSS JOIN cp c
+    WHERE round(coalesce(list_dot_product(n.e, c.e) /
+                nullif(sqrt(list_dot_product(n.e, n.e)) *
+                       sqrt(list_dot_product(c.e, c.e)), 0), 0), 6)
+          >= {EMBED_THRESHOLD}
 """

@@ -86,6 +86,15 @@ def test_dedup_incremental_broadcasts_the_new_side(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_dedup_embedding_incremental_broadcasts_the_new_side(spark):
+    # vector twin of the text incremental pin: new-batch bucket keys
+    # broadcast, corpus bucketize stays map-side — no corpus exchange
+    plan = _formatted(spark, "dedup_embedding_incremental")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_tpch_star_joins_have_no_cartesian(spark):
     # q7/q8/q9: multi-nation star joins must resolve to hash joins
     # with broadcast dims — a cross product would explode at scale
