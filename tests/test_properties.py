@@ -128,3 +128,43 @@ def test_span_dedup_always_finds_long_planted_passages(
     out = repeated_span_report(df, "doc_id", "text", window=64, stride=16)
     docs_reported = {r.doc_id for r in out.collect()}
     assert {1, 2} <= docs_reported
+
+
+def _py_greedy_merge(syms: list[str], a: str, b: str) -> list[str]:
+    out: list[str] = []
+    for x in syms:
+        if out and out[-1] == a and x == b:
+            out[-1] = a + b
+        else:
+            out.append(x)
+    return out
+
+
+_SYM = st.sampled_from(["a", "b", "c", "ab", "bb"])
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    syms=st.lists(_SYM, min_size=1, max_size=10),
+    a=_SYM,
+    b=_SYM,
+)
+def test_bpe_oracle_fold_matches_greedy_reference(syms, a, b):
+    # the list_reduce fold used by the bpe_train oracle (and mirrored
+    # by the Spark F.aggregate fold, equality pinned via parity) must
+    # implement left-to-right greedy non-overlapping merge on EVERY
+    # input, including overlapping-run and merged-symbol-collision
+    # shapes a fixture corpus might never produce
+    lit = "[" + ", ".join(f"'{s}'" for s in syms) + "]"
+    (row,) = duckdb.sql(
+        f"""
+        SELECT CASE WHEN len(s) < 2 THEN s ELSE
+            list_reduce(list_transform(s, x -> [x]),
+                (acc, x) -> CASE WHEN acc[-1] = '{a}' AND x[1] = '{b}'
+                            THEN list_append(acc[1:len(acc)-1], '{a}' || '{b}')
+                            ELSE list_concat(acc, x) END)
+            END
+        FROM (SELECT {lit} AS s)
+        """
+    ).fetchall()
+    assert list(row[0]) == _py_greedy_merge(syms, a, b)
