@@ -8,6 +8,7 @@ from osarchiver_spark.operators.archive import Archiver, ArchivingFailed, archiv
 from osarchiver_spark.operators.asof import asof_join_pandas, asof_join_union
 from osarchiver_spark.operators.dedup import (
     connected_components,
+    embedding_lsh_incremental,
     embedding_lsh_neardup_pairs,
     embedding_neardup_pairs,
     exact_dedup,
@@ -21,7 +22,9 @@ from osarchiver_spark.operators.dedup import (
 )
 from osarchiver_spark.operators.export import export_training_set
 from osarchiver_spark.operators.graph import pagerank, trade_graph_edges
+from osarchiver_spark.operators.bpe import bpe_segment_counts, bpe_train, bpe_vocab
 from osarchiver_spark.operators.ivf import ivf_topk, kmeans_fit
+from osarchiver_spark.operators.lr import lr_features, lr_score_by_source, lr_train
 from osarchiver_spark.operators.pq import ivf_pq_topk, pq_joint_fit, pq_train
 from osarchiver_spark.operators.semdedup import (
     semantic_assign,
@@ -51,6 +54,7 @@ __all__ = [
     "asof_join_pandas",
     "asof_join_union",
     "connected_components",
+    "embedding_lsh_incremental",
     "embedding_lsh_neardup_pairs",
     "embedding_neardup_pairs",
     "exact_dedup",
@@ -64,9 +68,15 @@ __all__ = [
     "simhash_candidates",
     "simhash_multiprobe_pairs",
     "trade_graph_edges",
+    "bpe_segment_counts",
+    "bpe_train",
+    "bpe_vocab",
     "ivf_topk",
     "ivf_pq_topk",
     "kmeans_fit",
+    "lr_features",
+    "lr_score_by_source",
+    "lr_train",
     "semantic_assign",
     "semantic_cluster_profile",
     "semdedup_losers",
