@@ -43,9 +43,54 @@ def q_lr_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lr_score_by_source(docs)
 
 
+
+PR_THRESHOLDS = [round(0.1 * i, 1) for i in range(1, 10)]
+
+
+def q_lr_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall sweep of the trained gate across decision
+    thresholds — the calibration curve that picks the operating point
+    before a corpus-wide gate run. One scoring scan crossed with the
+    9-row threshold dim (model-sized broadcast); counts are
+    map-combinable. Probabilities compare ROUNDED (6dp) against each
+    threshold so engine exp() noise can't flip a cell."""
+    from pyspark.sql import functions as F
+
+    from osarchiver_spark.operators.lr import lr_features, lr_train, _sigmoid
+
+    docs = load_table(spark, sf_dir, "documents")
+    _, (b, w1, w2) = lr_train(docs)
+    feats = lr_features(docs)
+    z = F.lit(b) + F.lit(w1) * F.col("x1") + F.lit(w2) * F.col("x2")
+    scored = feats.select("y", F.round(_sigmoid(z), 6).alias("p"))
+    thr = spark.range(1, 10).select((F.col("id") / 10.0).alias("threshold"))
+    pred = (F.col("p") >= F.col("threshold")).cast("double")
+    cells = scored.crossJoin(F.broadcast(thr)).select(
+        "threshold",
+        (F.col("y") * pred).alias("tp"),
+        ((1.0 - F.col("y")) * pred).alias("fp"),
+        (F.col("y") * (1.0 - pred)).alias("fn"),
+    )
+    agg = cells.groupBy("threshold").agg(
+        F.sum("tp").cast("long").alias("tp"),
+        F.sum("fp").cast("long").alias("fp"),
+        F.sum("fn").cast("long").alias("fn"),
+    )
+    prec = F.when(F.col("tp") + F.col("fp") > 0,
+                  F.col("tp") / (F.col("tp") + F.col("fp"))).otherwise(F.lit(0.0))
+    rec = F.when(F.col("tp") + F.col("fn") > 0,
+                 F.col("tp") / (F.col("tp") + F.col("fn"))).otherwise(F.lit(0.0))
+    return agg.select(
+        "threshold", "tp", "fp", "fn",
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+    )
+
+
 QUERIES = {
     "lr_train": q_lr_train,
     "lr_score": q_lr_score,
+    "lr_pr_curve": q_lr_pr_curve,
 }
 
 
@@ -115,3 +160,29 @@ ORACLES = {
         GROUP BY source
     """,
 }
+
+
+ORACLES["lr_pr_curve"] = f"""
+    WITH {_lr_ctes()},
+    scored AS (
+        SELECT f.y,
+               round(1 / (1 + exp(-(w.b + w.w1 * f.x1 + w.w2 * f.x2))), 6) AS p
+        FROM feat f, w{ITERATIONS} w),
+    thr AS (SELECT i / 10.0 AS threshold FROM range(1, 10) t(i)),
+    cells AS (
+        SELECT threshold,
+               y * (CASE WHEN p >= threshold THEN 1.0 ELSE 0.0 END) AS tp,
+               (1.0 - y) * (CASE WHEN p >= threshold THEN 1.0 ELSE 0.0 END) AS fp,
+               y * (CASE WHEN p < threshold THEN 1.0 ELSE 0.0 END) AS fn
+        FROM scored CROSS JOIN thr),
+    agg AS (
+        SELECT threshold,
+               CAST(sum(tp) AS BIGINT) AS tp,
+               CAST(sum(fp) AS BIGINT) AS fp,
+               CAST(sum(fn) AS BIGINT) AS fn
+        FROM cells GROUP BY threshold)
+    SELECT threshold, tp, fp, fn,
+           round(CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / (tp + fp) ELSE 0.0 END, 6) AS precision,
+           round(CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / (tp + fn) ELSE 0.0 END, 6) AS recall
+    FROM agg
+"""

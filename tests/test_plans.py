@@ -306,6 +306,7 @@ def test_registry_wide_plan_audit(spark):
         "q22_global_sales_opportunity": "one-row global average",
         "quality_curriculum": "one-row exact-percentile boundaries",
         "range_join_bands": "3-row literal band dim",
+        "lr_pr_curve": "9-row literal threshold dim",
         "rolling_active_users": "day-spine range probe (|days| rows)",
         "source_divergence": "one-row corpus-total aggregate",
         "tfidf_top_terms": "one-row n_docs aggregate",
