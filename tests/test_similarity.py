@@ -215,3 +215,34 @@ def test_minhash_xxhash64_oracle_contract_at_adjudication_scale(spark, sf_medium
         ).collect()
     }
     assert xx_pairs == md5_pairs
+
+
+def test_embedding_incremental_matches_brute_force(spark, sf_small):
+    """The incremental probe (new vs corpus) must find exactly the
+    cross pairs brute force finds at the swept full-recall LSH
+    parameters — and nothing corpus-internal."""
+    from osarchiver_spark.operators.dedup import embedding_lsh_incremental
+    from osarchiver_spark.functions.vectors import as_double, cosine
+
+    emb = load_table(spark, sf_small, "embeddings")
+    new = emb.filter(F.col("vec_id") % 10 == 3)
+    corpus = emb.filter(F.col("vec_id") % 10 != 3)
+    got = {
+        (r["new_id"], r["corpus_id"]): r["cosine"]
+        for r in embedding_lsh_incremental(
+            corpus, new, "vec_id", "embedding", threshold=0.45
+        ).collect()
+    }
+    a = new.select(F.col("vec_id").alias("new_id"), as_double(F.col("embedding")).alias("va"))
+    b = corpus.select(
+        F.col("vec_id").alias("corpus_id"), as_double(F.col("embedding")).alias("vb")
+    )
+    exact = {
+        (r["new_id"], r["corpus_id"]): r["c"]
+        for r in a.crossJoin(b)
+        .select("new_id", "corpus_id", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("c"))
+        .filter(F.col("c") >= 0.45)
+        .collect()
+    }
+    assert got == exact
+    assert all(n % 10 == 3 and c % 10 != 3 for n, c in got)
