@@ -59,12 +59,14 @@ HEADLINE = [
     "dedup_embedding_incremental",
     "semdedup",
     "knn_bruteforce",
+    "hard_negatives",
     "knn_lsh",
     "knn_ivf",
     "corpus_pipeline",
     "training_mix_report",
     "tfidf_top_terms",
     "vocab_coverage",
+    "token_budget_sample",
     "lr_train",
     "unigram_logprob",
     "pii_scrub",

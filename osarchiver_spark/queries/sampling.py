@@ -272,7 +272,42 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+TOKEN_BUDGET_PER_SOURCE = 2000
+
+
+def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budgeted curation: per source, admit documents in
+    (quality desc, doc_id) order until the source's token budget is
+    spent — the greedy knapsack a data mix is actually provisioned
+    with when the budget is tokens, not documents. One quality scan,
+    one per-source window cumsum, scan-side admission predicate; the
+    budget check uses the PRE-admission running sum so one oversized
+    doc can't block a smaller later one from overshooting exactly at
+    the boundary (take-while semantics, deterministic)."""
+    from osarchiver_spark.functions.text import punct_ratio, stopword_ratio, token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_toks = token_count(F.col("text"))
+    stop_r = stopword_ratio(F.col("text"))
+    len_score = F.least(n_toks.cast("double") / 100.0, F.lit(1.0))
+    quality = F.round(
+        0.5 * stop_r + 0.3 * len_score + 0.2 * (1.0 - punct_ratio(F.col("text"))), 6
+    )
+    base = docs.select(
+        "doc_id", "source", quality.alias("quality"), n_toks.cast("long").alias("n_tokens")
+    )
+    w = W.partitionBy("source").orderBy(F.desc("quality"), "doc_id")
+    cum = F.sum("n_tokens").over(w)
+    return (
+        base.withColumn("cum_tokens", cum)
+        .filter(F.col("cum_tokens") - F.col("n_tokens") < TOKEN_BUDGET_PER_SOURCE)
+        .select("doc_id", "source", "quality", "n_tokens", "cum_tokens")
+    )
+
+
 QUERIES = {
+    "token_budget_sample": q_token_budget_sample,
     "vocab_coverage": q_vocab_coverage,
     "sample_split": q_sample_split,
     "class_cap_sample": q_class_cap_sample,
@@ -419,4 +454,30 @@ ORACLES["vocab_coverage"] = f"""
            round(count(*) FILTER (NOT seen) / count(*), 6) AS oov_rate,
            count(DISTINCT CASE WHEN NOT seen THEN token END) AS n_unique_oov
     FROM ev GROUP BY source
+"""
+
+
+_SQL_TOKS_RAW = "list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '')"
+
+ORACLES["token_budget_sample"] = f"""
+    WITH base AS (
+        SELECT doc_id, source,
+               round(0.5 * (CASE WHEN len(ltoks) > 0
+                       THEN CAST(len(list_filter(ltoks,
+                            t -> list_contains(['the','and','of','to','a','in','is','it'], t))) AS DOUBLE)
+                            / len(ltoks) ELSE 0.0 END)
+                     + 0.3 * least(len(toks) / 100.0, 1.0)
+                     + 0.2 * (1.0 - CASE WHEN length(text) > 0
+                       THEN CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+                            / length(text) ELSE 0.0 END), 6) AS quality,
+               CAST(len(toks) AS BIGINT) AS n_tokens
+        FROM (SELECT doc_id, source, text, {_SQL_TOKS_RAW} AS toks,
+                     {_SQL_TOKS_LOWER} AS ltoks
+              FROM documents)),
+    cum AS (
+        SELECT *, sum(n_tokens) OVER (PARTITION BY source
+                                      ORDER BY quality DESC, doc_id) AS cum_tokens
+        FROM base)
+    SELECT doc_id, source, quality, n_tokens, cum_tokens
+    FROM cum WHERE cum_tokens - n_tokens < {TOKEN_BUDGET_PER_SOURCE}
 """

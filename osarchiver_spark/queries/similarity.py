@@ -210,7 +210,49 @@ def q_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+NEG_K = 3
+
+
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: each query
+    vector's top-NEG_K most-similar neighbors whose LABEL DIFFERS —
+    the near-but-wrong examples a retrieval/embedding trainer needs.
+    Shape: the 10-row distinct-label dim joins each query to its 9
+    negative label groups (model-sized broadcast), then the per-label
+    cogrouped BLAS scorer emits group-local top-k and one global
+    window finishes — the corpus is scored once per foreign label
+    group, never all-pairs against itself."""
+    from pyspark.sql import Window as W
+
+    from osarchiver_spark.operators.blas import cogroup_topk_cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    labels = emb.select(F.col("label").alias("neg_label")).distinct()
+    q = emb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        as_double(F.col("embedding")).alias("qv"),
+        "label",
+    )
+    probed = q.join(
+        F.broadcast(labels), F.col("neg_label") != F.col("label")
+    ).select("query_id", "qv", F.col("neg_label").alias("lbl"))
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        as_double(F.col("embedding")).alias("v"),
+        F.col("label").alias("lbl"),
+    )
+    local = cogroup_topk_cosine(probed, corpus, "lbl", NEG_K)
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= NEG_K)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
 QUERIES = {
+    "hard_negatives": q_hard_negatives,
     "embedding_quantization": q_embedding_quantization,
     "knn_bruteforce": q_knn_bruteforce,
     "knn_label_vote": q_knn_label_vote,
@@ -319,3 +361,21 @@ ORACLES = {
         FROM n GROUP BY label
     """,
 }
+
+
+ORACLES["hard_negatives"] = f"""
+    WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               {_COS} AS cosine
+        FROM v q JOIN v c ON q.label != c.label
+        WHERE q.vec_id % {QUERY_MOD} = 0),
+    ranked AS (
+        SELECT query_id, neighbor_id, cosine,
+               CAST(row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+        FROM scored)
+    SELECT query_id, rank, neighbor_id, cosine
+    FROM ranked WHERE rank <= {NEG_K}
+"""

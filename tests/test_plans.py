@@ -307,6 +307,7 @@ def test_registry_wide_plan_audit(spark):
         "quality_curriculum": "one-row exact-percentile boundaries",
         "range_join_bands": "3-row literal band dim",
         "lr_pr_curve": "9-row literal threshold dim",
+        "hard_negatives": "10-row distinct-label dim",
         "rolling_active_users": "day-spine range probe (|days| rows)",
         "source_divergence": "one-row corpus-total aggregate",
         "tfidf_top_terms": "one-row n_docs aggregate",
