@@ -283,6 +283,27 @@ def test_pq_search_never_carries_vectors_through_candidate_scoring(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_semdedup_grouped_verify_never_cross_joins(spark):
+    # SemDeDup's candidate generator is the k-means cell: the verify
+    # must be the grouped gram (FlatMapGroupsInPandas), and no plan
+    # node may pair the corpus against itself without a key
+    plan = _formatted(spark, "semdedup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "FlatMapGroupsInPandas" in plan
+
+
+def test_entity_resolution_blocking_is_an_equi_join(spark):
+    # record linkage must get its candidates from the (blk, seg)
+    # equi-join — a levenshtein theta join over customers would be
+    # the all-pairs plan that dies at scale
+    plan = _formatted(spark, "entity_resolution")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # map-side pre-limit: only each record's best candidates shuffle
+    assert "WindowGroupLimit" in plan
+
+
 def test_registry_wide_plan_audit(spark):
     """Registry-wide scale-smell scan over every batch query's
     optimized plan: CartesianProduct is banned outright, and
