@@ -68,6 +68,7 @@ HEADLINE = [
     "vocab_coverage",
     "token_budget_sample",
     "lr_train",
+    "als_factors",
     "unigram_logprob",
     "pii_scrub",
     "label_centroids",

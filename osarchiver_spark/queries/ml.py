@@ -87,10 +87,38 @@ def q_lr_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q_als_factors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-side factors of the rank-2 ALS factorization of the
+    (user × event_type) interaction matrix — collaborative-filtering
+    embedding learning as DataFrame passes (operators/als.py). Each
+    half-step is one equi-join + one map-combinable aggregation with
+    the 2×2 normal equations solved in closed form inside the agg;
+    user factors never leave the cluster. The oracle replays the full
+    alternation as CTEs (factor quantization per half-step makes the
+    replay bit-exact)."""
+    from osarchiver_spark.operators.als import als_factors
+
+    ev = load_table(spark, sf_dir, "events")
+    _, v = als_factors(ev)
+    return v
+
+
+def q_als_rmse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-item reconstruction error of the ALS fit — the report that
+    sizes rank/iterations before a production factorization run."""
+    from osarchiver_spark.operators.als import als_reconstruction_report
+
+    ev = load_table(spark, sf_dir, "events")
+    return als_reconstruction_report(ev)
+
+
 QUERIES = {
     "lr_train": q_lr_train,
     "lr_score": q_lr_score,
     "lr_pr_curve": q_lr_pr_curve,
+    "als_factors": q_als_factors,
+    "als_rmse": q_als_rmse,
 }
 
 
@@ -185,4 +213,63 @@ ORACLES["lr_pr_curve"] = f"""
            round(CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / (tp + fp) ELSE 0.0 END, 6) AS precision,
            round(CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / (tp + fn) ELSE 0.0 END, 6) AS recall
     FROM agg
+"""
+
+
+def _als_ctes() -> str:
+    from osarchiver_spark.operators.als import ALS_ITERS, ALS_LAMBDA, ALS_QUANT
+
+    lam, q = ALS_LAMBDA, ALS_QUANT
+    parts = [
+        "ratings AS (SELECT user_id, event_type, round(avg(value) / 100.0, 6) AS r "
+        "FROM events GROUP BY 1, 2)",
+        f"v0 AS (SELECT event_type, 1.0 AS f1, "
+        f"round((CAST(('0x' || substr(md5(event_type), 1, 8)) AS UBIGINT) + 1) "
+        f"/ 4294967296.0, {q}) AS f2 "
+        f"FROM (SELECT DISTINCT event_type FROM ratings))",
+    ]
+
+    def solve(out: str, solve_key: str, join_key: str, src: str) -> str:
+        return (
+            f"{out} AS (SELECT {solve_key}, "
+            f"round((c * p - b * q) / (a * c - b * b), {q}) AS f1, "
+            f"round((a * q - b * p) / (a * c - b * b), {q}) AS f2 "
+            f"FROM ("
+            f"SELECT r.{solve_key}, "
+            f"{lam} + sum(f.f1 * f.f1) AS a, sum(f.f1 * f.f2) AS b, "
+            f"{lam} + sum(f.f2 * f.f2) AS c, "
+            f"sum(f.f1 * r.r) AS p, sum(f.f2 * r.r) AS q "
+            f"FROM ratings r JOIN {src} f USING ({join_key}) GROUP BY 1))"
+        )
+
+    prev_v = "v0"
+    for i in range(1, ALS_ITERS + 1):
+        parts.append(solve(f"u{i}", "user_id", "event_type", prev_v))
+        parts.append(solve(f"v{i}", "event_type", "user_id", f"u{i}"))
+        prev_v = f"v{i}"
+    return ",\n".join(parts)
+
+
+def _als_final() -> tuple[str, str]:
+    from osarchiver_spark.operators.als import ALS_ITERS
+
+    return f"u{ALS_ITERS}", f"v{ALS_ITERS}"
+
+
+ORACLES["als_factors"] = f"""
+    WITH {_als_ctes()}
+    SELECT event_type, f1, f2 FROM {_als_final()[1]}
+"""
+
+ORACLES["als_rmse"] = f"""
+    WITH {_als_ctes()},
+    uf AS (SELECT user_id, f1 AS u1, f2 AS u2 FROM {_als_final()[0]}),
+    vf AS (SELECT event_type, f1 AS v1, f2 AS v2 FROM {_als_final()[1]}),
+    errs AS (
+        SELECT r.event_type, r.r - (u.u1 * v.v1 + u.u2 * v.v2) AS err
+        FROM ratings r JOIN uf u USING (user_id) JOIN vf v USING (event_type))
+    SELECT event_type, count(*) AS n_cells,
+           round(sqrt(avg(err * err)), 4) AS rmse,
+           round(avg(abs(err)), 4) AS mae
+    FROM errs GROUP BY event_type
 """
