@@ -113,11 +113,40 @@ def q_als_rmse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return als_reconstruction_report(ev)
 
 
+
+def q_lr_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability table of the trained gate: decile buckets of the
+    predicted probability vs the observed positive rate — the
+    calibration check that decides whether the distilled score can be
+    thresholded directly or needs recalibration. One scoring scan,
+    one 10-row aggregation."""
+    from pyspark.sql import functions as F
+
+    from osarchiver_spark.operators.lr import lr_features, lr_train, _sigmoid
+
+    docs = load_table(spark, sf_dir, "documents")
+    _, (b, w1, w2) = lr_train(docs)
+    feats = lr_features(docs)
+    z = F.lit(b) + F.lit(w1) * F.col("x1") + F.lit(w2) * F.col("x2")
+    p = F.round(_sigmoid(z), 6)
+    bucket = F.least(F.floor(p * 10), F.lit(9)).cast("int")
+    return (
+        feats.select("y", p.alias("p"), bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("p"), 6).alias("mean_p"),
+            F.round(F.sum("y") / F.count(F.lit(1)), 6).alias("frac_pos"),
+        )
+    )
+
+
 QUERIES = {
     "lr_train": q_lr_train,
     "lr_score": q_lr_score,
     "lr_pr_curve": q_lr_pr_curve,
     "als_factors": q_als_factors,
+    "lr_calibration": q_lr_calibration,
     "als_rmse": q_als_rmse,
 }
 
@@ -272,4 +301,19 @@ ORACLES["als_rmse"] = f"""
            round(sqrt(avg(err * err)), 4) AS rmse,
            round(avg(abs(err)), 4) AS mae
     FROM errs GROUP BY event_type
+"""
+
+
+ORACLES["lr_calibration"] = f"""
+    WITH {_lr_ctes()},
+    scored AS (
+        SELECT f.y,
+               round(1 / (1 + exp(-(w.b + w.w1 * f.x1 + w.w2 * f.x2))), 6) AS p
+        FROM feat f, w{ITERATIONS} w),
+    bucketed AS (
+        SELECT y, p, CAST(least(floor(p * 10), 9) AS INT) AS bucket FROM scored)
+    SELECT bucket, count(*) AS n,
+           round(avg(p), 6) AS mean_p,
+           round(sum(y) / count(*), 6) AS frac_pos
+    FROM bucketed GROUP BY bucket
 """
