@@ -84,6 +84,8 @@ def kmeans_fit(
     try:
         init = base.orderBy("vid").limit(k).collect()
         centroids = [list(r.v) for r in init]
+        if not centroids:
+            raise ValueError("kmeans_fit: input relation has no rows")
         dim = len(centroids[0])
         partial_schema = T.StructType(
             [

@@ -95,6 +95,8 @@ def lr_train(
         n = feats.count()
         b = w1 = w2 = 0.0
         traj: list[tuple[int, float, float, float]] = []
+        if n == 0:  # empty corpus: the zero model, no steps
+            return traj, (b, w1, w2)
         for step in range(1, iterations + 1):
             z = F.lit(b) + F.lit(w1) * F.col("x1") + F.lit(w2) * F.col("x2")
             resid = F.col("y") - _sigmoid(z)

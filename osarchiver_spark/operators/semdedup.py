@@ -85,9 +85,12 @@ def semdedup_pairs(
     thr = float(threshold)
     id_type = df.schema[id_col].dataType
     if centroids is None:
-        centroids = kmeans_fit(
-            df, id_col, vec_col, k=n_clusters, iters=iters, quantize=quantize
-        )
+        try:
+            centroids = kmeans_fit(
+                df, id_col, vec_col, k=n_clusters, iters=iters, quantize=quantize
+            )
+        except ValueError:  # empty input: no clusters, no pairs
+            return df.sparkSession.createDataFrame([], _pair_schema(id_type))
 
     from pyspark import StorageLevel
 
@@ -226,7 +229,21 @@ def semantic_cluster_profile(
     distance is rounded to 6 decimals on both engines BEFORE the sum
     (and the sum to 3 after), so the map-combinable aggregation is
     order-noise-proof."""
-    centroids = kmeans_fit(df, id_col, vec_col, k=n_clusters, iters=iters, quantize=quantize)
+    try:
+        centroids = kmeans_fit(
+            df, id_col, vec_col, k=n_clusters, iters=iters, quantize=quantize
+        )
+    except ValueError:  # empty input: an empty profile
+        return df.sparkSession.createDataFrame(
+            [],
+            T.StructType(
+                [
+                    T.StructField("cid", T.IntegerType()),
+                    T.StructField("n_vecs", T.LongType()),
+                    T.StructField("inertia", T.DoubleType()),
+                ]
+            ),
+        )
     C = np.asarray(centroids, dtype="float64")
     c_sq = (C * C).sum(axis=1)
     base = df.select(F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("v"))

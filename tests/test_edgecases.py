@@ -161,3 +161,51 @@ def test_lm_scores_survive_single_token_docs(spark, tmp_path, monkeypatch):
     for fn in (q_bigram_logprob, q_interpolated_logprob):
         out = {r.doc_id: r.n_bigrams for r in fn(spark, str(tmp_path)).collect()}
         assert out == {3: 2}
+
+
+def test_trainer_operators_survive_empty_input(spark):
+    """Every iterative trainer must do something sane on an empty
+    relation: empty results or a clear ValueError — never an
+    IndexError/TypeError from deep inside the loop."""
+    import pytest
+
+    from osarchiver_spark.operators.als import als_factors, als_reconstruction_report
+    from osarchiver_spark.operators.bpe import bpe_segment_counts, bpe_train
+    from osarchiver_spark.operators.dedup import embedding_lsh_incremental
+    from osarchiver_spark.operators.ivf import kmeans_fit
+    from osarchiver_spark.operators.lr import lr_score_by_source, lr_train
+    from osarchiver_spark.operators.semdedup import (
+        semantic_cluster_profile,
+        semdedup_losers,
+    )
+
+    empty_vec = spark.createDataFrame([], "vid long, v array<float>")
+    empty_docs = spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    empty_events = spark.createDataFrame(
+        [], "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+
+    with pytest.raises(ValueError, match="no rows"):
+        kmeans_fit(empty_vec, "vid", "v", k=2)
+    assert semdedup_losers(empty_vec, "vid", "v").count() == 0
+    assert semantic_cluster_profile(empty_vec, "vid", "v").count() == 0
+
+    merges, vocab = bpe_train(empty_docs, "text", n_merges=2)
+    assert merges.count() == 0
+    vocab.unpersist()
+    assert bpe_segment_counts(empty_docs, "doc_id", "text", n_merges=1).count() == 0
+
+    traj, w = lr_train(empty_docs)
+    assert traj == [] and w == (0.0, 0.0, 0.0)
+    assert lr_score_by_source(empty_docs).count() == 0
+
+    u, v = als_factors(empty_events)
+    assert u.count() == 0 and v.count() == 0
+    assert als_reconstruction_report(empty_events).count() == 0
+
+    some_vec = spark.createDataFrame([(1, [1.0, 0.0])], "vid long, v array<float>")
+    assert embedding_lsh_incremental(
+        some_vec, empty_vec.withColumnRenamed("vid", "vid"), "vid", "v", dim=2
+    ).count() == 0
