@@ -77,6 +77,7 @@ HEADLINE = [
     "numeric_stats",
     "profile_table",
     "dq_checks",
+    "psi_drift",
     "contamination_check",
     "text_quality",
     "lang_id",

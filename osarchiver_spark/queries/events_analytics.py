@@ -632,8 +632,61 @@ def q_streaming_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_kmv_registry(spark, sf_dir)
 
 
+
+PSI_BINS = 20
+
+
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift monitor: per event type,
+    compare the value distribution of the SECOND half of the time
+    range against the first (reference) half over the type's
+    equi-width bins — the ingest-monitoring check that catches a
+    upstream change before it poisons a training snapshot. One-row
+    global time span + per-type moments broadcast into the scan,
+    conditional counts per (type, bin), Laplace-smoothed shares over
+    the occupied bins, one map-combinable PSI sum. Nothing leaves
+    codegen."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "value", F.unix_micros(F.col("ts")).alias("us")
+    )
+    span = ev.agg(F.min("us").alias("t0"), F.max("us").alias("t1"))
+    tagged = ev.crossJoin(F.broadcast(span)).withColumn(
+        "is_cur", F.col("us") * 2 > F.col("t0") + F.col("t1")
+    )
+    stats = tagged.groupBy("event_type").agg(
+        F.min("value").alias("mn"), F.max("value").alias("mx")
+    )
+    width = (F.col("mx") - F.col("mn")) / PSI_BINS
+    bin_ = F.least(
+        F.floor((F.col("value") - F.col("mn")) / width), F.lit(PSI_BINS - 1)
+    ).cast("int")
+    cells = (
+        tagged.join(F.broadcast(stats), "event_type")
+        .groupBy("event_type", bin_.alias("bin"))
+        .agg(
+            F.sum(F.when(F.col("is_cur"), 0).otherwise(1)).alias("n_ref"),
+            F.sum(F.when(F.col("is_cur"), 1).otherwise(0)).alias("n_cur"),
+        )
+    )
+    totals = cells.groupBy("event_type").agg(
+        F.sum("n_ref").alias("r_tot"),
+        F.sum("n_cur").alias("c_tot"),
+        F.count(F.lit(1)).alias("n_bins"),
+    )
+    j = cells.join(F.broadcast(totals), "event_type")
+    p_ref = (F.col("n_ref") + 0.5) / (F.col("r_tot") + 0.5 * F.col("n_bins"))
+    p_cur = (F.col("n_cur") + 0.5) / (F.col("c_tot") + 0.5 * F.col("n_bins"))
+    return j.groupBy("event_type").agg(
+        F.max("r_tot").alias("n_ref"),
+        F.max("c_tot").alias("n_cur"),
+        F.max("n_bins").cast("int").alias("n_bins"),
+        F.round(F.sum((p_cur - p_ref) * F.log(p_cur / p_ref)), 6).alias("psi"),
+    )
+
+
 QUERIES = {
     "kmv_distinct": q_kmv_distinct,
+    "psi_drift": q_psi_drift,
     "streaming_kmv": q_streaming_kmv,
     "user_activity_distribution": q_user_activity_distribution,
     "attribution_last_touch": q_attribution_last_touch,
@@ -959,3 +1012,37 @@ ORACLES = {
         FROM sized CROSS JOIN bounds
     """,
 }
+
+
+ORACLES["psi_drift"] = f"""
+    WITH ev AS (
+        SELECT event_type, value, epoch_us(ts) AS us FROM events),
+    span AS (SELECT min(us) AS t0, max(us) AS t1 FROM ev),
+    tagged AS (
+        SELECT event_type, value, (us * 2 > span.t0 + span.t1) AS is_cur
+        FROM ev, span),
+    stats AS (
+        SELECT event_type, min(value) AS mn, max(value) AS mx
+        FROM tagged GROUP BY 1),
+    cells AS (
+        SELECT t.event_type,
+               CAST(least(floor((t.value - s.mn) / ((s.mx - s.mn) / {PSI_BINS})),
+                          {PSI_BINS - 1}) AS INT) AS bin,
+               sum(CASE WHEN is_cur THEN 0 ELSE 1 END) AS n_ref,
+               sum(CASE WHEN is_cur THEN 1 ELSE 0 END) AS n_cur
+        FROM tagged t JOIN stats s USING (event_type)
+        GROUP BY 1, 2),
+    totals AS (
+        SELECT event_type, sum(n_ref) AS r_tot, sum(n_cur) AS c_tot,
+               count(*) AS n_bins
+        FROM cells GROUP BY 1)
+    SELECT event_type,
+           max(r_tot) AS n_ref, max(c_tot) AS n_cur,
+           CAST(max(n_bins) AS INT) AS n_bins,
+           round(sum(((n_cur + 0.5) / (c_tot + 0.5 * n_bins)
+                      - (n_ref + 0.5) / (r_tot + 0.5 * n_bins))
+                     * ln(((n_cur + 0.5) / (c_tot + 0.5 * n_bins))
+                          / ((n_ref + 0.5) / (r_tot + 0.5 * n_bins)))), 6) AS psi
+    FROM cells JOIN totals USING (event_type)
+    GROUP BY event_type
+"""
