@@ -128,3 +128,70 @@ def als_reconstruction_report(
             F.round(F.avg(F.abs(err)), 4).alias("mae"),
         )
     )
+
+
+def _init_item_factors_rank(items: DataFrame, rank: int, quant: int) -> DataFrame:
+    """Deterministic rank-r item init: dim 1 is the constant 1.0,
+    higher dims are md5 fractions of ``event_type || '|d'`` — the
+    same hash-frac convention, engine-reproducible at any rank."""
+    cols = [F.lit(1.0)] + [
+        F.round(hash_frac(F.concat(F.col("event_type"), F.lit(f"|{d}"))), quant)
+        for d in range(1, rank)
+    ]
+    return items.select("event_type", F.array(*cols).alias("f"))
+
+
+def _solve_rank(ratings, factors, solve_key, join_key, rank, lam, quant, key_type):
+    """General-rank ALS half-step: per-entity regularized normal
+    equations solved with LAPACK inside an Arrow group — one group
+    per entity, group width = that entity's interaction count. The
+    rank-2 closed-form path stays pure codegen; this is the scale
+    path for r where Cramer stops being sane."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    j = ratings.join(factors, join_key).select(solve_key, "f", "r")
+    schema = T.StructType(
+        [
+            T.StructField(solve_key, key_type),
+            T.StructField("f", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def solve(pdf: pd.DataFrame) -> pd.DataFrame:
+        Fm = np.stack([np.asarray(x, dtype="float64") for x in pdf["f"].to_numpy()])
+        r = pdf["r"].to_numpy(dtype="float64")
+        A = Fm.T @ Fm + lam * np.eye(rank)
+        w = np.round(np.linalg.solve(A, Fm.T @ r), quant)
+        return pd.DataFrame({solve_key: [pdf[solve_key].iloc[0]], "f": [w]})
+
+    return j.groupBy(solve_key).applyInPandas(solve, schema)
+
+
+def als_factors_rank(
+    events: DataFrame,
+    rank: int = 3,
+    iters: int = ALS_ITERS,
+    lam: float = ALS_LAMBDA,
+    quant: int = ALS_QUANT,
+    item_init: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """General-rank ALS (array-typed factors). λ > 0 keeps every
+    normal-equation matrix positive definite, so the solve is total;
+    per-half-step quantization keeps the alternation
+    engine-reproducible (the rank-3 oracle replays it with Cramer's
+    rule in SQL — validated bit-equal against this LAPACK path)."""
+    ratings = als_ratings(events).persist()
+    if item_init is None:
+        item_init = _init_item_factors_rank(
+            ratings.select("event_type").distinct(), rank, quant
+        )
+    v = item_init
+    u = None
+    utype = events.schema["user_id"].dataType
+    ttype = events.schema["event_type"].dataType
+    for _ in range(iters):
+        u = _solve_rank(ratings, v, "user_id", "event_type", rank, lam, quant, utype)
+        v = _solve_rank(ratings, u, "event_type", "user_id", rank, lam, quant, ttype)
+    return u, v

@@ -141,6 +141,28 @@ def q_lr_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q_als3_factors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item factors of the GENERAL-RANK ALS path at rank 3, exploded
+    to canonicalizer-sortable (event_type, dim, f) rows. Unlike the
+    rank-2 codegen closed form, this path solves each entity's
+    regularized normal equations with LAPACK inside an Arrow group —
+    the production shape for ranks where closed forms stop being
+    sane — and the oracle still adjudicates it exactly: Cramer's rule
+    for the 3×3 system is written out in SQL and replays the full
+    alternation (LAPACK vs Cramer differences sit ~8 orders below the
+    factor quantization grid)."""
+    from pyspark.sql import functions as F
+
+    from osarchiver_spark.operators.als import als_factors_rank
+
+    ev = load_table(spark, sf_dir, "events")
+    _, v = als_factors_rank(ev, rank=3)
+    return v.select(
+        "event_type", F.posexplode("f").alias("pos", "f")
+    ).select("event_type", (F.col("pos") + 1).cast("int").alias("dim"), "f")
+
+
 QUERIES = {
     "lr_train": q_lr_train,
     "lr_score": q_lr_score,
@@ -148,6 +170,7 @@ QUERIES = {
     "als_factors": q_als_factors,
     "lr_calibration": q_lr_calibration,
     "als_rmse": q_als_rmse,
+    "als3_factors": q_als3_factors,
 }
 
 
@@ -316,4 +339,55 @@ ORACLES["lr_calibration"] = f"""
            round(avg(p), 6) AS mean_p,
            round(sum(y) / count(*), 6) AS frac_pos
     FROM bucketed GROUP BY bucket
+"""
+
+
+def _als3_ctes() -> str:
+    from osarchiver_spark.operators.als import ALS_ITERS, ALS_LAMBDA, ALS_QUANT
+
+    lam, q = ALS_LAMBDA, ALS_QUANT
+
+    def solve(out: str, skey: str, jkey: str, src: str) -> str:
+        sums = (
+            f"SELECT r.{skey}, "
+            f"{lam} + sum(f.f[1]*f.f[1]) AS a, sum(f.f[1]*f.f[2]) AS b, "
+            f"sum(f.f[1]*f.f[3]) AS c, {lam} + sum(f.f[2]*f.f[2]) AS d, "
+            f"sum(f.f[2]*f.f[3]) AS e, {lam} + sum(f.f[3]*f.f[3]) AS g, "
+            f"sum(f.f[1]*r.r) AS p, sum(f.f[2]*r.r) AS q, sum(f.f[3]*r.r) AS s "
+            f"FROM ratings r JOIN {src} f USING ({jkey}) GROUP BY 1"
+        )
+        det = "(a*(d*g - e*e) - b*(b*g - c*e) + c*(b*e - c*d))"
+        d1 = "(p*(d*g - e*e) - b*(q*g - s*e) + c*(q*e - s*d))"
+        d2 = "(a*(q*g - s*e) - p*(b*g - c*e) + c*(b*s - c*q))"
+        d3 = "(a*(d*s - e*q) - b*(b*s - c*q) + p*(b*e - c*d))"
+        return (
+            f"{out} AS (SELECT {skey}, [round({d1}/{det}, {q}), "
+            f"round({d2}/{det}, {q}), round({d3}/{det}, {q})] AS f FROM ({sums}))"
+        )
+
+    parts = [
+        "ratings AS (SELECT user_id, event_type, round(avg(value) / 100.0, 6) AS r "
+        "FROM events GROUP BY 1, 2)",
+        f"v0 AS (SELECT event_type, [1.0, "
+        f"round((CAST(('0x' || substr(md5(event_type || '|1'), 1, 8)) AS UBIGINT) + 1) "
+        f"/ 4294967296.0, {q}), "
+        f"round((CAST(('0x' || substr(md5(event_type || '|2'), 1, 8)) AS UBIGINT) + 1) "
+        f"/ 4294967296.0, {q})] AS f "
+        f"FROM (SELECT DISTINCT event_type FROM ratings))",
+    ]
+    prev = "v0"
+    for i in range(1, ALS_ITERS + 1):
+        parts.append(solve(f"u{i}", "user_id", "event_type", prev))
+        parts.append(solve(f"v{i}", "event_type", "user_id", f"u{i}"))
+        prev = f"v{i}"
+    return ",\n".join(parts), prev
+
+
+_ALS3_CTES, _ALS3_FINAL = _als3_ctes()
+
+ORACLES["als3_factors"] = f"""
+    WITH {_ALS3_CTES}
+    SELECT event_type, CAST(t.d AS INT) AS dim, t.fv AS f
+    FROM {_ALS3_FINAL}, LATERAL (SELECT unnest(f) AS fv,
+                                        generate_subscripts(f, 1) AS d) t
 """

@@ -94,3 +94,46 @@ def test_report_covers_every_cell(spark):
     n_cells = als_ratings(ev).count()
     rep = als_reconstruction_report(ev)
     assert rep.agg(F.sum("n_cells")).collect()[0][0] == n_cells
+
+
+def test_rank3_fits_planted_rank2_better_than_rank1_noise(spark):
+    """General-rank path sanity: on a planted rank-2 matrix, the
+    rank-3 factorization's reconstruction must be essentially exact
+    (the extra dimension can only help)."""
+    from osarchiver_spark.operators.als import als_factors_rank, als_ratings
+
+    rows = []
+    u1 = [0.3, 0.7, 1.1, 0.5]
+    u2 = [0.9, 0.2, 0.4, 1.3]
+    v1 = {"a": 0.5, "b": 1.0, "c": 0.2}
+    v2 = {"a": 0.8, "b": 0.1, "c": 1.2}
+    for ui in range(4):
+        for t in v1:
+            rows.append((ui, t, (u1[ui] * v1[t] + u2[ui] * v2[t]) * 100.0))
+    ev = spark.createDataFrame(rows, "user_id long, event_type string, value double")
+    # λ=0.1 against 3-4 terms per equation shrinks a toy problem
+    # visibly; a light λ isolates the fitting behavior under test
+    u, v = als_factors_rank(ev, rank=3, iters=4, lam=0.01)
+    uf = {r["user_id"]: r["f"] for r in u.collect()}
+    vf = {r["event_type"]: r["f"] for r in v.collect()}
+    worst = 0.0
+    for r in als_ratings(ev).collect():
+        pred = sum(a * b for a, b in zip(uf[r["user_id"]], vf[r["event_type"]]))
+        worst = max(worst, abs(pred - r["r"]))
+    assert worst < 0.05, worst
+
+
+def test_rank_path_arbitrary_init_round_trips(spark):
+    """item_init override is honored (the hook the equality pins and
+    warm-start workflows rely on)."""
+    from osarchiver_spark.operators.als import als_factors_rank
+
+    ev = load_table(spark, SF, "events")
+    init = (
+        ev.select("event_type")
+        .distinct()
+        .select("event_type", F.array(F.lit(1.0), F.lit(0.5)).alias("f"))
+    )
+    u, v = als_factors_rank(ev, rank=2, iters=1, item_init=init)
+    assert {len(r["f"]) for r in v.collect()} == {2}
+    assert {len(r["f"]) for r in u.collect()} == {2}
