@@ -84,6 +84,7 @@ HEADLINE = [
     "doc_fingerprint",
     "doc_chunks",
     "multimodal_metadata",
+    "image_resize",
     # round-3 behavioral / layout / corpus additions
     "funnel_analysis",
     "cohort_retention",

@@ -38,6 +38,7 @@ from osarchiver_spark.operators.multimodal import (
     attach_binary,
     extract_metadata,
     extract_metadata_codec,
+    resize_thumbs,
     sample_frames,
 )
 from osarchiver_spark.operators.scd import scd2_apply, scd2_as_of, scd2_current, scd2_init
@@ -92,6 +93,7 @@ __all__ = [
     "attach_binary",
     "extract_metadata",
     "extract_metadata_codec",
+    "resize_thumbs",
     "sample_frames",
     "scd2_apply",
     "scd2_as_of",

@@ -128,3 +128,57 @@ def sample_frames(df: DataFrame, stride: int = 16) -> DataFrame:
             )
 
     return df.select("doc_id", "payload").mapInPandas(op, FRAMES_SCHEMA)
+
+
+THUMB_SCHEMA = (
+    "doc_id bigint, src_w int, src_h int, dst_w int, dst_h int, thumb binary"
+)
+
+
+def resize_image(payload: bytes, max_dim: int) -> bytes:
+    """Real image resize — stubbed: PIL is not in this container.
+
+    Production swaps this for ``PIL.Image.open(...).thumbnail(...)``.
+    """
+    raise NotImplementedError("image codec not available in this environment")
+
+
+def resize_thumbs(df: DataFrame, max_dim: int = 64) -> DataFrame:
+    """Thumbnail 'resize' over the binary column — the codec-shaped
+    batch-transform path (where ``resize_image`` would run per
+    payload). Stub policy: dimensions come from the deterministic
+    fake decode, the aspect-preserving fit-to-``max_dim`` box is real
+    integer arithmetic, and the 'resized' payload is a deterministic
+    byte prefix — so the Arrow plumbing (binary in, binary out, typed
+    dims) is exercised for real and the oracle can recompute every
+    output from the source text. Payloads never visit the driver."""
+    import math
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "doc_id": pdf["doc_id"],
+                "src_w": [],
+                "src_h": [],
+                "dst_w": [],
+                "dst_h": [],
+                "thumb": [],
+            }
+            for b in pdf["payload"]:
+                raw = bytes(b)
+                magic = int.from_bytes(raw[:4].ljust(4, b"\0"), "big")
+                w, h = _fake_dims(magic)
+                # (w * max_dim) / longest — SAME association order as the
+                # SQL oracle; w * (max_dim / longest) differs by one ulp
+                # exactly when the division is exact (e.g. w == longest)
+                longest = max(w, h)
+                dw = max(1, math.floor(w * max_dim / longest))
+                dh = max(1, math.floor(h * max_dim / longest))
+                out["src_w"].append(w)
+                out["src_h"].append(h)
+                out["dst_w"].append(dw)
+                out["dst_h"].append(dh)
+                out["thumb"].append(raw[:dw])
+            yield pd.DataFrame(out)
+
+    return df.select("doc_id", "payload").mapInPandas(op, THUMB_SCHEMA)

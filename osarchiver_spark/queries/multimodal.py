@@ -8,7 +8,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from osarchiver_spark.operators.multimodal import attach_binary, extract_metadata, sample_frames
+from osarchiver_spark.operators.multimodal import (
+    attach_binary,
+    extract_metadata,
+    resize_thumbs,
+    sample_frames,
+)
 from osarchiver_spark.sources.parquet import load_table
 
 FRAME_STRIDE = 16
@@ -34,9 +39,27 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The resize verb of the multimodal surface: aspect-preserving
+    fit into a 64px box over the binary column, thumbnails emitted as
+    bytes (hashed to a hex string here so every output column is
+    canonicalizer-sortable). The Arrow batch shape — binary in,
+    binary out, typed dims — is the real plumbing a PIL-backed
+    resize drops into (operators/multimodal.py::resize_image is the
+    fenced codec hook)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = resize_thumbs(attach_binary(docs, "doc_id", "text"), max_dim=64)
+    return t.select(
+        "doc_id", "src_w", "src_h", "dst_w", "dst_h",
+        F.length("thumb").cast("int").alias("thumb_len"),
+        F.md5("thumb").alias("thumb_md5"),
+    )
+
+
 QUERIES = {
     "multimodal_metadata": q_multimodal_metadata,
     "frame_sample": q_frame_sample,
+    "image_resize": q_image_resize,
 }
 
 ORACLES = {
@@ -67,3 +90,27 @@ ORACLES = {
         FROM f
     """,
 }
+
+ORACLES["image_resize"] = """
+    WITH m AS (
+        SELECT doc_id, text, length(text) AS blen,
+               ascii(substr(text, 1, 1)) * 16777216
+               + ascii(substr(text, 2, 1)) * 65536
+               + ascii(substr(text, 3, 1)) * 256
+               + ascii(substr(text, 4, 1)) AS magic
+        FROM documents),
+    d AS (
+        SELECT doc_id, text, blen,
+               CAST(64 + magic % 960 AS INT) AS src_w,
+               CAST(64 + (magic // 256) % 960 AS INT) AS src_h
+        FROM m)
+    SELECT doc_id, src_w, src_h,
+           CAST(greatest(1, floor(src_w * 64.0 / greatest(src_w, src_h))) AS INT) AS dst_w,
+           CAST(greatest(1, floor(src_h * 64.0 / greatest(src_w, src_h))) AS INT) AS dst_h,
+           CAST(least(blen, greatest(1, floor(src_w * 64.0 / greatest(src_w, src_h)))) AS INT)
+               AS thumb_len,
+           md5(substr(text, 1,
+               CAST(greatest(1, floor(src_w * 64.0 / greatest(src_w, src_h))) AS INT)))
+               AS thumb_md5
+    FROM d
+"""
