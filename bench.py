@@ -85,6 +85,7 @@ HEADLINE = [
     "doc_chunks",
     "multimodal_metadata",
     "image_resize",
+    "audio_features",
     # round-3 behavioral / layout / corpus additions
     "funnel_analysis",
     "cohort_retention",

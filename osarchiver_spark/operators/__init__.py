@@ -36,6 +36,7 @@ from osarchiver_spark.operators.semdedup import (
 from osarchiver_spark.operators.merge import merge_insert_if_absent, merge_upsert
 from osarchiver_spark.operators.multimodal import (
     attach_binary,
+    audio_features,
     extract_metadata,
     extract_metadata_codec,
     resize_thumbs,
@@ -91,6 +92,7 @@ __all__ = [
     "merge_insert_if_absent",
     "merge_upsert",
     "attach_binary",
+    "audio_features",
     "extract_metadata",
     "extract_metadata_codec",
     "resize_thumbs",

@@ -182,3 +182,50 @@ def resize_thumbs(df: DataFrame, max_dim: int = 64) -> DataFrame:
             yield pd.DataFrame(out)
 
     return df.select("doc_id", "payload").mapInPandas(op, THUMB_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = "doc_id bigint, window_idx int, n_samples int, rms double"
+AUDIO_WINDOW = 256
+
+
+def decode_audio(payload: bytes) -> list[float]:
+    """Real audio decode — stubbed: no audio codec in this container.
+
+    Production swaps this for ``soundfile``/``torchaudio`` decode.
+    """
+    raise NotImplementedError("audio codec not available in this environment")
+
+
+def audio_features(df: DataFrame, window: int = AUDIO_WINDOW) -> DataFrame:
+    """Feature extraction over the binary column: per-window RMS
+    energy of the (fake-decoded) PCM stream — the windowed-feature
+    shape a real torchaudio/librosa extractor drops into. Stub
+    policy: 'PCM' samples are the payload's centered byte values, so
+    every feature is recomputable from the source text by the oracle
+    while the Arrow plumbing (binary in, window explode, typed
+    feature rows out) is exercised for real. Integer sums keep the
+    arithmetic exact in any engine; only the final sqrt/round is
+    float."""
+    import numpy as np
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, widx, ns, rms = [], [], [], []
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                x = np.frombuffer(bytes(b), dtype=np.uint8).astype("int64") - 128
+                for w in range(0, len(x), window):
+                    seg = x[w : w + window]
+                    ids.append(doc_id)
+                    widx.append(w // window)
+                    ns.append(len(seg))
+                    rms.append(round(float(np.sqrt((seg * seg).sum() / len(seg))), 4))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "window_idx": pd.Series(widx, dtype="int32"),
+                    "n_samples": pd.Series(ns, dtype="int32"),
+                    "rms": pd.Series(rms, dtype="float64"),
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(op, AUDIO_FEATURES_SCHEMA)

@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from osarchiver_spark.operators.multimodal import (
     attach_binary,
+    audio_features,
     extract_metadata,
     resize_thumbs,
     sample_frames,
@@ -56,7 +57,17 @@ def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The feature-extract verb of the multimodal surface: per-window
+    RMS energy over the (fake-decoded) PCM stream. Window sums are
+    integer-exact, so the oracle recomputes identical features from
+    the source characters."""
+    docs = load_table(spark, sf_dir, "documents")
+    return audio_features(attach_binary(docs, "doc_id", "text"))
+
+
 QUERIES = {
+    "audio_features": q_audio_features,
     "multimodal_metadata": q_multimodal_metadata,
     "frame_sample": q_frame_sample,
     "image_resize": q_image_resize,
@@ -113,4 +124,16 @@ ORACLES["image_resize"] = """
                CAST(greatest(1, floor(src_w * 64.0 / greatest(src_w, src_h))) AS INT)))
                AS thumb_md5
     FROM d
+"""
+
+ORACLES["audio_features"] = """
+    WITH samples AS (
+        SELECT doc_id,
+               CAST((t.i - 1) // 256 AS INT) AS window_idx,
+               ascii(substr(text, CAST(t.i AS INT), 1)) - 128 AS x
+        FROM documents, LATERAL (SELECT unnest(range(1, length(text) + 1)) AS i) t)
+    SELECT doc_id, window_idx,
+           CAST(count(*) AS INT) AS n_samples,
+           round(sqrt(sum(x * x) / count(*)), 4) AS rms
+    FROM samples GROUP BY doc_id, window_idx
 """
