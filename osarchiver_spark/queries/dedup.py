@@ -209,6 +209,35 @@ def q_dedup_embedding_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+
+
+def q_dedup_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-parameter calibration: recall of the banded MinHash-LSH
+    candidate generator against exact Jaccard >= threshold on the
+    bounded evaluation subset — the number that sizes (num_hashes,
+    bands) before a corpus-wide run. Precision is 1 by construction
+    (the verify stage IS exact Jaccard); the recall shortfall is
+    exactly the banding miss rate. Three one-row count aggregates
+    joined into a single report row."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < NGRAM_CAP)
+    exact = ngram_jaccard_pairs(
+        docs, "doc_id", "text", shingle_n=3, threshold=MINHASH_THRESHOLD
+    ).select("doc_a", "doc_b")
+    lsh = minhash_lsh_pairs(
+        docs, "doc_id", "text",
+        shingle_n=3, num_hashes=NUM_HASHES, bands=BANDS, threshold=MINHASH_THRESHOLD,
+    ).select("doc_a", "doc_b")
+    ne = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    nl = lsh.agg(F.count(F.lit(1)).alias("n_lsh"))
+    nb = exact.join(lsh, ["doc_a", "doc_b"], "left_semi").agg(
+        F.count(F.lit(1)).alias("n_both")
+    )
+    j = ne.crossJoin(nl).crossJoin(nb)
+    prec = F.when(F.col("n_lsh") > 0, F.round(F.col("n_both") / F.col("n_lsh"), 6)).otherwise(0.0)
+    rec = F.when(F.col("n_exact") > 0, F.round(F.col("n_both") / F.col("n_exact"), 6)).otherwise(0.0)
+    return j.select("n_exact", "n_lsh", "n_both", prec.alias("precision"), rec.alias("recall"))
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive closure over the MinHash-LSH pair graph: one
     (doc_id, cluster_rep) row per document in any near-dup pair —
@@ -323,6 +352,7 @@ QUERIES = {
     "dedup_streaming": q_dedup_streaming,
     "semdedup": q_semdedup,
     "dedup_embedding_incremental": q_dedup_embedding_incremental,
+    "dedup_lsh_eval": q_dedup_lsh_eval,
     "semantic_clusters": q_semantic_clusters,
 }
 
@@ -687,3 +717,26 @@ ORACLES["dedup_embedding_incremental"] = f"""
                        sqrt(list_dot_product(c.e, c.e)), 0), 0), 6)
           >= {EMBED_THRESHOLD}
 """
+
+
+def _lsh_eval_oracle() -> str:
+    capped_minhash = ORACLES["dedup_minhash_lsh"].replace(
+        "FROM documents", f"FROM documents\n            WHERE doc_id < {NGRAM_CAP}"
+    )
+    exact_sql = ORACLES["dedup_ngram_jaccard"]
+    return f"""
+        WITH exact AS (
+            SELECT doc_a, doc_b FROM ({exact_sql}) WHERE jaccard >= {MINHASH_THRESHOLD}),
+        lsh AS (SELECT doc_a, doc_b FROM ({capped_minhash})),
+        agree AS (SELECT doc_a, doc_b FROM exact INTERSECT SELECT doc_a, doc_b FROM lsh),
+        c AS (SELECT (SELECT count(*) FROM exact) AS n_exact,
+                     (SELECT count(*) FROM lsh) AS n_lsh,
+                     (SELECT count(*) FROM agree) AS n_both)
+        SELECT n_exact, n_lsh, n_both,
+               CASE WHEN n_lsh > 0 THEN round(CAST(n_both AS DOUBLE) / n_lsh, 6) ELSE 0.0 END AS precision,
+               CASE WHEN n_exact > 0 THEN round(CAST(n_both AS DOUBLE) / n_exact, 6) ELSE 0.0 END AS recall
+        FROM c
+    """
+
+
+ORACLES["dedup_lsh_eval"] = _lsh_eval_oracle()

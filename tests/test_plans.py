@@ -324,6 +324,7 @@ def test_registry_wide_plan_audit(spark):
         "fuzzy_match": "distinct event-type vocabulary (|types|² pairs)",
         "key_skew_report": "one-row global count aggregate",
         "psi_drift": "one-row time-span aggregate",
+        "dedup_lsh_eval": "three one-row count aggregates",
         "q11_important_stock": "one-row HAVING threshold aggregate",
         "q22_global_sales_opportunity": "one-row global average",
         "quality_curriculum": "one-row exact-percentile boundaries",
