@@ -246,3 +246,40 @@ def test_embedding_incremental_matches_brute_force(spark, sf_small):
     }
     assert got == exact
     assert all(n % 10 == 3 and c % 10 != 3 for n, c in got)
+
+
+def test_resize_fits_box_and_preserves_aspect(spark, sf_small):
+    from osarchiver_spark.operators.multimodal import attach_binary, resize_thumbs
+
+    docs = load_table(spark, sf_small, "documents")
+    out = resize_thumbs(attach_binary(docs, "doc_id", "text"), max_dim=64).collect()
+    assert out
+    for r in out:
+        assert 1 <= r["dst_w"] <= 64 and 1 <= r["dst_h"] <= 64
+        assert max(r["dst_w"], r["dst_h"]) == 64  # longest side saturates the box
+        # aspect preserved within the 1px floor granularity (the
+        # error bound scales with the ratio over the short side)
+        src_ar = r["src_w"] / r["src_h"]
+        dst_ar = r["dst_w"] / r["dst_h"]
+        assert abs(src_ar - dst_ar) <= src_ar / min(r["dst_w"], r["dst_h"])
+        assert len(r["thumb"]) == min(r["dst_w"], len(r["thumb"]) or r["dst_w"])
+
+
+def test_audio_features_window_accounting(spark, sf_small):
+    from osarchiver_spark.operators.multimodal import (
+        AUDIO_WINDOW,
+        attach_binary,
+        audio_features,
+    )
+    import math
+
+    docs = load_table(spark, sf_small, "documents")
+    lens = {r["doc_id"]: len(r["text"].encode()) for r in docs.collect()}
+    out = audio_features(attach_binary(docs, "doc_id", "text")).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, rows in by_doc.items():
+        assert len(rows) == math.ceil(lens[doc_id] / AUDIO_WINDOW)
+        assert sum(r["n_samples"] for r in rows) == lens[doc_id]
+        assert all(r["rms"] >= 0 for r in rows)
