@@ -25,3 +25,17 @@ def test_prioritize_is_total_and_stable():
     q = reg.all_queries()
     assert sorted(q) == sorted(reg.all_queries())  # same set, any order
     assert len(q) == len(set(q))
+
+
+def test_bench_headline_is_a_registry_subset():
+    """Every bench headline entry must exist in the registry — a
+    renamed or dropped query would otherwise silently null its bench
+    timing instead of failing the build."""
+    import bench
+
+    from osarchiver_spark.queries import all_queries
+
+    registry = set(all_queries())
+    missing = [n for n in bench.HEADLINE if n not in registry]
+    assert not missing, missing
+    assert len(set(bench.HEADLINE)) == len(bench.HEADLINE), "duplicate headline entries"
