@@ -352,5 +352,18 @@ def test_registry_wide_plan_audit(spark):
             offenders[name] = "CartesianProduct"
         elif "BroadcastNestedLoopJoin" in plan and name not in BNLJ_OK:
             offenders[name] = "unexplained BroadcastNestedLoopJoin"
+        # canonicalizer safety: the driver's order-insensitive hash
+        # sorts/factorizes every column, which needs hashable scalars —
+        # a top-level array/map/struct column is the frame_sample
+        # round-2 failure shape
+        from pyspark.sql import types as T
+
+        complex_cols = [
+            f.name
+            for f in df.schema.fields
+            if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+        ]
+        if complex_cols:
+            offenders[name] = f"non-scalar output columns {complex_cols}"
         spark.catalog.clearCache()
     assert not offenders, offenders
