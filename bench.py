@@ -69,6 +69,7 @@ HEADLINE = [
     "token_budget_sample",
     "lr_train",
     "als_factors",
+    "adaboost_train",
     "unigram_logprob",
     "pii_scrub",
     "label_centroids",

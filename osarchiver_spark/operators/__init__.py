@@ -23,6 +23,7 @@ from osarchiver_spark.operators.dedup import (
 from osarchiver_spark.operators.export import export_training_set
 from osarchiver_spark.operators.graph import pagerank, trade_graph_edges
 from osarchiver_spark.operators.als import als_factors, als_factors_rank, als_reconstruction_report
+from osarchiver_spark.operators.boost import adaboost_score_by_source, adaboost_train
 from osarchiver_spark.operators.bpe import bpe_segment_counts, bpe_train, bpe_vocab
 from osarchiver_spark.operators.ivf import ivf_topk, kmeans_fit
 from osarchiver_spark.operators.lr import lr_features, lr_score_by_source, lr_train
@@ -74,6 +75,8 @@ __all__ = [
     "als_factors",
     "als_factors_rank",
     "als_reconstruction_report",
+    "adaboost_score_by_source",
+    "adaboost_train",
     "bpe_segment_counts",
     "bpe_train",
     "bpe_vocab",

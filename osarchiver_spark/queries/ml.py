@@ -163,12 +163,39 @@ def q_als3_factors(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_type", (F.col("pos") + 1).cast("int").alias("dim"), "f")
 
 
+
+def q_adaboost_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AdaBoost stump model over the distillation task — one row per
+    boosting round (operators/boost.py). Every round's stump
+    selection, alpha and weight renormalization is quantized, so the
+    oracle replays the full boost as CTEs; validated bit-equal
+    against an independent numpy AdaBoost."""
+    from osarchiver_spark.operators.boost import MODEL_SCHEMA, adaboost_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    model, d = adaboost_train(docs)
+    d.unpersist()
+    return spark.createDataFrame(model, MODEL_SCHEMA)
+
+
+def q_adaboost_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ensemble accuracy of the boosted stumps per source — the
+    nonlinear counterpart of lr_score (boosting captures the
+    threshold structure a single linear gate smooths over)."""
+    from osarchiver_spark.operators.boost import adaboost_score_by_source
+
+    docs = load_table(spark, sf_dir, "documents")
+    return adaboost_score_by_source(docs)
+
+
 QUERIES = {
     "lr_train": q_lr_train,
     "lr_score": q_lr_score,
     "lr_pr_curve": q_lr_pr_curve,
     "als_factors": q_als_factors,
     "lr_calibration": q_lr_calibration,
+    "adaboost_train": q_adaboost_train,
+    "adaboost_score": q_adaboost_score,
     "als_rmse": q_als_rmse,
     "als3_factors": q_als3_factors,
 }
@@ -390,4 +417,100 @@ ORACLES["als3_factors"] = f"""
     SELECT event_type, CAST(t.d AS INT) AS dim, t.fv AS f
     FROM {_ALS3_FINAL}, LATERAL (SELECT unnest(f) AS fv,
                                         generate_subscripts(f, 1) AS d) t
+"""
+
+
+def _boost_ctes() -> tuple[str, str]:
+    from osarchiver_spark.operators.boost import (
+        ALPHA_QUANT,
+        BOOST_ROUNDS,
+        EPS_QUANT,
+        THETA_GRID,
+        WEIGHT_QUANT,
+    )
+    from osarchiver_spark.operators.lr import QUALITY_GATE
+
+    bfeat = f"""bfeat AS (
+        SELECT CASE WHEN round(0.5 * stop_r + 0.3 * len_score + 0.2 * (1.0 - punct_r), 6)
+                         >= {QUALITY_GATE} THEN 1.0 ELSE -1.0 END AS y,
+               stop_r AS x1, len_score AS x2, source,
+               row_number() OVER (ORDER BY doc_id) AS rid
+        FROM (
+            SELECT doc_id, source,
+                   CASE WHEN len(ltoks) > 0
+                        THEN CAST(len(list_filter(ltoks, t -> list_contains({_EN_MARKERS}, t))) AS DOUBLE)
+                             / len(ltoks)
+                        ELSE 0.0 END AS stop_r,
+                   least(len(toks) / 100.0, 1.0) AS len_score,
+                   CASE WHEN length(text) > 0
+                        THEN CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+                             / length(text)
+                        ELSE 0.0 END AS punct_r
+            FROM (SELECT doc_id, source, text, {_SQL_TOKS} AS toks, {_SQL_TOKS_LOWER} AS ltoks
+                  FROM documents)))"""
+    grid = (
+        "stumps AS (SELECT f.fid, CAST(t.theta AS DOUBLE) AS theta, "
+        "CAST(p.pol AS DOUBLE) AS pol FROM (VALUES (1), (2)) f(fid), (VALUES "
+        + ", ".join(f"({g})" for g in THETA_GRID)
+        + ") t(theta), (VALUES (1.0), (-1.0)) p(pol))"
+    )
+    parts = [bfeat, grid,
+             "w0 AS (SELECT rid, 1.0 / (SELECT count(*) FROM bfeat) AS w FROM bfeat)"]
+    h = ("(CASE WHEN (CASE WHEN s.fid = 1 THEN d.x1 ELSE d.x2 END) >= s.theta "
+         "THEN s.pol ELSE -s.pol END)")
+    for t in range(1, BOOST_ROUNDS + 1):
+        pw = f"w{t-1}"
+        parts.append(
+            f"e{t} AS (SELECT s.fid, s.theta, s.pol, "
+            f"round(sum(CASE WHEN {h} <> d.y THEN w.w ELSE 0.0 END), {EPS_QUANT}) AS eps "
+            f"FROM bfeat d JOIN {pw} w USING (rid), stumps s GROUP BY 1, 2, 3)"
+        )
+        parts.append(
+            f"b{t} AS (SELECT fid, theta, pol, eps, "
+            f"round(0.5 * ln((1.0 - eps) / eps), {ALPHA_QUANT}) AS alpha "
+            f"FROM e{t} ORDER BY eps, fid, theta, pol LIMIT 1)"
+        )
+        parts.append(
+            f"u{t} AS (SELECT d.rid, w.w * exp(-b.alpha * d.y * "
+            f"(CASE WHEN (CASE WHEN b.fid = 1 THEN d.x1 ELSE d.x2 END) >= b.theta "
+            f"THEN b.pol ELSE -b.pol END)) AS w "
+            f"FROM bfeat d JOIN {pw} w USING (rid), b{t} b)"
+        )
+        parts.append(
+            f"w{t} AS (SELECT rid, round(w / (SELECT sum(w) FROM u{t}), "
+            f"{WEIGHT_QUANT}) AS w FROM u{t})"
+        )
+    model = " UNION ALL ".join(
+        f"SELECT {t} AS round, fid, theta, pol, eps, alpha FROM b{t}"
+        for t in range(1, BOOST_ROUNDS + 1)
+    )
+    parts.append(f"model AS ({model})")
+    return ",\n".join(parts), "model"
+
+
+_BOOST_CTES, _ = _boost_ctes()
+
+ORACLES["adaboost_train"] = f"""
+    WITH {_BOOST_CTES}
+    SELECT CAST(round AS INT) AS round, CAST(fid AS INT) AS feature,
+           theta, pol AS polarity, eps, alpha
+    FROM model
+"""
+
+ORACLES["adaboost_score"] = f"""
+    WITH {_BOOST_CTES},
+    margins AS (
+        SELECT d.rid, d.source, d.y,
+               sum(m.alpha * (CASE WHEN (CASE WHEN m.fid = 1 THEN d.x1 ELSE d.x2 END)
+                                        >= m.theta THEN m.pol ELSE -m.pol END)) AS margin
+        FROM bfeat d, model m GROUP BY 1, 2, 3),
+    preds AS (
+        SELECT source, y, CASE WHEN margin >= 0 THEN 1.0 ELSE -1.0 END AS pred
+        FROM margins)
+    SELECT source, count(*) AS n,
+           CAST(sum(CASE WHEN y > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+           CAST(sum(CASE WHEN pred > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pred_pos,
+           CAST(sum(CASE WHEN y = pred THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+           round(sum(CASE WHEN y = pred THEN 1 ELSE 0 END) / count(*), 6) AS accuracy
+    FROM preds GROUP BY source
 """
