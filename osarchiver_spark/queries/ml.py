@@ -188,6 +188,56 @@ def q_adaboost_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return adaboost_score_by_source(docs)
 
 
+
+def q_labeling_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weak-supervision diagnostics: three heuristic labeling
+    functions with abstain semantics (stopword density, token count,
+    punctuation) scored against the quality gate — the
+    coverage/accuracy report a Snorkel-style label model starts
+    from. One scan, three codegen vote columns, one unpivoted
+    aggregate."""
+    from pyspark.sql import functions as F
+
+    from osarchiver_spark.functions.text import punct_ratio, stopword_ratio, token_count
+    from osarchiver_spark.operators.lr import QUALITY_GATE
+
+    docs = load_table(spark, sf_dir, "documents")
+    stop_r = stopword_ratio(F.col("text"))
+    n_toks = token_count(F.col("text"))
+    punct_r = punct_ratio(F.col("text"))
+    len_score = F.least(n_toks.cast("double") / 100.0, F.lit(1.0))
+    quality = 0.5 * stop_r + 0.3 * len_score + 0.2 * (1.0 - punct_r)
+    y = F.when(F.round(quality, 6) >= QUALITY_GATE, 1).otherwise(0)
+    # votes: 1 / 0 / NULL (abstain)
+    lf_stop = F.when(stop_r >= 0.2, 1).when(stop_r <= 0.05, 0)
+    lf_len = F.when(n_toks >= 60, 1).when(n_toks <= 20, 0)
+    lf_punct = F.when(punct_r <= 0.02, 1).when(punct_r >= 0.1, 0)
+    base = docs.select(
+        y.alias("y"),
+        lf_stop.alias("lf_stopword"),
+        lf_len.alias("lf_length"),
+        lf_punct.alias("lf_punct"),
+    )
+    n_docs = F.count(F.lit(1))
+    out = None
+    for lf in ("lf_stopword", "lf_length", "lf_punct"):
+        active = F.col(lf).isNotNull()
+        correct = (F.col(lf) == F.col("y")).cast("long")
+        row = base.agg(
+            F.lit(lf).alias("lf"),
+            F.sum(active.cast("long")).alias("n_active"),
+            F.sum(F.when(active, correct).otherwise(0)).alias("n_correct"),
+            F.round(F.sum(active.cast("long")) / n_docs, 6).alias("coverage"),
+            F.round(
+                F.sum(F.when(active, correct).otherwise(0))
+                / F.sum(active.cast("long")),
+                6,
+            ).alias("accuracy"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
 QUERIES = {
     "lr_train": q_lr_train,
     "lr_score": q_lr_score,
@@ -196,6 +246,7 @@ QUERIES = {
     "lr_calibration": q_lr_calibration,
     "adaboost_train": q_adaboost_train,
     "adaboost_score": q_adaboost_score,
+    "labeling_functions": q_labeling_functions,
     "als_rmse": q_als_rmse,
     "als3_factors": q_als3_factors,
 }
@@ -514,3 +565,46 @@ ORACLES["adaboost_score"] = f"""
            round(sum(CASE WHEN y = pred THEN 1 ELSE 0 END) / count(*), 6) AS accuracy
     FROM preds GROUP BY source
 """
+
+
+def _lf_oracle() -> str:
+    from osarchiver_spark.operators.lr import QUALITY_GATE
+
+    lf_defs = {
+        "lf_stopword": "CASE WHEN stop_r >= 0.2 THEN 1 WHEN stop_r <= 0.05 THEN 0 END",
+        "lf_length": "CASE WHEN n_toks >= 60 THEN 1 WHEN n_toks <= 20 THEN 0 END",
+        "lf_punct": "CASE WHEN punct_r <= 0.02 THEN 1 WHEN punct_r >= 0.1 THEN 0 END",
+    }
+    rows = " UNION ALL ".join(
+        f"""SELECT '{name}' AS lf,
+               CAST(sum(CASE WHEN {expr} IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_active,
+               CAST(sum(CASE WHEN {expr} = y THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+               round(sum(CASE WHEN {expr} IS NOT NULL THEN 1 ELSE 0 END) / count(*), 6) AS coverage,
+               round(sum(CASE WHEN {expr} = y THEN 1 ELSE 0 END)
+                     / sum(CASE WHEN {expr} IS NOT NULL THEN 1 ELSE 0 END), 6) AS accuracy
+        FROM lf_base"""
+        for name, expr in lf_defs.items()
+    )
+    return f"""
+        WITH lf_base AS (
+            SELECT CASE WHEN round(0.5 * stop_r + 0.3 * least(n_toks / 100.0, 1.0)
+                                   + 0.2 * (1.0 - punct_r), 6) >= {QUALITY_GATE}
+                        THEN 1 ELSE 0 END AS y,
+                   stop_r, n_toks, punct_r
+            FROM (
+                SELECT CASE WHEN len(ltoks) > 0
+                            THEN CAST(len(list_filter(ltoks, t -> list_contains({_EN_MARKERS}, t))) AS DOUBLE)
+                                 / len(ltoks)
+                            ELSE 0.0 END AS stop_r,
+                       len(toks) AS n_toks,
+                       CASE WHEN length(text) > 0
+                            THEN CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+                                 / length(text)
+                            ELSE 0.0 END AS punct_r
+                FROM (SELECT text, {_SQL_TOKS} AS toks, {_SQL_TOKS_LOWER} AS ltoks
+                      FROM documents)))
+        {rows}
+    """
+
+
+ORACLES["labeling_functions"] = _lf_oracle()
