@@ -238,6 +238,48 @@ def q_labeling_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+
+def q_lf_majority_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The label-model decision over the three abstaining labelers:
+    per document, majority vote of the ACTIVE labeling functions
+    (ties and all-abstain → abstain), reported per source as
+    coverage and accuracy against the quality gate — what the
+    weak-supervision pipeline ships to training when no hand labels
+    exist. Same one-scan codegen shape as labeling_functions."""
+    from pyspark.sql import functions as F
+
+    from osarchiver_spark.functions.text import punct_ratio, stopword_ratio, token_count
+    from osarchiver_spark.operators.lr import QUALITY_GATE
+
+    docs = load_table(spark, sf_dir, "documents")
+    stop_r = stopword_ratio(F.col("text"))
+    n_toks = token_count(F.col("text"))
+    punct_r = punct_ratio(F.col("text"))
+    len_score = F.least(n_toks.cast("double") / 100.0, F.lit(1.0))
+    quality = 0.5 * stop_r + 0.3 * len_score + 0.2 * (1.0 - punct_r)
+    y = F.when(F.round(quality, 6) >= QUALITY_GATE, 1).otherwise(0)
+    lf_stop = F.when(stop_r >= 0.2, 1).when(stop_r <= 0.05, 0)
+    lf_len = F.when(n_toks >= 60, 1).when(n_toks <= 20, 0)
+    lf_punct = F.when(punct_r <= 0.02, 1).when(punct_r >= 0.1, 0)
+    # NULL-safe tally: an abstaining LF contributes 0, not NULL
+    pos = sum(F.when(lf == 1, 1).otherwise(0) for lf in (lf_stop, lf_len, lf_punct))
+    neg = sum(F.when(lf == 0, 1).otherwise(0) for lf in (lf_stop, lf_len, lf_punct))
+    vote = F.when(pos > neg, 1).when(neg > pos, 0)  # tie/all-abstain -> NULL
+    base = docs.select("source", y.alias("y"), vote.alias("vote"))
+    active = F.col("vote").isNotNull()
+    correct = F.when(active & (F.col("vote") == F.col("y")), 1).otherwise(0).cast("long")
+    return base.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(active.cast("long")).alias("n_voted"),
+        F.sum(correct).alias("n_correct"),
+        F.round(F.sum(active.cast("long")) / F.count(F.lit(1)), 6).alias("coverage"),
+        F.when(
+            F.sum(active.cast("long")) > 0,
+            F.round(F.sum(correct) / F.sum(active.cast("long")), 6),
+        ).otherwise(0.0).alias("accuracy"),
+    )
+
+
 QUERIES = {
     "lr_train": q_lr_train,
     "lr_score": q_lr_score,
@@ -247,6 +289,7 @@ QUERIES = {
     "adaboost_train": q_adaboost_train,
     "adaboost_score": q_adaboost_score,
     "labeling_functions": q_labeling_functions,
+    "lf_majority_vote": q_lf_majority_vote,
     "als_rmse": q_als_rmse,
     "als3_factors": q_als3_factors,
 }
@@ -608,3 +651,55 @@ def _lf_oracle() -> str:
 
 
 ORACLES["labeling_functions"] = _lf_oracle()
+
+
+def _lf_vote_oracle() -> str:
+    from osarchiver_spark.operators.lr import QUALITY_GATE
+
+    return f"""
+        WITH lf_base AS (
+            SELECT source,
+                   CASE WHEN round(0.5 * stop_r + 0.3 * least(n_toks / 100.0, 1.0)
+                                   + 0.2 * (1.0 - punct_r), 6) >= {QUALITY_GATE}
+                        THEN 1 ELSE 0 END AS y,
+                   CASE WHEN stop_r >= 0.2 THEN 1 WHEN stop_r <= 0.05 THEN 0 END AS lf1,
+                   CASE WHEN n_toks >= 60 THEN 1 WHEN n_toks <= 20 THEN 0 END AS lf2,
+                   CASE WHEN punct_r <= 0.02 THEN 1 WHEN punct_r >= 0.1 THEN 0 END AS lf3
+            FROM (
+                SELECT source,
+                       CASE WHEN len(ltoks) > 0
+                            THEN CAST(len(list_filter(ltoks, t -> list_contains({_EN_MARKERS}, t))) AS DOUBLE)
+                                 / len(ltoks)
+                            ELSE 0.0 END AS stop_r,
+                       len(toks) AS n_toks,
+                       CASE WHEN length(text) > 0
+                            THEN CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+                                 / length(text)
+                            ELSE 0.0 END AS punct_r
+                FROM (SELECT source, text, {_SQL_TOKS} AS toks, {_SQL_TOKS_LOWER} AS ltoks
+                      FROM documents))),
+        voted AS (
+            SELECT source, y,
+                   CASE WHEN pos > neg THEN 1 WHEN neg > pos THEN 0 END AS vote
+            FROM (
+                SELECT source, y,
+                       (CASE WHEN lf1 = 1 THEN 1 ELSE 0 END
+                        + CASE WHEN lf2 = 1 THEN 1 ELSE 0 END
+                        + CASE WHEN lf3 = 1 THEN 1 ELSE 0 END) AS pos,
+                       (CASE WHEN lf1 = 0 THEN 1 ELSE 0 END
+                        + CASE WHEN lf2 = 0 THEN 1 ELSE 0 END
+                        + CASE WHEN lf3 = 0 THEN 1 ELSE 0 END) AS neg
+                FROM lf_base))
+        SELECT source, count(*) AS n,
+               CAST(sum(CASE WHEN vote IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_voted,
+               CAST(sum(CASE WHEN vote = y THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+               round(sum(CASE WHEN vote IS NOT NULL THEN 1 ELSE 0 END) / count(*), 6) AS coverage,
+               CASE WHEN sum(CASE WHEN vote IS NOT NULL THEN 1 ELSE 0 END) > 0
+                    THEN round(sum(CASE WHEN vote = y THEN 1 ELSE 0 END)
+                               / sum(CASE WHEN vote IS NOT NULL THEN 1 ELSE 0 END), 6)
+                    ELSE 0.0 END AS accuracy
+        FROM voted GROUP BY source
+    """
+
+
+ORACLES["lf_majority_vote"] = _lf_vote_oracle()
