@@ -306,8 +306,50 @@ def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q_source_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mix-shift table: each source's token share of the corpus
+    BEFORE vs AFTER the quality gate — the check that a filter isn't
+    silently re-weighting the data mix (a gate that loves one source
+    changes the trained distribution as surely as a sampler would).
+    One scan computes per-source doc/token counts and gated
+    counterparts; two one-row totals broadcast back for the shares."""
+    from osarchiver_spark.functions.text import punct_ratio, stopword_ratio, token_count
+    from osarchiver_spark.operators.lr import QUALITY_GATE
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_toks = token_count(F.col("text"))
+    stop_r = stopword_ratio(F.col("text"))
+    len_score = F.least(n_toks.cast("double") / 100.0, F.lit(1.0))
+    quality = 0.5 * stop_r + 0.3 * len_score + 0.2 * (1.0 - punct_ratio(F.col("text")))
+    kept = F.round(quality, 6) >= QUALITY_GATE
+    per_src = docs.select("source", n_toks.alias("nt"), kept.alias("kept")).groupBy(
+        "source"
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("nt").cast("long").alias("n_tokens"),
+        F.sum(F.col("kept").cast("long")).alias("n_docs_kept"),
+        F.sum(F.when(F.col("kept"), F.col("nt")).otherwise(0)).cast("long").alias("n_tokens_kept"),
+    )
+    totals = per_src.agg(
+        F.sum("n_tokens").alias("t_all"), F.sum("n_tokens_kept").alias("t_kept")
+    )
+    j = per_src.crossJoin(F.broadcast(totals))
+    share_before = F.round(F.col("n_tokens") / F.col("t_all"), 6)
+    share_after = F.when(
+        F.col("t_kept") > 0, F.round(F.col("n_tokens_kept") / F.col("t_kept"), 6)
+    ).otherwise(0.0)
+    return j.select(
+        "source", "n_docs", "n_tokens", "n_docs_kept", "n_tokens_kept",
+        share_before.alias("share_before"),
+        share_after.alias("share_after"),
+        F.round(share_after - share_before, 6).alias("shift"),
+    )
+
+
 QUERIES = {
     "token_budget_sample": q_token_budget_sample,
+    "source_mix_shift": q_source_mix_shift,
     "vocab_coverage": q_vocab_coverage,
     "sample_split": q_sample_split,
     "class_cap_sample": q_class_cap_sample,
@@ -481,3 +523,41 @@ ORACLES["token_budget_sample"] = f"""
     SELECT doc_id, source, quality, n_tokens, cum_tokens
     FROM cum WHERE cum_tokens - n_tokens < {TOKEN_BUDGET_PER_SOURCE}
 """
+
+
+def _mix_shift_oracle() -> str:
+    from osarchiver_spark.operators.lr import QUALITY_GATE
+
+    return f"""
+        WITH base AS (
+            SELECT source, len(toks) AS nt,
+                   round(0.5 * (CASE WHEN len(ltoks) > 0
+                           THEN CAST(len(list_filter(ltoks,
+                                t -> list_contains(['the','and','of','to','a','in','is','it'], t))) AS DOUBLE)
+                                / len(ltoks) ELSE 0.0 END)
+                         + 0.3 * least(len(toks) / 100.0, 1.0)
+                         + 0.2 * (1.0 - CASE WHEN length(text) > 0
+                           THEN CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+                                / length(text) ELSE 0.0 END), 6) >= {QUALITY_GATE} AS kept
+            FROM (SELECT source, text, {_SQL_TOKS_RAW} AS toks, {_SQL_TOKS_LOWER} AS ltoks
+                  FROM documents)),
+        per_src AS (
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum(nt) AS BIGINT) AS n_tokens,
+                   CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_kept,
+                   CAST(sum(CASE WHEN kept THEN nt ELSE 0 END) AS BIGINT) AS n_tokens_kept
+            FROM base GROUP BY 1),
+        totals AS (
+            SELECT sum(n_tokens) AS t_all, sum(n_tokens_kept) AS t_kept FROM per_src)
+        SELECT source, n_docs, n_tokens, n_docs_kept, n_tokens_kept,
+               round(CAST(n_tokens AS DOUBLE) / t_all, 6) AS share_before,
+               CASE WHEN t_kept > 0
+                    THEN round(CAST(n_tokens_kept AS DOUBLE) / t_kept, 6) ELSE 0.0 END AS share_after,
+               round((CASE WHEN t_kept > 0
+                           THEN round(CAST(n_tokens_kept AS DOUBLE) / t_kept, 6) ELSE 0.0 END)
+                     - round(CAST(n_tokens AS DOUBLE) / t_all, 6), 6) AS shift
+        FROM per_src, totals
+    """
+
+
+ORACLES["source_mix_shift"] = _mix_shift_oracle()

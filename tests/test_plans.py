@@ -325,6 +325,7 @@ def test_registry_wide_plan_audit(spark):
         "key_skew_report": "one-row global count aggregate",
         "psi_drift": "one-row time-span aggregate",
         "dedup_lsh_eval": "three one-row count aggregates",
+        "source_mix_shift": "one-row token-total aggregate",
         "q11_important_stock": "one-row HAVING threshold aggregate",
         "q22_global_sales_opportunity": "one-row global average",
         "quality_curriculum": "one-row exact-percentile boundaries",
