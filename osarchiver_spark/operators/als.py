@@ -31,6 +31,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from osarchiver_spark.operators.cache import transient
+
 ALS_LAMBDA = 0.1
 ALS_ITERS = 2
 ALS_QUANT = 6
@@ -89,7 +91,10 @@ def als_factors(
 ) -> tuple[DataFrame, DataFrame]:
     """Run ``iters`` full alternations; returns (user_factors,
     item_factors) — (user_id, f1, f2) and (event_type, f1, f2)."""
-    ratings = als_ratings(events).persist()
+    # transient, not persist: the returned factor frames still reference
+    # ratings, so an in-function unpersist is impossible; auto-release
+    # on caller drop (operators/cache.py)
+    ratings = transient(als_ratings(events))
     items = ratings.select("event_type").distinct()
     v = items.select(
         "event_type",
@@ -182,7 +187,7 @@ def als_factors_rank(
     per-half-step quantization keeps the alternation
     engine-reproducible (the rank-3 oracle replays it with Cramer's
     rule in SQL — validated bit-equal against this LAPACK path)."""
-    ratings = als_ratings(events).persist()
+    ratings = transient(als_ratings(events))  # auto-release, see als_factors
     if item_init is None:
         item_init = _init_item_factors_rank(
             ratings.select("event_type").distinct(), rank, quant

@@ -34,6 +34,20 @@ THETA_GRID = [round(0.05 * i, 2) for i in range(1, 20)]  # 0.05 .. 0.95
 EPS_QUANT = 9
 ALPHA_QUANT = 6
 WEIGHT_QUANT = 12
+# A stump that perfectly classifies the weighted sample (or whose
+# weighted error rounds to 0 at EPS_QUANT) would make the alpha log
+# divide by zero; separable inputs are realistic for the distillation
+# task, so eps is clamped to [floor, 1-floor] inside the log ONLY —
+# the reported eps stays exact. The SQL oracle and the numpy reference
+# in tests/test_boost.py apply the identical clamp so parity holds.
+EPS_FLOOR = 10.0 ** -EPS_QUANT
+
+
+def _clamped_alpha(eps: float) -> float:
+    import math
+
+    eps_c = min(max(eps, EPS_FLOOR), 1.0 - EPS_FLOOR)
+    return round(0.5 * math.log((1.0 - eps_c) / eps_c), ALPHA_QUANT)
 
 MODEL_SCHEMA = T.StructType(
     [
@@ -116,9 +130,7 @@ def adaboost_train(
                 float(best["pol"]),
                 float(best["eps"]),
             )
-            import math
-
-            alpha = round(0.5 * math.log((1.0 - eps) / eps), ALPHA_QUANT)
+            alpha = _clamped_alpha(eps)
             model.append((t, fid, theta, pol, eps, alpha))
             feat_col = F.col("x1") if fid == 1 else F.col("x2")
             unnorm = F.col("w") * F.exp(

@@ -159,9 +159,19 @@ def bpe_segment_counts(
     loop: they equi-join the segmented vocabulary."""
     if vocab is None:
         _, vocab = bpe_train(docs, text_col, n_merges=n_merges, lowercase=lowercase)
+        # only the (token, n_syms) projection is needed for the join:
+        # checkpoint it eagerly and release the full persisted vocab
+        # right away instead of leaking it past this call
+        from osarchiver_spark.operators.cache import transient
+
+        seg = transient(
+            vocab.select("token", F.size("syms").alias("n_syms")), eager=True
+        )
+        vocab.unpersist()
+    else:
+        seg = vocab.select("token", F.size("syms").alias("n_syms"))
     text = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
     dtok = docs.select(F.col(id_col), F.explode(tokens(text)).alias("token"))
-    seg = vocab.select("token", F.size("syms").alias("n_syms"))
     return (
         dtok.join(seg, "token")
         .groupBy(id_col)

@@ -721,8 +721,10 @@ def embedding_lsh_incremental(
     Asymmetric like the text version: the new side's (table, bucket)
     keys — |new|·L rows, a crawl drop against a corpus — are
     BROADCAST; the corpus streams through a map-side hash join with
-    NO corpus shuffle (the only exchange is the tiny candidate-pair
-    dedup at the end). Verification is exact row-wise cosine on the
+    NO corpus shuffle (the only exchanges are the tiny candidate-pair
+    dedup at the end, and — on toy fixtures only — a parallelism
+    widening of a 1-2-partition corpus, skipped whenever the corpus
+    already carries defaultParallelism partitions). Verification is exact row-wise cosine on the
     candidates (Arrow/BLAS), rounded before the threshold compare.
     Same hyperplane model and (b, L) contract as
     embedding_lsh_neardup_pairs — the swept full-recall parameters
@@ -777,8 +779,16 @@ def embedding_lsh_incremental(
 
         return base.mapInPandas(bucketize, schema=keyed_schema(idc))
 
+    # Fixture-parallelism knob ONLY: a tiny single-file corpus arrives
+    # as 1-2 partitions, which would serialize the bucketize matmul on
+    # local[32]; widening it costs one exchange of a toy input. At
+    # scale the corpus already has >= defaultParallelism partitions and
+    # this is a no-op — the stated "NO corpus shuffle" contract holds
+    # exactly where it matters (a corpus that is expensive to move).
     par = corpus.sparkSession.sparkContext.defaultParallelism
-    ckeyed = keyed(corpus.repartition(par), "corpus_id")
+    if corpus.rdd.getNumPartitions() < par:
+        corpus = corpus.repartition(par)
+    ckeyed = keyed(corpus, "corpus_id")
     nkeyed = keyed(new, "new_id")
     cand = ckeyed.join(F.broadcast(nkeyed), ["table_idx", "bucket"]).select(
         "new_id", "new_id_v", "corpus_id", "corpus_id_v"

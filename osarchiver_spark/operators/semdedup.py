@@ -92,13 +92,14 @@ def semdedup_pairs(
         except ValueError:  # empty input: no clusters, no pairs
             return df.sparkSession.createDataFrame([], _pair_schema(id_type))
 
-    from pyspark import StorageLevel
+    from osarchiver_spark.operators.cache import transient
 
-    # three consumers (census, grouped grams, overflow join): persist
-    # so the assignment matmul runs once, not once per consumer
-    assigned = semantic_assign(df, id_col, vec_col, centroids).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    # three consumers (census, grouped grams, overflow join): cache so
+    # the assignment matmul runs once, not once per consumer —
+    # transient (not persist) because the returned pairs DataFrame
+    # outlives this function; blocks are auto-released when the caller
+    # drops the result instead of pinning the cache manager
+    assigned = transient(semantic_assign(df, id_col, vec_col, centroids))
     out_schema = _pair_schema(id_type)
 
     def _empty() -> pd.DataFrame:

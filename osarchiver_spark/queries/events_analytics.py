@@ -656,10 +656,19 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = tagged.groupBy("event_type").agg(
         F.min("value").alias("mn"), F.max("value").alias("mx")
     )
+    # constant-valued type guard: mx == mn makes the width 0 and
+    # (value-mn)/width = 0/0 = NaN, whose floor/least ordering is
+    # engine-specific — pin such types to bin 0 (oracle does the same)
     width = (F.col("mx") - F.col("mn")) / PSI_BINS
-    bin_ = F.least(
-        F.floor((F.col("value") - F.col("mn")) / width), F.lit(PSI_BINS - 1)
-    ).cast("int")
+    bin_ = (
+        F.when(F.col("mx") == F.col("mn"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.floor((F.col("value") - F.col("mn")) / width), F.lit(PSI_BINS - 1)
+            )
+        )
+        .cast("int")
+    )
     cells = (
         tagged.join(F.broadcast(stats), "event_type")
         .groupBy("event_type", bin_.alias("bin"))
@@ -1026,8 +1035,9 @@ ORACLES["psi_drift"] = f"""
         FROM tagged GROUP BY 1),
     cells AS (
         SELECT t.event_type,
-               CAST(least(floor((t.value - s.mn) / ((s.mx - s.mn) / {PSI_BINS})),
-                          {PSI_BINS - 1}) AS INT) AS bin,
+               CAST(CASE WHEN s.mx = s.mn THEN 0
+                    ELSE least(floor((t.value - s.mn) / ((s.mx - s.mn) / {PSI_BINS})),
+                               {PSI_BINS - 1}) END AS INT) AS bin,
                sum(CASE WHEN is_cur THEN 0 ELSE 1 END) AS n_ref,
                sum(CASE WHEN is_cur THEN 1 ELSE 0 END) AS n_cur
         FROM tagged t JOIN stats s USING (event_type)

@@ -518,6 +518,7 @@ def _boost_ctes() -> tuple[str, str]:
     from osarchiver_spark.operators.boost import (
         ALPHA_QUANT,
         BOOST_ROUNDS,
+        EPS_FLOOR,
         EPS_QUANT,
         THETA_GRID,
         WEIGHT_QUANT,
@@ -559,9 +560,12 @@ def _boost_ctes() -> tuple[str, str]:
             f"round(sum(CASE WHEN {h} <> d.y THEN w.w ELSE 0.0 END), {EPS_QUANT}) AS eps "
             f"FROM bfeat d JOIN {pw} w USING (rid), stumps s GROUP BY 1, 2, 3)"
         )
+        # eps clamped inside the log only (operators/boost.py EPS_FLOOR):
+        # a separable sample would otherwise ln(1/0) here.
+        eps_c = f"least(greatest(eps, {EPS_FLOOR!r}), 1.0 - {EPS_FLOOR!r})"
         parts.append(
             f"b{t} AS (SELECT fid, theta, pol, eps, "
-            f"round(0.5 * ln((1.0 - eps) / eps), {ALPHA_QUANT}) AS alpha "
+            f"round(0.5 * ln((1.0 - {eps_c}) / {eps_c}), {ALPHA_QUANT}) AS alpha "
             f"FROM e{t} ORDER BY eps, fid, theta, pol LIMIT 1)"
         )
         parts.append(

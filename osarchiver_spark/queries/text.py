@@ -1024,14 +1024,19 @@ def _bpe_ctes(n: int) -> str:
             f"UNNEST(range(1, len(sy))) AS t(i) "
             f"GROUP BY 1, 2 ORDER BY n DESC, a, b LIMIT 1)"
         )
+        # LEFT JOIN ON TRUE (not a comma cross join): when the corpus is
+        # fully merged before step i, p{i} is empty and the CASE carries
+        # v{i-1} forward unchanged — matching bpe_train's early stop,
+        # which breaks the loop and keeps the last vocab
+        # (test_trainer_stops_when_fully_merged).
         parts.append(
             f"v{i} AS (SELECT token, freq, "
-            f"CASE WHEN len(syms) < 2 THEN syms ELSE "
+            f"CASE WHEN p.a IS NULL OR len(syms) < 2 THEN syms ELSE "
             f"list_reduce(list_transform(syms, x -> [x]), "
-            f"(acc, x) -> CASE WHEN acc[-1] = p{i}.a AND x[1] = p{i}.b "
-            f"THEN list_append(acc[1:len(acc)-1], p{i}.a || p{i}.b) "
+            f"(acc, x) -> CASE WHEN acc[-1] = p.a AND x[1] = p.b "
+            f"THEN list_append(acc[1:len(acc)-1], p.a || p.b) "
             f"ELSE list_concat(acc, x) END) END AS syms "
-            f"FROM {prev}, p{i})"
+            f"FROM {prev} LEFT JOIN p{i} p ON TRUE)"
         )
     merge_rows = " UNION ALL ".join(
         f"SELECT {i} AS step, a AS sym_a, b AS sym_b, n FROM p{i}"

@@ -5,13 +5,16 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from osarchiver_spark.queries.relational import q_approx_sketches
+from osarchiver_spark.queries.relational import (
+    q_approx_sketches,
+    q_approx_sketches_raw,
+)
 from osarchiver_spark.sources.jdbc import JdbcTable, jdbc_read_options
 from osarchiver_spark.sources.parquet import load_table
 
 
 def test_approx_distinct_within_5pct(spark, sf_small):
-    got = {r.l_returnflag: r.approx_orders for r in q_approx_sketches(spark, sf_small).collect()}
+    got = {r.l_returnflag: r.approx_orders for r in q_approx_sketches_raw(spark, sf_small).collect()}
     li = load_table(spark, sf_small, "lineitem")
     exact = {
         r.l_returnflag: r.n
@@ -22,7 +25,7 @@ def test_approx_distinct_within_5pct(spark, sf_small):
 
 
 def test_percentile_approx_within_10pct(spark, sf_small):
-    got = {r.l_returnflag: r.approx_p50_price for r in q_approx_sketches(spark, sf_small).collect()}
+    got = {r.l_returnflag: r.approx_p50_price for r in q_approx_sketches_raw(spark, sf_small).collect()}
     li = load_table(spark, sf_small, "lineitem")
     exact = {
         r.l_returnflag: r.p
@@ -32,6 +35,14 @@ def test_percentile_approx_within_10pct(spark, sf_small):
     }
     for flag, p in exact.items():
         assert abs(got[flag] - p) / p < 0.10
+
+
+def test_approx_sketches_bounds_hold(spark, sf_small):
+    """The registered bounded-error adjudication: every sketch lands
+    inside its envelope, so the boolean columns the oracle pins to
+    TRUE are true."""
+    for r in q_approx_sketches(spark, sf_small).collect():
+        assert r.orders_in_bound and r.p50_in_bound, r
 
 
 def test_jdbc_options_build_keyset_parallel_scan():

@@ -11,10 +11,11 @@ import numpy as np
 from pyspark.sql import functions as F
 
 from osarchiver_spark.operators.boost import (
-    ALPHA_QUANT,
+    EPS_FLOOR,
     EPS_QUANT,
     THETA_GRID,
     WEIGHT_QUANT,
+    _clamped_alpha,
     adaboost_score_by_source,
     adaboost_train,
     boost_features,
@@ -40,7 +41,7 @@ def _numpy_adaboost(y, X, rounds):
                     if best is None or key < best[0]:
                         best = (key, h)
         (eps, fid, theta, pol), h = best
-        alpha = round(0.5 * math.log((1.0 - eps) / eps), ALPHA_QUANT)
+        alpha = _clamped_alpha(eps)  # identical eps clamp as the trainer/oracle
         model.append((t, fid, theta, pol, eps, alpha))
         w = w * np.exp(-alpha * y * h)
         w = np.round(w / w.sum(), WEIGHT_QUANT)
@@ -69,6 +70,35 @@ def test_ensemble_beats_majority_baseline(spark):
     acc = tot["c"] / tot["n"]
     majority = max(tot["p"], tot["n"] - tot["p"]) / tot["n"]
     assert acc > majority + 0.15
+
+
+def test_separable_input_does_not_divide_by_zero(spark):
+    """A stump from the grid perfectly splits this sample (x1 >= 0.5
+    decides y exactly), so round-1 eps rounds to 0 at EPS_QUANT; the
+    clamp must keep alpha finite and the trainer must still converge
+    to the separating stump instead of raising ZeroDivisionError."""
+    rows = [
+        (i, ("the of and " * 40 if i % 2 == 0 else "!!!"), "en", "s", 10)
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    model, d = adaboost_train(docs, rounds=3)
+    d.unpersist()
+    assert len(model) == 3
+    for _, _, _, _, eps, alpha in model:
+        assert math.isfinite(alpha)
+        if eps == 0.0:
+            assert alpha == _clamped_alpha(0.0)
+    assert model[0][4] == 0.0  # the separating stump: exact fit in round 1
+
+
+def test_clamped_alpha_matches_floor():
+    assert _clamped_alpha(0.0) == _clamped_alpha(EPS_FLOOR)
+    assert math.isfinite(_clamped_alpha(0.0))
+    assert math.isfinite(_clamped_alpha(1.0))
+    assert _clamped_alpha(0.5) == 0.0
 
 
 def test_empty_input_yields_empty_model(spark):

@@ -98,3 +98,33 @@ def test_trainer_stops_when_fully_merged(spark):
     got = merges_df.collect()
     assert len(got) == 1 and got[0]["sym_a"] == "a" and got[0]["sym_b"] == "b"
     vocab.unpersist()
+
+
+def test_segment_oracle_carries_forward_when_merges_run_dry(spark):
+    """The merges run dry after 2 steps on this corpus, well before
+    BPE_N_MERGES: the oracle's empty p{i} must carry v{i-1} forward
+    (LEFT JOIN ON TRUE) instead of emptying every later vocab CTE,
+    matching bpe_train's early stop."""
+    import duckdb
+
+    from osarchiver_spark.operators.bpe import bpe_segment_counts
+    from osarchiver_spark.queries.text import ORACLES
+
+    texts = ["abc abc ab", "abc ab ab"]
+    docs = spark.createDataFrame(list(enumerate(texts)), DOC_SCHEMA)
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_pieces"])
+        for r in bpe_segment_counts(docs, "doc_id", "text").collect()
+    }
+    con = duckdb.connect()
+    try:
+        con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+        con.executemany(
+            "INSERT INTO documents VALUES (?, ?)", list(enumerate(texts))
+        )
+        rows = con.execute(ORACLES["bpe_segment"]).fetchall()
+    finally:
+        con.close()
+    want = {r[0]: (r[1], r[2]) for r in rows}
+    assert rows, "oracle returned zero rows on a merges-run-dry corpus"
+    assert got == want

@@ -209,3 +209,49 @@ def test_trainer_operators_survive_empty_input(spark):
     assert embedding_lsh_incremental(
         some_vec, empty_vec.withColumnRenamed("vid", "vid"), "vid", "v", dim=2
     ).count() == 0
+
+
+def test_psi_drift_constant_valued_type_is_defined(spark, tmp_path):
+    """An event_type whose value never varies makes the equi-width bin
+    formula 0/0; both engines must pin it to bin 0 (PSI = 0 after
+    smoothing) instead of depending on NaN ordering inside
+    least()/floor()."""
+    import duckdb
+
+    from osarchiver_spark.queries.events_analytics import ORACLES, q_psi_drift
+
+    rows = [
+        # constant type: same value in both halves
+        ("const", 5.0, datetime(2024, 1, 1, 0)),
+        ("const", 5.0, datetime(2024, 1, 1, 6)),
+        ("const", 5.0, datetime(2024, 1, 2, 18)),
+        ("const", 5.0, datetime(2024, 1, 3, 0)),
+        # varying type alongside, to keep the span two-sided
+        ("vary", 1.0, datetime(2024, 1, 1, 0)),
+        ("vary", 9.0, datetime(2024, 1, 3, 0)),
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    path = str(tmp_path / "events.parquet")
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(path)
+
+    out = {r["event_type"]: r.asDict() for r in q_psi_drift(spark, str(tmp_path)).collect()}
+    assert out["const"]["n_bins"] == 1
+    assert out["const"]["psi"] == 0.0
+
+    con = duckdb.connect()
+    try:
+        con.execute(f"CREATE VIEW events AS SELECT * FROM '{path}/*.parquet'")
+        oracle = {
+            r[0]: r for r in con.execute(ORACLES["psi_drift"]).fetchall()
+        }
+    finally:
+        con.close()
+    assert oracle["const"][3] == out["const"]["n_bins"]
+    assert oracle["const"][4] == out["const"]["psi"]
+    assert oracle["vary"][4] == out["vary"]["psi"]
