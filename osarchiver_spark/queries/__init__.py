@@ -63,7 +63,10 @@ def _load():
 #   1. queries checked but never hash-green (errors, rows-only): these
 #      carry a committed fix awaiting re-adjudication, the highest-value
 #      rows on the board,
-#   2. queries with no driver record at all (new this round),
+#   2. queries with no driver record at all, oldest registration round
+#      first (REGISTRY_EPOCHS.json) — so a query added THIS round queues
+#      behind the existing never-checked backlog instead of displacing
+#      it alphabetically past the cap,
 #   3. hash-green queries, oldest green round first (fair round-robin).
 #
 # This is a scheduling policy, not a result filter: every query cycles
@@ -71,6 +74,22 @@ def _load():
 # caught with bounded staleness, and nothing is parked permanently.
 # Local oracle parity for ALL registered oracles additionally runs in
 # every pytest (tests/test_oracle_parity.py), independent of the cap.
+# REGISTRY_EPOCHS.json is committed and append-only; a registry entry
+# missing from it fails tests/test_registry_order.py.
+
+
+def _registration_epochs() -> dict[str, int]:
+    """query name -> round the query was first registered (committed,
+    append-only; only orders WITHIN the never-checked tier)."""
+    import json
+    from pathlib import Path
+
+    path = Path(__file__).resolve().parents[2] / "REGISTRY_EPOCHS.json"
+    try:
+        data = json.loads(path.read_text())
+    except (OSError, ValueError):
+        return {}
+    return {k: int(v) for k, v in data.items()} if isinstance(data, dict) else {}
 
 
 def _adjudication_history() -> dict[str, tuple[int, int]]:
@@ -101,16 +120,20 @@ def _adjudication_history() -> dict[str, tuple[int, int]]:
 
 def _prioritize(queries: dict[str, QueryFn]) -> dict[str, QueryFn]:
     hist = _adjudication_history()
+    epochs = _registration_epochs()
 
     def key(n: str):
         last_green, last_checked = hist.get(n, (-1, -1))
         if last_green < 0 <= last_checked:
             tier = 0  # checked, never green: a fix awaits re-adjudication
+            epoch = 0
         elif last_checked < 0:
-            tier = 1  # brand new, never seen by the driver
+            tier = 1  # never seen by the driver: oldest registration first
+            epoch = epochs.get(n, 10**9)  # unknown epoch = newest = last
         else:
             tier = 2  # green: round-robin, stalest first
-        return (tier, last_green, last_checked, n)
+            epoch = 0
+        return (tier, epoch, last_green, last_checked, n)
 
     ordered = sorted(queries, key=key)
     return {n: queries[n] for n in ordered}

@@ -21,6 +21,28 @@ def test_prioritize_tiers(monkeypatch):
     assert ordered == ["failed_once", "brand_new", "green_old", "green_new"]
 
 
+def test_prioritize_epoch_orders_within_never_checked(monkeypatch):
+    """Within the never-checked tier, an older registration epoch must
+    come first regardless of name — a new round's additions queue
+    behind the existing backlog instead of displacing it."""
+    monkeypatch.setattr(reg, "_adjudication_history", lambda: {})
+    monkeypatch.setattr(
+        reg, "_registration_epochs", lambda: {"zz_old": 3, "aa_new": 4}
+    )
+    queries = {n: (lambda s, d: None) for n in ["aa_new", "zz_old", "unknown"]}
+    ordered = list(reg._prioritize(queries))
+    assert ordered == ["zz_old", "aa_new", "unknown"]
+
+
+def test_every_registry_entry_has_an_epoch():
+    """REGISTRY_EPOCHS.json is the committed, append-only record of
+    when each query was first registered; a missing entry would make
+    its tier-1 position undefined (it would sort last)."""
+    epochs = reg._registration_epochs()
+    missing = sorted(set(reg.all_queries()) - set(epochs))
+    assert not missing, f"add to REGISTRY_EPOCHS.json: {missing}"
+
+
 def test_prioritize_is_total_and_stable():
     q = reg.all_queries()
     assert sorted(q) == sorted(reg.all_queries())  # same set, any order
