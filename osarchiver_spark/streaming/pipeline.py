@@ -225,78 +225,40 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drain_stream_to_parquet(joined, "append", "stream_ij")
 
 
-def streaming_outer_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LEFT OUTER stream-stream interval join: every view, with its
-    same-user purchases in the following 4 hours, or NULLs when none
-    arrived. The engine can only emit an unmatched view once the
-    purchase-side watermark has passed the view's whole join range —
-    views near the end of a (finite) stream are still "maybe matched"
-    when the source drains, so their NULL rows are not yet final.
-    Both this query and its batch oracle therefore trim to views whose
-    outer result is provably final against the FINAL GLOBAL WATERMARK
-    = min(max view_ts - 4h, max purchase_ts - 8h) (the engine takes
-    the min over every input's watermark): keep view_ts strictly below
-    that watermark minus the 4h join range, less a 1h safety margin so
-    boundary-eviction semantics can't flip a row. On an unbounded
-    production stream no trim exists — rows simply emit as the
-    watermark moves; the cutoff is the finite-fixture equivalent."""
-    ev = events_stream(spark, sf_dir)
-    views = (
-        ev.filter(F.col("event_type") == "view")
-        .select(
-            F.col("event_id").alias("view_id"),
-            F.col("user_id"),
-            F.col("ts").alias("view_ts"),
-        )
-        .withWatermark("view_ts", "4 hours")
-    )
-    purchases = (
-        ev.filter(F.col("event_type") == "purchase")
-        .select(
-            F.col("event_id").alias("purchase_id"),
-            F.col("user_id").alias("p_user_id"),
-            F.col("ts").alias("purchase_ts"),
-        )
-        .withWatermark("purchase_ts", "8 hours")
-    )
-    joined = views.join(
-        purchases,
-        (F.col("user_id") == F.col("p_user_id"))
-        & (F.col("purchase_ts") >= F.col("view_ts"))
-        & (F.col("purchase_ts") <= F.col("view_ts") + F.expr("INTERVAL 4 HOURS")),
-        "leftOuter",
-    ).select("view_id", "purchase_id", "user_id", "view_ts", "purchase_ts")
-    drained = drain_stream_to_parquet(joined, "append", "stream_oij")
-    from osarchiver_spark.sources.parquet import load_table
+def outer_interval_join_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    join_type: str,
+    range_hours: int = 4,
+    view_delay_hours: int = 4,
+    purchase_delay_hours: int = 8,
+    margin_hours: int = 1,
+) -> DataFrame:
+    """Parameterized outer stream-stream interval join with the
+    provably-final trim — the shared engine behind
+    streaming_outer_interval_join / streaming_full_outer_interval_join
+    and the hypothesis property test that sweeps ranges/watermarks
+    (tests/test_streaming.py).
 
-    ev_batch = load_table(spark, sf_dir, "events")
-    bound = ev_batch.agg(
-        (
-            F.least(
-                F.max(F.when(F.col("event_type") == "view", F.col("ts")))
-                - F.expr("INTERVAL 4 HOURS"),
-                F.max(F.when(F.col("event_type") == "purchase", F.col("ts")))
-                - F.expr("INTERVAL 8 HOURS"),
-            )
-            - F.expr("INTERVAL 5 HOURS")  # 4h join range + 1h margin
-        ).alias("cutoff")
-    )
-    return drained.crossJoin(F.broadcast(bound)).filter(
-        F.col("view_ts") <= F.col("cutoff")
-    ).drop("cutoff")
+    The engine can only emit an unmatched row once the global
+    watermark has passed that row's whole join range — rows near the
+    end of a (finite) stream are still "maybe matched" when the source
+    drains, so their NULL rows are not yet final. Query and batch
+    oracle therefore trim to rows whose outer result is provably final
+    against the FINAL GLOBAL WATERMARK = min(max view_ts - view_delay,
+    max purchase_ts - purchase_delay) (the engine takes the min over
+    every input's watermark): keep event_ts at or below that watermark
+    minus the join range, less a safety margin so boundary-eviction
+    semantics can't flip a row. On an unbounded production stream no
+    trim exists — rows simply emit as the watermark moves; the cutoff
+    is the finite-fixture equivalent.
 
-
-def streaming_full_outer_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """FULL OUTER stream-stream interval join: views with their
-    following-4h purchases, plus NULL rows for views that never
-    converted AND purchases no view preceded. Each side's NULL rows
-    finalize only when the global watermark passes that side's whole
-    join range, so the finite-fixture trim applies PER SIDE: a
-    view-bearing row must have view_ts below the view cutoff, a
-    purchase-bearing row purchase_ts below the purchase cutoff, and
-    rows carrying both must satisfy both (matched rows always do when
-    either side does, since the range couples the two timestamps).
-    The batch oracle applies identical trims."""
+    Trim scope by join type: leftOuter trims the VIEW side only — a
+    matched purchase rides with its (final) view, and purchases can
+    legitimately sit up to `range` past the view cutoff. fullOuter
+    additionally trims the purchase side (NULL timestamps pass their
+    side's check), because NULL-view purchase rows finalize on the
+    purchase's own clock."""
     ev = events_stream(spark, sf_dir)
     views = (
         ev.filter(F.col("event_type") == "view")
@@ -305,7 +267,7 @@ def streaming_full_outer_interval_join(spark: SparkSession, sf_dir: str) -> Data
             F.col("user_id").alias("v_user_id"),
             F.col("ts").alias("view_ts"),
         )
-        .withWatermark("view_ts", "4 hours")
+        .withWatermark("view_ts", f"{view_delay_hours} hours")
     )
     purchases = (
         ev.filter(F.col("event_type") == "purchase")
@@ -314,14 +276,17 @@ def streaming_full_outer_interval_join(spark: SparkSession, sf_dir: str) -> Data
             F.col("user_id").alias("p_user_id"),
             F.col("ts").alias("purchase_ts"),
         )
-        .withWatermark("purchase_ts", "8 hours")
+        .withWatermark("purchase_ts", f"{purchase_delay_hours} hours")
     )
     joined = views.join(
         purchases,
         (F.col("v_user_id") == F.col("p_user_id"))
         & (F.col("purchase_ts") >= F.col("view_ts"))
-        & (F.col("purchase_ts") <= F.col("view_ts") + F.expr("INTERVAL 4 HOURS")),
-        "fullOuter",
+        & (
+            F.col("purchase_ts")
+            <= F.col("view_ts") + F.expr(f"INTERVAL {range_hours} HOURS")
+        ),
+        join_type,
     ).select(
         "view_id",
         "purchase_id",
@@ -329,41 +294,51 @@ def streaming_full_outer_interval_join(spark: SparkSession, sf_dir: str) -> Data
         "view_ts",
         "purchase_ts",
     )
-    drained = drain_stream_to_parquet(joined, "append", "stream_foij")
+    drained = drain_stream_to_parquet(joined, "append", "stream_oij")
     from osarchiver_spark.sources.parquet import load_table
 
-    ev_batch = load_table(spark, sf_dir, "events")
-    bounds = ev_batch.agg(
-        (
-            F.least(
-                F.max(F.when(F.col("event_type") == "view", F.col("ts")))
-                - F.expr("INTERVAL 4 HOURS"),
-                F.max(F.when(F.col("event_type") == "purchase", F.col("ts")))
-                - F.expr("INTERVAL 8 HOURS"),
-            )
-            - F.expr("INTERVAL 5 HOURS")  # view range 4h + 1h margin
-        ).alias("v_cutoff"),
-        (
-            F.least(
-                F.max(F.when(F.col("event_type") == "view", F.col("ts")))
-                - F.expr("INTERVAL 4 HOURS"),
-                F.max(F.when(F.col("event_type") == "purchase", F.col("ts")))
-                - F.expr("INTERVAL 8 HOURS"),
-            )
-            - F.expr("INTERVAL 5 HOURS")  # purchase range reaches 4h back; 1h margin
-        ).alias("p_cutoff"),
-    )
-    return (
-        drained.crossJoin(F.broadcast(bounds))
-        .filter(
-            (F.col("view_ts").isNull() | (F.col("view_ts") <= F.col("v_cutoff")))
-            & (
-                F.col("purchase_ts").isNull()
-                | (F.col("purchase_ts") <= F.col("p_cutoff"))
-            )
+    cutoff = (
+        F.least(
+            F.max(F.when(F.col("event_type") == "view", F.col("ts")))
+            - F.expr(f"INTERVAL {view_delay_hours} HOURS"),
+            F.max(F.when(F.col("event_type") == "purchase", F.col("ts")))
+            - F.expr(f"INTERVAL {purchase_delay_hours} HOURS"),
         )
-        .drop("v_cutoff", "p_cutoff")
+        - F.expr(f"INTERVAL {range_hours + margin_hours} HOURS")
     )
+    bounds = load_table(spark, sf_dir, "events").agg(
+        cutoff.alias("v_cutoff"), cutoff.alias("p_cutoff")
+    )
+    keep = F.col("view_ts").isNull() | (F.col("view_ts") <= F.col("v_cutoff"))
+    if join_type == "fullOuter":
+        keep = keep & (
+            F.col("purchase_ts").isNull()
+            | (F.col("purchase_ts") <= F.col("p_cutoff"))
+        )
+    return (
+        drained.crossJoin(F.broadcast(bounds)).filter(keep).drop("v_cutoff", "p_cutoff")
+    )
+
+
+def streaming_outer_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream interval join: every view, with its
+    same-user purchases in the following 4 hours, or NULLs when none
+    arrived; trimmed to the provably-final region (see
+    outer_interval_join_stream). The batch oracle applies the
+    identical trim. Column shape is preserved from the original
+    registration: user_id comes from the (always present) view side."""
+    return outer_interval_join_stream(spark, sf_dir, "leftOuter").select(
+        "view_id", "purchase_id", "user_id", "view_ts", "purchase_ts"
+    )
+
+
+def streaming_full_outer_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER stream-stream interval join: views with their
+    following-4h purchases, plus NULL rows for views that never
+    converted AND purchases no view preceded; per-side provably-final
+    trims (see outer_interval_join_stream). The batch oracle applies
+    identical trims."""
+    return outer_interval_join_stream(spark, sf_dir, "fullOuter")
 
 
 def incremental_stream_rollup(

@@ -46,3 +46,29 @@ def test_pq_codes_are_bounded_and_deterministic(spark, sf_small):
     codes = np.array(list(enc1.values()))
     assert codes.shape[1] == 16  # m codes per vector — the 4-byte-class index
     assert codes.min() >= 0 and codes.max() < 16
+
+
+def test_pq_all_identical_vectors_hot_cluster(spark):
+    """Degenerate corpus: every vector identical, so one IVF cell holds
+    the whole corpus and every PQ code collapses to one entry — the
+    hot-cluster analog of the dedup hot-bucket test. ADC scores tie at
+    0 everywhere; the shortlist re-rank must still return exactly k
+    deterministic neighbors per query (cosine 1.0, id-ascending
+    tie-break), not crash on empty codebook cells or return dup rows."""
+    vec = [1.0] * 64
+    rows = [(i, vec) for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = emb.filter(F.col("vec_id") < 3)
+    out = ivf_pq_topk(
+        emb, queries, "vec_id", "embedding", k=5, nprobe=2, shortlist=8
+    ).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == {0, 1, 2}
+    for qid, rs in by_q.items():
+        assert len(rs) == 5, f"query {qid}: {len(rs)} rows"
+        assert [r.rank for r in sorted(rs, key=lambda r: r.rank)] == [1, 2, 3, 4, 5]
+        assert all(abs(r.cosine - 1.0) < 1e-9 for r in rs)
+        ids = [r.neighbor_id for r in sorted(rs, key=lambda r: r.rank)]
+        assert ids == sorted(ids), f"tie-break not id-ascending: {ids}"
