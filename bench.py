@@ -118,6 +118,10 @@ HEADLINE = [
     "knn_label_vote",
     "streaming_kmv",
     "sampled_percentiles",
+    # round-4 (second wave) additions
+    "approx_sketches",
+    "bm25_retrieval",
+    "stratified_sample_exact",
 ]
 
 

@@ -434,8 +434,12 @@ def repeated_span_report(
         ).alias("_ph"),
     ).select("doc_id", F.col("_ph.pos").alias("pos"), F.col("_ph.h").alias("h"))
     # two consumers (the duplicate-hash agg and the semi-join probe):
-    # persist so the per-character anchor/hash map work runs once
-    spans = spans.persist()
+    # cache so the per-character anchor/hash map work runs once;
+    # transient because the returned report references it (auto-release
+    # on caller drop, operators/cache.py)
+    from osarchiver_spark.operators.cache import transient
+
+    spans = transient(spans)
     dup = (
         spans.groupBy("h")
         .agg(F.count_distinct("doc_id").alias("nd"))

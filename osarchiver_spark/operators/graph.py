@@ -67,15 +67,19 @@ def pagerank(
     shuffle joins on node id, where the persisted edge partitioning
     is reused across iterations.
     """
+    from osarchiver_spark.operators.cache import transient
+
     # node-sized and consumed three times (count, the edge join, the
-    # rank init) — each use would otherwise recompute the union+agg
-    deg = edges.groupBy("src").agg(F.count("*").alias("deg")).persist()
+    # rank init) — each use would otherwise recompute the union+agg;
+    # transient (not persist): the returned ranks reference these, so
+    # blocks auto-release when the caller drops the result
+    deg = transient(edges.groupBy("src").agg(F.count("*").alias("deg")))
     n_nodes = deg.count()  # scalar only — sizes teleport + join strategy
     teleport = (1.0 - damping) / n_nodes
     small = n_nodes <= broadcast_nodes_max
 
-    # persisted: every iteration probes the same keyed relation
-    edges_deg = edges.join(F.broadcast(deg) if small else deg, "src").persist()
+    # cached: every iteration probes the same keyed relation
+    edges_deg = transient(edges.join(F.broadcast(deg) if small else deg, "src"))
 
     ranks = deg.select(F.col("src").alias("node"), F.lit(1.0 / n_nodes).alias("rank"))
     for _ in range(iterations):
@@ -98,16 +102,18 @@ def trade_graph_edges(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
     supplier ``-(suppkey + 1)`` negative — so the two key spaces
     can't collide and every downstream shuffle hashes/sorts
     fixed-width integers instead of strings (render to display form
-    only at the output edge). The deduped half-edge list is persisted
+    only at the output edge). The deduped half-edge list is cached
+    (transient — auto-released when the caller drops the result)
     before symmetrization: the union consumes it twice, and without
     the cache the source join + distinct would execute twice."""
-    pairs = (
+    from osarchiver_spark.operators.cache import transient
+
+    pairs = transient(
         orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
         .select(
             (F.col("o_custkey") + 1).alias("src"),
             (-(F.col("l_suppkey") + 1)).alias("dst"),
         )
         .distinct()
-        .persist()
     )
     return pairs.union(pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst")))

@@ -65,9 +65,12 @@ def q_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     line) structs — deterministic under any partitioning)."""
     docs = load_table(spark, sf_dir, "documents")
     # both the frequency count and the flag-back join consume the
-    # exploded lines; persist so tokenize+window runs once (CCNet's
-    # two passes over the same materialized line table)
-    lines = _doc_lines(docs).persist()
+    # exploded lines; cache so tokenize+window runs once (CCNet's
+    # two passes over the same materialized line table) — transient so
+    # the blocks release when the returned report is dropped
+    from osarchiver_spark.operators.cache import transient
+
+    lines = transient(_doc_lines(docs))
     freq = lines.groupBy("line").agg(F.count_distinct("doc_id").alias("nd"))
     flagged = lines.join(freq, "line").withColumn(
         "is_boiler", (F.col("nd") >= BOILER_MIN_DOCS).cast("int")
@@ -92,12 +95,14 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     postings by tf desc / doc_id asc, comma-joined)."""
     docs = load_table(spark, sf_dir, "documents")
     # df/cf stats and the top-k ranking both read the tf relation;
-    # persist so tokenize+explode+first-agg runs once
-    tf = (
+    # cache (transient, auto-released) so tokenize+explode+first-agg
+    # runs once
+    from osarchiver_spark.operators.cache import transient
+
+    tf = transient(
         docs.select("doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("token"))
         .groupBy("token", "doc_id")
         .agg(F.count("*").alias("tf"))
-        .persist()
     )
     stats = tf.groupBy("token").agg(
         F.count("*").alias("df"), F.sum("tf").alias("cf")
@@ -118,9 +123,87 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.join(postings, "token").select("token", "df", "cf", "postings")
 
 
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 10
+# query terms: df-rank 11..15 (ties by token) — high-df enough to hit
+# many documents, past the stop-word head where rankings are flat
+BM25_TERM_LO, BM25_TERM_HI = 11, 15
+
+
+def q_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval: the top-10 documents for each of five
+    corpus-derived query terms — the retrieval half of the inverted
+    index (Robertson/Sparck-Jones BM25, the classic probabilistic
+    ranking function; public formula, k1=1.2 b=0.75).
+
+    score(t, D) = idf(t) * tf*(k1+1) / (tf + k1*(1-b+b*|D|/avgdl)),
+    idf(t) = ln(1 + (N-df+0.5)/(df+0.5)). idf and the final score are
+    rounded to 6 decimals on BOTH engines (ln noise discipline), and
+    the top-k window orders by the ROUNDED score desc, doc_id asc, so
+    the ranking is engine-identical.
+
+    Scale shape: one tokenize+explode into a map-combinable (term,
+    doc) tf agg; doc lengths ride the same pass via a per-doc agg;
+    N/avgdl is a one-row broadcast; the 5-term query relation is a
+    broadcast semi-filter, so the scoring scan touches only matching
+    postings; the only wide shuffle is the tf groupBy. The top-k
+    window truncates per term BEFORE any collect."""
+    docs = load_table(spark, sf_dir, "documents")
+    from osarchiver_spark.operators.cache import transient
+
+    tf = transient(
+        docs.select("doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("token"))
+        .groupBy("token", "doc_id")
+        .agg(F.count("*").alias("tf"))
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    corpus = dl.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    df_ = tf.groupBy("token").agg(F.count("*").alias("df"))
+    drank = F.row_number().over(
+        Window.partitionBy().orderBy(F.col("df").desc(), F.col("token"))
+    )
+    qterms = (
+        df_.select("token", "df", drank.alias("drank"))
+        .filter(F.col("drank").between(BM25_TERM_LO, BM25_TERM_HI))
+        .drop("drank")
+    )
+    scored = (
+        tf.join(F.broadcast(qterms), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+    )
+    idf = F.round(
+        F.log(
+            1.0
+            + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        ),
+        6,
+    )
+    score = F.round(
+        idf
+        * (F.col("tf") * (BM25_K1 + 1.0))
+        / (
+            F.col("tf")
+            + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+        ),
+        6,
+    )
+    w = Window.partitionBy("token").orderBy(F.col("score").desc(), F.col("doc_id"))
+    return (
+        scored.select("token", "doc_id", score.alias("score"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= BM25_TOPK)
+        .select("token", F.col("rank").cast("int").alias("rank"), "doc_id", "score")
+    )
+
+
 QUERIES = {
     "boilerplate_lines": q_boilerplate_lines,
     "inverted_index": q_inverted_index,
+    "bm25_retrieval": q_bm25_retrieval,
 }
 
 ORACLES = {
@@ -163,5 +246,36 @@ ORACLES = {
             FROM rk WHERE rn <= {POSTINGS_PER_TERM} GROUP BY 1)
         SELECT s.token, s.df, s.cf, p.postings
         FROM stats s JOIN postings p ON s.token = p.token
+    """,
+    "bm25_retrieval": f"""
+        WITH tok AS (
+            SELECT doc_id, unnest({_SQL_TOKENS_LOWER}) AS token FROM documents),
+        tf AS (SELECT token, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2),
+        dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+        corpus AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+        dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+        qterms AS (
+            SELECT token, df FROM (
+                SELECT token, df,
+                       row_number() OVER (ORDER BY df DESC, token) AS drank
+                FROM dfreq)
+            WHERE drank BETWEEN {BM25_TERM_LO} AND {BM25_TERM_HI}),
+        scored AS (
+            SELECT t.token, t.doc_id,
+                   round(round(ln(1.0 + (c.n_docs - q.df + 0.5) / (q.df + 0.5)), 6)
+                         * (t.tf * ({BM25_K1} + 1.0))
+                         / (t.tf + {BM25_K1} * (1.0 - {BM25_B}
+                                                + {BM25_B} * d.dl / c.avgdl)),
+                         6) AS score
+            FROM tf t
+            JOIN qterms q ON t.token = q.token
+            JOIN dl d ON t.doc_id = d.doc_id
+            CROSS JOIN corpus c)
+        SELECT token, CAST(rank AS INT) AS rank, doc_id, score FROM (
+            SELECT token, doc_id, score,
+                   row_number() OVER (PARTITION BY token
+                                      ORDER BY score DESC, doc_id) AS rank
+            FROM scored)
+        WHERE rank <= {BM25_TOPK}
     """,
 }

@@ -561,3 +561,97 @@ def _mix_shift_oracle() -> str:
 
 
 ORACLES["source_mix_shift"] = _mix_shift_oracle()
+
+
+STRAT_TOTAL = 200  # eval-set budget; 500-doc sf0.001 fixture stays under-subscribed
+
+
+def q_stratified_sample_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact proportional stratified sampling (largest-remainder /
+    Hamilton allocation): hand each source a quota proportional to its
+    share of the corpus such that the quotas sum EXACTLY to the
+    STRAT_TOTAL budget — the eval-set construction rule where "about
+    10%" is not good enough (a benchmark split must land on its stated
+    size). Base quota = floor(n_s * T / N) in pure bigint arithmetic;
+    the T - sum(base) leftover seats go to the sources with the
+    largest integer remainders (ties by source name) — deterministic
+    on both engines, no floats anywhere in the allocation. Membership
+    inside a source is the usual md5-order prefix (class_cap_sample's
+    rule), so the sample is a pure function of the data.
+
+    Scale shape: the allocation runs entirely on the per-source count
+    relation (#sources rows — model-sized), broadcast back into one
+    scan-side row_number filter; the corpus is shuffled once, by
+    source, for the per-source ranking window."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count("*").alias("n_s"))
+    wall = W.partitionBy()
+    n_tot = F.sum("n_s").over(wall)
+    alloc = counts.select(
+        "source",
+        "n_s",
+        F.expr(f"n_s * {STRAT_TOTAL}").alias("scaled"),
+        n_tot.alias("n_tot"),
+    ).select(
+        "source",
+        "n_s",
+        # bigint DIV, not double division: exact at any corpus size
+        # (doubles would silently lose precision past 2^53 rows*T)
+        F.expr("scaled DIV n_tot").alias("base"),
+        (F.col("scaled") % F.col("n_tot")).alias("rem"),
+    )
+    k = (F.lit(STRAT_TOTAL) - F.sum("base").over(wall)).alias("k")
+    rrank = F.row_number().over(
+        W.partitionBy().orderBy(F.col("rem").desc(), F.col("source"))
+    )
+    quotas = alloc.select(
+        "source",
+        "n_s",
+        "base",
+        "rem",
+        k,
+        rrank.alias("rrank"),
+    ).select(
+        "source",
+        F.least(
+            F.col("base") + (F.col("rrank") <= F.col("k")).cast("long"), F.col("n_s")
+        ).alias("quota"),
+    )
+    rk = F.row_number().over(
+        W.partitionBy("source").orderBy(
+            F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+        )
+    )
+    return (
+        docs.select("doc_id", "source", rk.alias("rk"))
+        .join(F.broadcast(quotas), "source")
+        .filter(F.col("rk") <= F.col("quota"))
+        .select("doc_id", "source", F.col("quota").cast("long").alias("quota"))
+    )
+
+
+QUERIES["stratified_sample_exact"] = q_stratified_sample_exact
+
+ORACLES["stratified_sample_exact"] = f"""
+    WITH counts AS (
+        SELECT source, count(*) AS n_s FROM documents GROUP BY 1),
+    alloc AS (
+        SELECT source, n_s,
+               (n_s * {STRAT_TOTAL}) // sum(n_s) OVER () AS base,
+               (n_s * {STRAT_TOTAL}) % sum(n_s) OVER () AS rem
+        FROM counts),
+    quotas AS (
+        SELECT source,
+               least(base + CASE WHEN row_number() OVER (ORDER BY rem DESC, source)
+                                      <= {STRAT_TOTAL} - sum(base) OVER ()
+                            THEN 1 ELSE 0 END, n_s) AS quota
+        FROM alloc),
+    ranked AS (
+        SELECT doc_id, source,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        FROM documents)
+    SELECT r.doc_id, r.source, CAST(q.quota AS BIGINT) AS quota
+    FROM ranked r JOIN quotas q USING (source)
+    WHERE r.rk <= q.quota
+"""

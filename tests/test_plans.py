@@ -368,3 +368,23 @@ def test_registry_wide_plan_audit(spark):
             offenders[name] = f"non-scalar output columns {complex_cols}"
         spark.catalog.clearCache()
     assert not offenders, offenders
+
+
+def test_embedding_lsh_incremental_skips_repartition_at_scale(spark):
+    # the fixture-parallelism widening must disappear once the corpus
+    # already carries defaultParallelism partitions: at 100 TB a
+    # round-robin exchange of the corpus would dominate the whole
+    # incremental probe (the stated no-corpus-shuffle contract)
+    from osarchiver_spark.operators.dedup import embedding_lsh_incremental
+    from pyspark.sql import functions as F
+
+    par = spark.sparkContext.defaultParallelism
+    vec = F.transform(F.sequence(F.lit(1), F.lit(4)),
+                      lambda i: (F.col("id") * i % 7).cast("double") / 7.0)
+    corpus = spark.range(200, numPartitions=par).select(
+        F.col("id").alias("vid"), vec.alias("v")
+    )
+    new = spark.range(5).select((F.col("id") + 1000).alias("vid"), vec.alias("v"))
+    out = embedding_lsh_incremental(corpus, new, "vid", "v", dim=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "RoundRobinPartitioning" not in plan, plan

@@ -168,3 +168,30 @@ def test_bpe_oracle_fold_matches_greedy_reference(syms, a, b):
         """
     ).fetchall()
     assert list(row[0]) == _py_greedy_merge(syms, a, b)
+
+
+def test_stratified_sample_exact_budget_and_proportionality(spark, sf_small):
+    """Largest-remainder allocation: the sample hits the budget
+    EXACTLY, each source's quota is within 1 of its real-valued
+    proportional share (the Hamilton guarantee), and membership is the
+    md5-prefix of each source."""
+    from osarchiver_spark.queries.sampling import STRAT_TOTAL, q_stratified_sample_exact
+    from osarchiver_spark.sources.parquet import load_table
+
+    from pyspark.sql import functions as F
+
+    out = q_stratified_sample_exact(spark, sf_small).collect()
+    assert len(out) == STRAT_TOTAL
+    docs = load_table(spark, sf_small, "documents")
+    n_s = {r.source: r.n for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    n = sum(n_s.values())
+    got_quota = {}
+    for r in out:
+        got_quota[r.source] = max(got_quota.get(r.source, 0), r.quota)
+    taken = {}
+    for r in out:
+        taken[r.source] = taken.get(r.source, 0) + 1
+    for src, q in got_quota.items():
+        share = n_s[src] * STRAT_TOTAL / n
+        assert abs(q - share) < 1.0 + 1e-9, (src, q, share)
+        assert taken[src] == q  # under-subscribed fixture: quota fully taken
