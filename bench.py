@@ -122,6 +122,7 @@ HEADLINE = [
     "approx_sketches",
     "bm25_retrieval",
     "stratified_sample_exact",
+    "rejection_resample_hour",
 ]
 
 

@@ -1056,3 +1056,59 @@ ORACLES["psi_drift"] = f"""
     FROM cells JOIN totals USING (event_type)
     GROUP BY event_type
 """
+
+
+def q_rejection_resample_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-flattening rejection resampling: accept each event
+    with probability min_hour_count / its_hour_count so the hour-of-day
+    histogram of the survivors is uniform in expectation — the
+    curation move that stops a time-skewed crawl from teaching the
+    model the crawler's schedule. Acceptance is the md5-uniform
+    deterministic coin (same rule as domain_mix_sample: membership is
+    a pure function of event_id, survives re-runs/repartitioning).
+    Output is the 24-row per-hour audit (before/after counts and an
+    exact id checksum of the accepted set — the checksum pins the
+    MEMBERSHIP, not just the counts). Scale shape: the 24-row hour
+    census broadcasts back into the scan; one map-combinable agg each
+    way — nothing leaves codegen."""
+    ev = load_table(spark, sf_dir, "events")
+    hour = F.hour("ts").cast("int")
+    census = ev.groupBy(hour.alias("hod")).agg(F.count("*").alias("n_h"))
+    m = census.agg(F.min("n_h").alias("m"))
+    rates = census.crossJoin(F.broadcast(m))
+    u = F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    ) / F.lit(float(1 << 32))
+    accepted = (
+        ev.select("event_id", hour.alias("hod"), u.alias("u"))
+        .join(F.broadcast(rates), "hod")
+        .withColumn("keep", (F.col("u") < F.col("m") / F.col("n_h")).cast("long"))
+    )
+    return accepted.groupBy("hod").agg(
+        F.count("*").alias("n_before"),
+        F.sum("keep").alias("n_after"),
+        F.sum(F.col("keep") * F.col("event_id")).alias("id_checksum"),
+    )
+
+
+QUERIES["rejection_resample_hour"] = q_rejection_resample_hour
+
+ORACLES["rejection_resample_hour"] = """
+    WITH census AS (
+        SELECT CAST(hour(ts) AS INT) AS hod, count(*) AS n_h
+        FROM events GROUP BY 1),
+    m AS (SELECT min(n_h) AS m FROM census),
+    accepted AS (
+        SELECT CAST(hour(e.ts) AS INT) AS hod,
+               e.event_id,
+               CASE WHEN (CAST(('0x' || substr(md5(CAST(e.event_id AS VARCHAR)), 1, 8))
+                               AS UBIGINT) / 4294967296.0) < (m.m / c.n_h)
+                    THEN 1 ELSE 0 END AS keep
+        FROM events e
+        JOIN census c ON CAST(hour(e.ts) AS INT) = c.hod
+        CROSS JOIN m)
+    SELECT hod, count(*) AS n_before,
+           CAST(sum(keep) AS BIGINT) AS n_after,
+           CAST(sum(keep * event_id) AS BIGINT) AS id_checksum
+    FROM accepted GROUP BY hod
+"""

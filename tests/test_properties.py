@@ -195,3 +195,22 @@ def test_stratified_sample_exact_budget_and_proportionality(spark, sf_small):
         share = n_s[src] * STRAT_TOTAL / n
         assert abs(q - share) < 1.0 + 1e-9, (src, q, share)
         assert taken[src] == q  # under-subscribed fixture: quota fully taken
+
+
+def test_rejection_resample_flattens_hour_histogram(spark, sf_medium):
+    """The acceptance rule min_count/count_h must pull every hour's
+    surviving count toward the minimum: the after-spread (max/min) is
+    strictly tighter than the before-spread, and no hour gains rows."""
+    from osarchiver_spark.queries.events_analytics import q_rejection_resample_hour
+
+    rows = q_rejection_resample_hour(spark, sf_medium).collect()
+    assert len(rows) == 24
+    before = {r.hod: r.n_before for r in rows}
+    after = {r.hod: r.n_after for r in rows}
+    assert all(after[h] <= before[h] for h in before)
+    spread_b = max(before.values()) / min(before.values())
+    spread_a = max(after.values()) / min(after.values())
+    assert spread_a < spread_b
+    # the min-count hour is accepted wholesale (p = 1)
+    hmin = min(before, key=lambda h: (before[h], h))
+    assert after[hmin] == before[hmin]
