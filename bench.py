@@ -123,6 +123,9 @@ HEADLINE = [
     "bm25_retrieval",
     "stratified_sample_exact",
     "rejection_resample_hour",
+    "padding_waste_report",
+    "embedding_outliers",
+    "split_contamination_report",
 ]
 
 

@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from osarchiver_spark.functions.text import tokens
+from osarchiver_spark.functions.text import token_count, tokens
 from osarchiver_spark.sources.parquet import load_table
 
 # 80/10/10 boundaries over 256 two-hex-digit buckets (205/24/27).
@@ -655,3 +655,183 @@ ORACLES["stratified_sample_exact"] = f"""
     FROM ranked r JOIN quotas q USING (source)
     WHERE r.rk <= q.quota
 """
+
+
+PAD_BATCH = 8  # sequences per training batch
+
+
+def q_padding_waste_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding-waste accounting for fixed-batch training: batch B
+    documents together and every sequence pads to the batch max, so
+    waste = sum(batch_max - len). Compares NAIVE batching (doc_id
+    order — what you get reading the corpus as-is) against
+    LENGTH-SORTED batching (the standard bucketing trick), per
+    batching strategy: (strategy, n_batches, n_tokens, n_padding,
+    waste_pct). The delta is the GPU-hours argument for length
+    bucketing, measured on the actual corpus.
+
+    Scale shape: one token-count scan; each strategy is a global
+    row_number + a (batch_id) hash agg. The global windows ARE a
+    single-partition sort at the window stage — acceptable for a
+    report query on (doc_id, n_tokens) pairs (two narrow columns,
+    not the corpus); the production packer (sequence_pack) shards
+    first. The oracle replays both orders exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select("doc_id", token_count(F.col("text")).alias("n_toks"))
+
+    def waste(order_cols, name):
+        w = W.partitionBy().orderBy(*order_cols)
+        batched = sized.select(
+            "n_toks",
+            ((F.row_number().over(w) - 1) / PAD_BATCH).cast("long").alias("batch_id"),
+        )
+        per_batch = batched.groupBy("batch_id").agg(
+            F.count("*").alias("n_seq"),
+            F.sum("n_toks").alias("toks"),
+            F.max("n_toks").alias("mx"),
+        )
+        return per_batch.agg(
+            F.lit(name).alias("strategy"),
+            F.count("*").alias("n_batches"),
+            F.sum("toks").alias("n_tokens"),
+            F.sum(F.col("mx") * F.col("n_seq") - F.col("toks")).alias("n_padding"),
+            F.round(
+                F.sum(F.col("mx") * F.col("n_seq") - F.col("toks"))
+                / F.sum(F.col("mx") * F.col("n_seq"))
+                * 100,
+                4,
+            ).alias("waste_pct"),
+        )
+
+    naive = waste([F.col("doc_id")], "naive")
+    sorted_ = waste([F.col("n_toks"), F.col("doc_id")], "length_sorted")
+    return naive.unionByName(sorted_)
+
+
+QUERIES["padding_waste_report"] = q_padding_waste_report
+
+ORACLES["padding_waste_report"] = f"""
+    WITH sized AS (
+        SELECT doc_id, len({_SQL_TOKENS_LOWER}) AS n_toks FROM documents),
+    naive AS (
+        SELECT n_toks,
+               (row_number() OVER (ORDER BY doc_id) - 1) // {PAD_BATCH} AS batch_id
+        FROM sized),
+    srt AS (
+        SELECT n_toks,
+               (row_number() OVER (ORDER BY n_toks, doc_id) - 1) // {PAD_BATCH} AS batch_id
+        FROM sized),
+    nb AS (
+        SELECT batch_id, count(*) AS n_seq, sum(n_toks) AS toks, max(n_toks) AS mx
+        FROM naive GROUP BY 1),
+    sb AS (
+        SELECT batch_id, count(*) AS n_seq, sum(n_toks) AS toks, max(n_toks) AS mx
+        FROM srt GROUP BY 1)
+    SELECT 'naive' AS strategy, count(*) AS n_batches,
+           CAST(sum(toks) AS BIGINT) AS n_tokens,
+           CAST(sum(mx * n_seq - toks) AS BIGINT) AS n_padding,
+           round(sum(mx * n_seq - toks) / sum(mx * n_seq) * 100, 4) AS waste_pct
+    FROM nb
+    UNION ALL
+    SELECT 'length_sorted', count(*),
+           CAST(sum(toks) AS BIGINT),
+           CAST(sum(mx * n_seq - toks) AS BIGINT),
+           round(sum(mx * n_seq - toks) / sum(mx * n_seq) * 100, 4)
+    FROM sb
+"""
+
+
+def q_split_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-contamination audit of the NAIVE per-doc split: per split,
+    how many documents have a near-duplicate (MinHash-LSH pair, the
+    dedup family's exact-verified candidate set) sitting in a
+    DIFFERENT split — i.e. train/eval leakage that a per-doc hash
+    split permits and split_leakage_free eliminates by construction.
+    This is the measurement that justifies cluster-keyed splitting on
+    a real corpus. Output: (split, n_docs, n_leaky, leaky_pct).
+
+    Scale shape: the pair list is the already-equi-join-generated LSH
+    candidate set (never all-pairs); both split lookups are scan-side
+    md5 hashes riding the pair relation — two narrow joins on doc_id,
+    one distinct, one count agg."""
+    from osarchiver_spark.queries.dedup import (
+        BANDS,
+        MINHASH_THRESHOLD,
+        NUM_HASHES,
+        minhash_lsh_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = (
+        F.when(bucket < _TRAIN_UB, "train").when(bucket < _VAL_UB, "val").otherwise("test")
+    )
+    splits = docs.select("doc_id", split.alias("split"))
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text",
+        shingle_n=3, num_hashes=NUM_HASHES, bands=BANDS, threshold=MINHASH_THRESHOLD,
+    ).select("doc_a", "doc_b")
+    edges = pairs.unionByName(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    )
+    sa = splits.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a"))
+    sb = splits.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b"))
+    leaky = (
+        edges.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("leaky", F.lit(1))
+    )
+    return (
+        splits.join(leaky, "doc_id", "left")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.coalesce(F.col("leaky"), F.lit(0))).alias("n_leaky"),
+            F.round(
+                F.sum(F.coalesce(F.col("leaky"), F.lit(0))) / F.count("*") * 100, 4
+            ).alias("leaky_pct"),
+        )
+    )
+
+
+QUERIES["split_contamination_report"] = q_split_contamination_report
+
+
+def _contamination_oracle() -> str:
+    from osarchiver_spark.queries.dedup import ORACLES as _DEDUP_ORACLES
+
+    pairs_sql = _DEDUP_ORACLES["dedup_minhash_lsh"]
+    return f"""
+        WITH pairs AS (SELECT doc_a, doc_b FROM ({pairs_sql})),
+        splits AS (
+            SELECT doc_id,
+                   CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{_TRAIN_UB}'
+                            THEN 'train'
+                        WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{_VAL_UB}'
+                            THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents),
+        edges AS (
+            SELECT doc_a, doc_b FROM pairs
+            UNION ALL
+            SELECT doc_b, doc_a FROM pairs),
+        leaky AS (
+            SELECT DISTINCT e.doc_a AS doc_id
+            FROM edges e
+            JOIN splits x ON e.doc_a = x.doc_id
+            JOIN splits y ON e.doc_b = y.doc_id
+            WHERE x.split <> y.split)
+        SELECT s.split, count(*) AS n_docs,
+               CAST(sum(CASE WHEN l.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_leaky,
+               round(sum(CASE WHEN l.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                     / count(*) * 100, 4) AS leaky_pct
+        FROM splits s LEFT JOIN leaky l USING (doc_id)
+        GROUP BY s.split
+    """
+
+
+ORACLES["split_contamination_report"] = _contamination_oracle()

@@ -379,3 +379,66 @@ ORACLES["hard_negatives"] = f"""
     SELECT query_id, rank, neighbor_id, cosine
     FROM ranked WHERE rank <= {NEG_K}
 """
+
+
+OUTLIER_TOPK = 50
+
+
+def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space anomaly detection: per-dimension z-scores
+    against the corpus moments, reported as the top-50 vectors by
+    max |z| — the screen that catches corrupt/degenerate embeddings
+    (an all-zero row, a fp-overflow spike, a wrong-model import)
+    before they poison an ANN index or a SemDeDup pass.
+
+    Determinism discipline: per-dim mean and std are rounded to 6
+    decimals, each z to 4 BEFORE the per-vector aggregation, and the
+    z-norm² to 3 — every value the two engines compare is computed on
+    the same rounded grid. Constant dimensions (std 0) contribute
+    z = 0 by definition.
+
+    Scale shape: posexplode → one map-combinable (dim) moment agg (64
+    rows — broadcast), re-join the exploded scan on dim, per-vector
+    agg, TakeOrderedAndProject for the top-k: no window over the
+    corpus, no sort of the fact table."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select("vec_id", F.posexplode(as_double(F.col("embedding"))).alias("dim", "v"))
+    stats = ex.groupBy("dim").agg(
+        F.round(F.avg("v"), 6).alias("m"),
+        F.round(F.sqrt(F.greatest(F.avg(F.col("v") * F.col("v")) - F.avg("v") * F.avg("v"), F.lit(0.0))), 6).alias("sd"),
+    )
+    z = F.when(F.col("sd") > 0, F.round((F.col("v") - F.col("m")) / F.col("sd"), 4)).otherwise(0.0)
+    return (
+        ex.join(F.broadcast(stats), "dim")
+        .select("vec_id", z.alias("z"))
+        .groupBy("vec_id")
+        .agg(
+            F.round(F.sum(F.col("z") * F.col("z")), 3).alias("z_norm2"),
+            F.max(F.abs(F.col("z"))).alias("max_abs_z"),
+        )
+        .orderBy(F.col("max_abs_z").desc(), "vec_id")
+        .limit(OUTLIER_TOPK)
+    )
+
+
+QUERIES["embedding_outliers"] = q_embedding_outliers
+
+ORACLES["embedding_outliers"] = f"""
+    WITH ex AS (
+        SELECT vec_id,
+               generate_subscripts(embedding, 1) - 1 AS dim,
+               unnest(embedding)::DOUBLE AS v
+        FROM embeddings),
+    stats AS (
+        SELECT dim, round(avg(v), 6) AS m,
+               round(sqrt(greatest(avg(v * v) - avg(v) * avg(v), 0.0)), 6) AS sd
+        FROM ex GROUP BY 1),
+    zs AS (
+        SELECT e.vec_id,
+               CASE WHEN s.sd > 0 THEN round((e.v - s.m) / s.sd, 4) ELSE 0.0 END AS z
+        FROM ex e JOIN stats s USING (dim))
+    SELECT vec_id, round(sum(z * z), 3) AS z_norm2, max(abs(z)) AS max_abs_z
+    FROM zs GROUP BY vec_id
+    ORDER BY max_abs_z DESC, vec_id
+    LIMIT {OUTLIER_TOPK}
+"""

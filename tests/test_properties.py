@@ -214,3 +214,33 @@ def test_rejection_resample_flattens_hour_histogram(spark, sf_medium):
     # the min-count hour is accepted wholesale (p = 1)
     hmin = min(before, key=lambda h: (before[h], h))
     assert after[hmin] == before[hmin]
+
+
+def test_leakage_free_split_has_zero_straddles(spark, sf_small):
+    """The contamination report measures what split_leakage_free
+    eliminates: under the cluster-keyed split no near-dup pair
+    straddles a boundary, while the naive split's report shows the
+    leakage it was built to fix (on this fixture: at least one leaky
+    doc, since the corpus contains near-dup clusters)."""
+    from osarchiver_spark.queries.dedup import (
+        BANDS, MINHASH_THRESHOLD, NUM_HASHES, minhash_lsh_pairs,
+    )
+    from osarchiver_spark.queries.sampling import (
+        q_split_contamination_report, q_split_leakage_free,
+    )
+    from osarchiver_spark.sources.parquet import load_table
+    from pyspark.sql import functions as F
+
+    naive = {r.split: r.n_leaky for r in q_split_contamination_report(spark, sf_small).collect()}
+    assert sum(naive.values()) > 0  # the fixture has straddling near-dups
+
+    lf = q_split_leakage_free(spark, sf_small).select("doc_id", "split")
+    docs = load_table(spark, sf_small, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text",
+        shingle_n=3, num_hashes=NUM_HASHES, bands=BANDS, threshold=MINHASH_THRESHOLD,
+    )
+    a = lf.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("sa"))
+    b = lf.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("sb"))
+    straddles = pairs.join(a, "doc_a").join(b, "doc_b").filter(F.col("sa") != F.col("sb")).count()
+    assert straddles == 0
