@@ -126,6 +126,8 @@ HEADLINE = [
     "padding_waste_report",
     "embedding_outliers",
     "split_contamination_report",
+    "ngram_novelty",
+    "target_encode_loo",
 ]
 
 

@@ -707,3 +707,61 @@ def _lf_vote_oracle() -> str:
 
 
 ORACLES["lf_majority_vote"] = _lf_vote_oracle()
+
+
+def q_target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding of a categorical feature: each
+    event's ``event_type`` is encoded as the mean target (``value``)
+    of all OTHER events of that type — (sum_g - value_i)/(n_g - 1) —
+    the leakage-safe categorical encoder (a plain group mean would let
+    each row see its own label; LOO removes the self-contribution
+    exactly, no folds needed). Singleton groups encode NULL.
+
+    Scale shape: one map-combinable (sum, count) agg over the group
+    key, broadcast back into the scan; the encoding itself is row-
+    local arithmetic — the corpus is never re-shuffled. The target is
+    quantized to integer cents BEFORE the group sum, so the sum is
+    exact bigint arithmetic on both engines and the quotient is the
+    same IEEE double everywhere — emitted UNROUNDED, because rounding
+    it is what breaks: integer-cents/(100*(n-1)) terminates in decimal
+    and lands exactly on .xxxx5 boundaries, where Spark (shortest-repr
+    HALF_UP) and DuckDB (exact-expansion) disagree."""
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "v_c", F.round(F.col("value") * 100).cast("long")
+    )
+    stats = ev.groupBy("event_type").agg(
+        F.sum("v_c").alias("s_c"), F.count("*").alias("n_g")
+    )
+    loo = F.when(
+        F.col("n_g") > 1,
+        (F.col("s_c") - F.col("v_c")) / (100.0 * (F.col("n_g") - 1)),
+    )
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 4).alias("value"),
+            loo.alias("loo_encoding"),
+        )
+    )
+
+
+QUERIES["target_encode_loo"] = q_target_encode_loo
+
+ORACLES["target_encode_loo"] = """
+    WITH ev AS (
+        SELECT event_id, event_type, value,
+               CAST(round(value * 100) AS BIGINT) AS v_c
+        FROM events),
+    stats AS (
+        SELECT event_type, sum(v_c) AS s_c, count(*) AS n_g
+        FROM ev GROUP BY 1)
+    SELECT e.event_id, e.event_type, round(e.value, 4) AS value,
+           CASE WHEN t.n_g > 1
+                THEN (t.s_c - e.v_c) / (100.0 * (t.n_g - 1))
+           END AS loo_encoding
+    FROM ev e JOIN stats t USING (event_type)
+"""

@@ -1059,3 +1059,55 @@ ORACLES["bpe_segment"] = f"""
     FROM dtok JOIN v{BPE_N_MERGES} v USING (token)
     GROUP BY doc_id
 """
+
+
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram novelty curve: per document, the share of its distinct
+    3-gram shingles whose FIRST corpus occurrence (minimum doc_id) is
+    this document — the marginal-information measure behind "order
+    your data by novelty" curricula and crawl-frontier dedup. A
+    boilerplate rehash scores near 0; genuinely new text near 1.
+
+    Scale shape: one shingle explode (distinct per doc by
+    construction), a map-combinable min(doc_id) agg per shingle, and
+    an equi-join back on the shingle — the same join key the
+    decontamination and Jaccard family use; no corpus pairing
+    anywhere."""
+    from osarchiver_spark.functions.text import word_shingles
+
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    sh = docs.select("doc_id", F.explode(word_shingles(F.col("text"), 3)).alias("sh"))
+    first = sh.groupBy("sh").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        sh.join(first, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum((F.col("first_doc") == F.col("doc_id")).cast("long")).alias("n_novel"),
+            F.round(
+                F.sum((F.col("first_doc") == F.col("doc_id")).cast("long"))
+                / F.count("*"),
+                6,
+            ).alias("novelty"),
+        )
+    )
+
+
+QUERIES["ngram_novelty"] = q_ngram_novelty
+
+ORACLES["ngram_novelty"] = f"""
+    WITH toked AS (
+        SELECT doc_id, {_SQL_TOKENS.format(col='text')} AS toks FROM documents),
+    sh AS (
+        SELECT doc_id, unnest(list_distinct({_SQL_GRAMS})) AS sh FROM toked),
+    first AS (SELECT sh, min(doc_id) AS first_doc FROM sh GROUP BY 1)
+    SELECT s.doc_id, count(*) AS n_shingles,
+           CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_novel,
+           round(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+                 / count(*), 6) AS novelty
+    FROM sh s JOIN first f USING (sh)
+    GROUP BY s.doc_id
+"""
