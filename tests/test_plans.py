@@ -388,3 +388,38 @@ def test_embedding_lsh_incremental_skips_repartition_at_scale(spark):
     out = embedding_lsh_incremental(corpus, new, "vid", "v", dim=4)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "RoundRobinPartitioning" not in plan, plan
+
+
+def test_bm25_broadcasts_query_terms_no_cartesian(spark):
+    # the 5-term query relation and the 1-row corpus stats must ride
+    # as broadcasts; at 100 TB a shuffle join on the term dim (or a
+    # real cartesian with the stats row) would dominate the scoring
+    # scan. The postings truncation must be a window, not a collect.
+    plan = _formatted(spark, "bm25_retrieval")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan
+    assert "partial_count" in plan or "partial_sum" in plan  # map-side tf combine
+
+
+def test_stratified_sample_broadcasts_quotas(spark):
+    # the allocation runs on the #sources-row relation; the corpus
+    # must see it only as a broadcast probe — never a shuffle join of
+    # the corpus against the quota table
+    plan = _formatted(spark, "stratified_sample_exact")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_rejection_resample_broadcasts_census(spark):
+    # the 24-row hour census joins back into the event scan as a
+    # broadcast; the only wide shuffles are the two map-combinable aggs
+    plan = _formatted(spark, "rejection_resample_hour")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "partial_sum" in plan
+
+
+def test_target_encode_broadcasts_stats(spark):
+    plan = _formatted(spark, "target_encode_loo")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan

@@ -244,3 +244,32 @@ def test_leakage_free_split_has_zero_straddles(spark, sf_small):
     b = lf.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("sb"))
     straddles = pairs.join(a, "doc_a").join(b, "doc_b").filter(F.col("sa") != F.col("sb")).count()
     assert straddles == 0
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    counts=st.lists(st.integers(min_value=1, max_value=500), min_size=1, max_size=30),
+    total=st.integers(min_value=1, max_value=300),
+)
+def test_hamilton_allocation_properties(counts, total):
+    """Pure-Python mirror of the stratified_sample_exact allocation:
+    quotas sum to min(total, N), each quota within 1 of the real
+    proportional share, never exceeding the stratum size."""
+    n = sum(counts)
+    names = [f"s{i:02d}" for i in range(len(counts))]
+    base = {nm: c * total // n for nm, c in zip(names, counts)}
+    rem = {nm: (c * total) % n for nm, c in zip(names, counts)}
+    k = total - sum(base.values())
+    order = sorted(names, key=lambda nm: (-rem[nm], nm))
+    quota = {
+        nm: min(base[nm] + (1 if order.index(nm) < k else 0), c)
+        for nm, c in zip(names, counts)
+    }
+    assert sum(quota.values()) == min(total, n) or total <= n and sum(quota.values()) == total
+    for nm, c in zip(names, counts):
+        share = c * total / n
+        if quota[nm] == c:  # capped stratum: share may exceed size
+            assert share >= c - 1e-9 or abs(quota[nm] - share) < 1.0 + 1e-9
+        else:
+            assert abs(quota[nm] - share) < 1.0 + 1e-9, (nm, quota[nm], share)
+        assert quota[nm] <= c
