@@ -128,6 +128,8 @@ HEADLINE = [
     "split_contamination_report",
     "ngram_novelty",
     "target_encode_loo",
+    "attribution_time_decay",
+    "quantile_normalize",
 ]
 
 

@@ -1112,3 +1112,124 @@ ORACLES["rejection_resample_hour"] = """
            CAST(sum(keep * event_id) AS BIGINT) AS id_checksum
     FROM accepted GROUP BY hod
 """
+
+
+ATTR_LOOKBACK_DAYS = 7
+ATTR_TAU_HOURS = 48.0  # exp decay time-constant
+
+
+def q_attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decay (multi-touch) marketing attribution: each purchase
+    splits its revenue across ALL of the same user's clicks in the
+    7-day lookback, weighted exp(-age/τ) and normalized per purchase —
+    the fractional-credit model that last-touch attribution
+    (attribution_last_touch) collapses to a single winner. Rolls up to
+    (campaign, n_touches, attributed_revenue).
+
+    Determinism: the decay weight is rounded to 6 decimals on both
+    engines before the per-purchase normalization (exp() differs in
+    the last ulp across libms), and the rollup follows the standard
+    4-dp revenue-sum convention.
+
+    Scale shape: the touch relation is a user_id equi-join with the
+    lookback as a join-time range predicate — per-user click lists are
+    bounded, so no range explosion; the per-purchase normalization is
+    one window sum on the purchase id (already co-partitioned by the
+    join), and the campaign rollup is map-combinable."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        "value",
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user_id"),
+        F.col("event_id").alias("click_id"),
+        F.get_json_object("props", "$.k").cast("int").alias("campaign"),
+        F.col("ts").alias("c_ts"),
+    )
+    touches = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (
+            F.col("c_ts")
+            >= F.col("p_ts") - F.expr(f"INTERVAL {ATTR_LOOKBACK_DAYS} DAYS")
+        ),
+    )
+    age_h = (F.unix_micros(F.col("p_ts")) - F.unix_micros(F.col("c_ts"))) / F.lit(
+        3600.0 * 1e6
+    )
+    w = F.round(F.exp(-age_h / F.lit(ATTR_TAU_HOURS)), 6)
+    wsum = F.sum("w").over(W.partitionBy("purchase_id"))
+    credited = touches.select(
+        "purchase_id", "value", "campaign", w.alias("w")
+    ).withColumn("credit", F.col("value") * F.col("w") / wsum)
+    return credited.groupBy("campaign").agg(
+        F.count("*").alias("n_touches"),
+        F.round(F.sum("credit"), 4).alias("attributed_revenue"),
+    )
+
+
+QUERIES["attribution_time_decay"] = q_attribution_time_decay
+
+ORACLES["attribution_time_decay"] = f"""
+    WITH purchases AS (
+        SELECT event_id AS purchase_id, user_id, ts AS p_ts, value
+        FROM events WHERE event_type = 'purchase'),
+    clicks AS (
+        SELECT user_id AS c_user_id, event_id AS click_id,
+               CAST(json_extract_string(props, '$.k') AS INT) AS campaign,
+               ts AS c_ts
+        FROM events WHERE event_type = 'click'),
+    touches AS (
+        SELECT p.purchase_id, p.value, c.campaign,
+               round(exp(-((epoch_us(p.p_ts) - epoch_us(c.c_ts))
+                           / (3600.0 * 1e6)) / {ATTR_TAU_HOURS}), 6) AS w
+        FROM purchases p
+        JOIN clicks c
+          ON p.user_id = c.c_user_id
+         AND c.c_ts <= p.p_ts
+         AND c.c_ts >= p.p_ts - INTERVAL {ATTR_LOOKBACK_DAYS} DAYS),
+    credited AS (
+        SELECT campaign,
+               value * w / sum(w) OVER (PARTITION BY purchase_id) AS credit
+        FROM touches)
+    SELECT campaign, count(*) AS n_touches,
+           round(sum(credit), 4) AS attributed_revenue
+    FROM credited GROUP BY campaign
+"""
+
+
+def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group quantile (rank) normalization: each event's value
+    mapped to its percent_rank within its event_type — the
+    distribution-free feature transform that makes heavy-tailed
+    telemetry comparable across types (rank-gaussianization minus the
+    probit). percent_rank = (rank-1)/(n-1) is pure integer arithmetic
+    over the sort, so both engines agree exactly (ties share a rank;
+    rounded 6 dp by convention only).
+
+    Scale shape: one window per event_type — a single hash shuffle on
+    a low-cardinality key; within-partition sort only, no global
+    ordering. For skewed type distributions the salting variants
+    (skew_salted_*) apply unchanged."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy("value")
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.round("value", 4).alias("value"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+    )
+
+
+QUERIES["quantile_normalize"] = q_quantile_normalize
+
+ORACLES["quantile_normalize"] = """
+    SELECT event_id, event_type, round(value, 4) AS value,
+           round(percent_rank() OVER (PARTITION BY event_type ORDER BY value), 6)
+               AS pct_rank
+    FROM events
+"""
