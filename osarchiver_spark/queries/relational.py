@@ -270,16 +270,34 @@ def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     computes the same exact side and emits TRUE — the value hash
     matches iff every Spark sketch is in-bound, which makes an
     engine-specific estimator hash-adjudicable without faking its
-    internals (pattern precedent: kmv_distinct)."""
+    internals (pattern precedent: kmv_distinct).
+
+    Plan note: the distinct-style aggregates and the exact-percentile
+    aggregates run as SEPARATE group-bys joined on the 3-row key —
+    combining them puts the count_distinct Expand (which replicates
+    every row per aggregate family) upstream of the ObjectHashAggregate
+    percentile buffers, a 5× slowdown measured at sf0.1 (73 s → 14 s).
+    The exact side exists for adjudication; a production run wanting
+    only the sketches uses q_approx_sketches_raw (one cheap pass)."""
     li = load_table(spark, sf_dir, "lineitem")
-    agg = li.groupBy("l_returnflag").agg(
+    dist = li.groupBy("l_returnflag").agg(
         F.count("*").alias("n_rows"),
         F.count_distinct("l_orderkey").alias("exact_orders"),
-        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("exact_p50"),
         F.approx_count_distinct("l_orderkey", rsd=0.01).alias("a_orders"),
+    )
+    pcts = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, array(0.49, 0.5, 0.51))").alias("ps"),
         F.percentile_approx("l_extendedprice", 0.5).alias("a_p50"),
-        F.expr("percentile(l_extendedprice, 0.49)").alias("lo"),
-        F.expr("percentile(l_extendedprice, 0.51)").alias("hi"),
+    )
+    agg = dist.join(pcts, "l_returnflag").select(
+        "l_returnflag",
+        "n_rows",
+        "exact_orders",
+        "a_orders",
+        "a_p50",
+        F.col("ps")[0].alias("lo"),
+        F.round(F.col("ps")[1], 4).alias("exact_p50"),
+        F.col("ps")[2].alias("hi"),
     )
     orders_in_bound = (
         F.abs(F.col("a_orders") - F.col("exact_orders"))
