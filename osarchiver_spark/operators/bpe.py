@@ -136,6 +136,12 @@ def bpe_train(
             merges.append((step, a, b, n))
             v_next = v.withColumn("syms", _merge_fold(F.col("syms"), a, b)).persist()
             prev, v = v, v_next
+        if prev is not None:
+            # the loop releases generation k-2 at step k, so the
+            # second-to-last vocabulary is still cached here — without
+            # this, every bpe_train call leaks one pinned relation
+            v.count()  # materialize the final gen before dropping its parent
+            prev.unpersist()
     except Exception:
         if prev is not None:
             prev.unpersist()

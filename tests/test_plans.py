@@ -423,3 +423,27 @@ def test_target_encode_broadcasts_stats(spark):
     plan = _formatted(spark, "target_encode_loo")
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_cache_using_queries_leave_no_catalog_entries(spark):
+    # the transient (auto-released localCheckpoint) discipline: running
+    # the operators that cache multi-consumer intermediates must leave
+    # the catalog cache manager EMPTY afterwards — a registry-wide run
+    # or long-lived session cannot accumulate pinned relations
+    # (operators with an explicit release contract unpersist before
+    # returning and are covered too)
+    spark.catalog.clearCache()
+    for name in (
+        "semdedup",
+        "pagerank",
+        "inverted_index",
+        "boilerplate_lines",
+        "als_factors",
+        "bpe_train",
+        "bpe_segment",
+        "dedup_substring_spans",
+        "bm25_retrieval",
+    ):
+        all_queries()[name](spark, SF).collect()
+    jcm = spark._jsparkSession.sharedState().cacheManager()
+    assert jcm.isEmpty(), f"cache manager still holds entries after {name}"
