@@ -94,11 +94,16 @@ def adaboost_train(
     the final weighted relation (persisted) for inspection."""
     spark = docs.sparkSession
     grid = F.broadcast(_stump_grid(spark))
-    d = boost_features(docs).persist()
-    n = d.count()
+    # base keeps its own handle: the rotation below wraps it in
+    # withColumn frames, and unpersisting a CHILD plan never releases
+    # the parent cache entry — without this handle every call leaked
+    # the features relation (caught by the no-accumulation pin in
+    # tests/test_plans.py)
+    base = boost_features(docs).persist()
+    n = base.count()
     if n == 0:
-        return [], d
-    d = d.withColumn("w", F.lit(1.0 / n))
+        return [], base
+    d = base.withColumn("w", F.lit(1.0 / n))
     model: list[Stump] = []
     prev = None
     try:
@@ -142,10 +147,19 @@ def adaboost_train(
                 "w", F.round(F.col("w") / F.lit(z), WEIGHT_QUANT)
             ).persist()
             prev, d = d, d_next
+        # release everything but the final frame: the loop frees round
+        # t-2 at round t, so the second-to-last frame AND the base
+        # features are still pinned when it exits
+        d.count()  # materialize the final frame before dropping its parents
+        if prev is not None:
+            prev.unpersist()
+            prev = None
+        base.unpersist()
         return model, d
     except Exception:
         if prev is not None:
             prev.unpersist()
+        base.unpersist()
         d.unpersist()
         raise
 

@@ -443,6 +443,8 @@ def test_cache_using_queries_leave_no_catalog_entries(spark):
         "bpe_segment",
         "dedup_substring_spans",
         "bm25_retrieval",
+        "adaboost_train",
+        "lr_train",
     ):
         all_queries()[name](spark, SF).collect()
     jcm = spark._jsparkSession.sharedState().cacheManager()
