@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
+from osarchiver_spark.operators.cache import transient
 from osarchiver_spark.functions.text import (
     lsh_band_keys,
     minhash_signature,
@@ -106,7 +107,7 @@ def minhash_lsh_pairs(
     # shingled feeds three consumers (signature + both sides of the
     # verify join): cache the shingle arrays instead of recomputing
     # the tokenize+hash pipeline per consumer.
-    shingled = _with_shingles(df, id_col, text_col, shingle_n).cache()
+    shingled = transient(_with_shingles(df, id_col, text_col, shingle_n))
     sig = shingled.select(
         "doc_id",
         "shingles",
@@ -166,7 +167,7 @@ def minhash_lsh_incremental(
             F.posexplode(lsh_band_keys(F.col("sig"), bands, rows)).alias("band_idx", "band_key"),
         )
 
-    sh_new = _with_shingles(new, id_col, text_col, shingle_n).cache()
+    sh_new = transient(_with_shingles(new, id_col, text_col, shingle_n))
     sh_corpus = _with_shingles(corpus, id_col, text_col, shingle_n)
     nb = banded(sh_new).select(F.col("doc_id").alias("new_id"), "band_idx", "band_key")
     cb = banded(sh_corpus).select(F.col("doc_id").alias("corpus_id"), "band_idx", "band_key")
@@ -282,7 +283,7 @@ def ngram_jaccard_pairs(
     (docs with zero shared shingles can't clear any threshold > 0),
     so even the 'exact' variant avoids a cross join.
     """
-    shingled = _with_shingles(df, id_col, text_col, shingle_n).cache()
+    shingled = transient(_with_shingles(df, id_col, text_col, shingle_n))
     ex = shingled.select("doc_id", F.explode("shingles").alias("s"))
     pairs = (
         ex.alias("x")
@@ -310,7 +311,7 @@ def ngram_containment_pairs(
     clear any threshold > 0); a pair survives when EITHER side's
     containment >= threshold, and both directions are reported so the
     caller can tell container from contained."""
-    shingled = _with_shingles(df, id_col, text_col, shingle_n).cache()
+    shingled = transient(_with_shingles(df, id_col, text_col, shingle_n))
     ex = shingled.select("doc_id", F.explode("shingles").alias("s"))
     pairs = (
         ex.alias("x")
@@ -439,7 +440,10 @@ def repeated_span_report(
     # on caller drop, operators/cache.py)
     from osarchiver_spark.operators.cache import transient
 
-    spans = transient(spans)
+    # eager: the plan pin (test_substring_spans_selection_is_map_side)
+    # reads the checkpointed scan, which also makes the pin independent
+    # of whether an earlier query materialized the lazy checkpoint
+    spans = transient(spans, eager=True)
     dup = (
         spans.groupBy("h")
         .agg(F.count_distinct("doc_id").alias("nd"))
@@ -573,16 +577,13 @@ def embedding_lsh_neardup_pairs(
             )
 
     # keyed feeds three consumers (hot-bucket census, grouped verify,
-    # overflow join): persist it so the ×L bucketize fan-out runs ONCE
-    # instead of once per consumer. MEMORY_AND_DISK because the keyed
-    # relation is L× the input — it spills instead of evicting other
-    # cached data; callers keeping planes_per_table ~ log2(n) (the
-    # documented contract) bound it to a small multiple of the corpus.
-    from pyspark import StorageLevel
-
-    keyed = base.mapInPandas(bucketize, schema=keyed_schema).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    # overflow join): cache it so the ×L bucketize fan-out runs ONCE
+    # instead of once per consumer. transient (localCheckpoint stores
+    # MEMORY_AND_DISK, spilling instead of evicting) because the
+    # returned pairs reference it — auto-released on caller drop;
+    # callers keeping planes_per_table ~ log2(n) (the documented
+    # contract) bound it to a small multiple of the corpus.
+    keyed = transient(base.mapInPandas(bucketize, schema=keyed_schema))
 
     out_schema = T.StructType(
         [

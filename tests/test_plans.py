@@ -251,17 +251,25 @@ def test_inverted_index_caps_postings_before_collect(spark):
 
 
 def test_substring_spans_selection_is_map_side(spark):
-    # winnowing runs as array expressions in the scan stage: the plan
-    # must have exactly the two aggregation/window shuffles downstream
-    # of the explode and NO per-position window sort upstream of the
-    # semi-join probe (the shape that shipped one row per character)
+    # winnowing runs as array expressions in the scan stage, and the
+    # selected spans are checkpointed before the probe: nothing
+    # upstream of the semi-join may re-Generate, Sort or Window the
+    # per-position rows (the shape that shipped one row per
+    # character). Formatted-plan node ids order leaf->root, so every
+    # Window/Sort/Generate id must be DOWNSTREAM of (greater than)
+    # the semi-join id; the old text-position check broke because the
+    # tree header prints downstream nodes before the join line.
+    import re
+
     plan = _formatted(spark, "dedup_substring_spans")
-    probe, _, build = plan.partition("BroadcastExchange")
-    assert build, "expected a broadcast semi-join of the duplicate hashes"
-    # upstream (probe side incl. cached spans subtree): generate only
-    # after selection, never Sort+Window over exploded positions
-    cached = probe.split("InMemoryRelation")[-1] if "InMemoryRelation" in probe else probe
-    assert "Window" not in cached.split("BroadcastHashJoin")[0]
+    m = re.search(r"\((\d+)\) BroadcastHashJoin", plan)
+    assert m, "expected a broadcast semi-join of the duplicate hashes"
+    join_id = int(m.group(1))
+    assert "Scan ExistingRDD" in plan  # the checkpointed spans feed both sides
+    for node in re.finditer(r"\((\d+)\) (Window|Sort|Generate)\b", plan):
+        assert int(node.group(1)) > join_id, (
+            f"{node.group(2)} upstream of the semi-join probe"
+        )
 
 
 def test_pagerank_iterations_broadcast_node_relations(spark):
@@ -339,6 +347,8 @@ def test_registry_wide_plan_audit(spark):
         "knn_label_vote": "one-row aggregates inside the reused top-k subplan",
         "sampled_percentiles": "single-row-per-group join keys (tiny)",
         "split_leakage_free": "cluster-map side effects via dedup subplan",
+        "bm25_retrieval": "one-row corpus (N, avgdl) stats aggregate",
+        "rejection_resample_hour": "one-row min-hour-count aggregate",
     }
     offenders = {}
     for name, fn in sorted(all_queries().items()):
@@ -445,6 +455,10 @@ def test_cache_using_queries_leave_no_catalog_entries(spark):
         "bm25_retrieval",
         "adaboost_train",
         "lr_train",
+        "dedup_minhash_lsh",
+        "dedup_embedding",
+        "corpus_pipeline",
+        "split_leakage_free",
     ):
         all_queries()[name](spark, SF).collect()
     jcm = spark._jsparkSession.sharedState().cacheManager()
