@@ -283,3 +283,43 @@ def test_audio_features_window_accounting(spark, sf_small):
         assert len(rows) == math.ceil(lens[doc_id] / AUDIO_WINDOW)
         assert sum(r["n_samples"] for r in rows) == lens[doc_id]
         assert all(r["rms"] >= 0 for r in rows)
+
+
+def test_incremental_probe_equals_batch_restriction(spark):
+    """minhash_lsh_incremental(corpus, new) must equal the full-batch
+    pair set over corpus ∪ new restricted to cross pairs (one side per
+    batch): signatures and band keys are per-document, so the
+    asymmetric probe loses no candidates relative to the self-join —
+    the invariant that makes batch-by-batch dedup equivalent to
+    re-running the full pass."""
+    from osarchiver_spark.operators.dedup import (
+        minhash_lsh_incremental,
+        minhash_lsh_pairs,
+    )
+
+    base = "quick brown fox jumps over the lazy dog near the river bank today"
+    texts = {}
+    for i in range(8):  # corpus: ids 0..7, two planted near-dup seeds
+        texts[i] = base + f" corpus variant {i % 2}"
+    for i in range(100, 104):  # new batch: near-dups of the seeds + one novel
+        texts[i] = base + f" corpus variant {i % 2}"
+    texts[104] = "completely different content with no overlap whatsoever at all"
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    corpus = docs.filter(F.col("doc_id") < 100)
+    new = docs.filter(F.col("doc_id") >= 100)
+
+    full = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in minhash_lsh_pairs(docs, "doc_id", "text").collect()
+    }
+    cross = {
+        (a, b): j for (a, b), j in full.items() if (a < 100) != (b < 100)
+    }
+    inc = {
+        (min(r.corpus_id, r.new_id), max(r.corpus_id, r.new_id)): r.jaccard
+        for r in minhash_lsh_incremental(corpus, new, "doc_id", "text").collect()
+    }
+    assert inc == cross
+    assert inc, "fixture must plant at least one cross near-dup pair"
