@@ -216,9 +216,12 @@ def main() -> None:
         dt = round(time.perf_counter() - t0, 3)
         timings[name] = dt
         total += dt
-        # several operators persist() intermediates the caller is
-        # expected to release; drop them so query N's cache residue
-        # doesn't tax query N+1's GC (each timing stands alone)
+        # operator-escaping intermediates are transient (auto-released
+        # localCheckpoint) since round 4 and trainers self-release, so
+        # this is a belt-and-braces guard: any future caller-contract
+        # persist is dropped here so query N's cache residue can't tax
+        # query N+1 (each timing stands alone); the no-accumulation
+        # pin in tests/test_plans.py keeps the registry honest
         spark.catalog.clearCache()
     line = json.dumps(
         {
