@@ -130,6 +130,8 @@ HEADLINE = [
     "target_encode_loo",
     "attribution_time_decay",
     "quantile_normalize",
+    "point_in_time_features",
+    "label_horizon",
 ]
 
 

@@ -1233,3 +1233,123 @@ ORACLES["quantile_normalize"] = """
                AS pct_rank
     FROM events
 """
+
+
+_PIT_7D_US = 7 * 86400 * 1_000_000  # 7 days in microseconds
+
+
+def q_point_in_time_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time feature backfill: for every purchase, the user's
+    trailing-7-day activity STRICTLY BEFORE it (event count, value
+    sum, purchase count) — the leakage-safe way to build training
+    features that match what a serving system could have known at
+    prediction time. The window is a numeric RANGE frame over epoch
+    micros ending 1 µs before the anchor, so same-timestamp peers are
+    excluded identically on both engines; the frame is computed over
+    ALL events per user and then filtered to the purchase anchors.
+
+    Scale shape: one hash shuffle on user_id + an in-partition sort —
+    the canonical time-series window; no self-join, no explosion."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value",
+        F.unix_micros(F.col("ts")).alias("us"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-_PIT_7D_US, -1)
+    )
+    feats = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.count(F.lit(1)).over(w).alias("n_prev_7d"),
+        F.round(F.sum("value").over(w), 4).alias("sum_prev_7d"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).over(w).alias("n_prev_purchases_7d"),
+    )
+    # empty trailing frame (a user's first event): the window sums
+    # are NULL, which is "no prior activity" — normalize to zero
+    return feats.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "n_prev_7d",
+        F.coalesce("sum_prev_7d", F.lit(0.0)).alias("sum_prev_7d"),
+        F.coalesce("n_prev_purchases_7d", F.lit(0)).cast("long").alias("n_prev_purchases_7d"),
+    )
+
+
+def q_label_horizon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-horizon label generation: for every click, did the same
+    user purchase within the following 7 days (exclusive of the click
+    instant)? — the conversion/churn label factory, built as the
+    mirror image of the point-in-time feature frame so feature and
+    label windows can never overlap. Output also counts the future
+    purchases (multi-label tasks reuse the same pass)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type",
+        F.unix_micros(F.col("ts")).alias("us"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(1, _PIT_7D_US)
+    )
+    labeled = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).over(w).alias("n_future_purchases"),
+    )
+    # empty forward frame (nothing follows within the horizon): the
+    # window sum is NULL, which MEANS "no conversion" — without the
+    # coalesce such clicks would carry NULL labels instead of False
+    # (caught by the boundary test in tests/test_properties.py)
+    n_fut = F.coalesce("n_future_purchases", F.lit(0)).cast("long")
+    return labeled.filter(F.col("event_type") == "click").select(
+        "event_id",
+        "user_id",
+        n_fut.alias("n_future_purchases"),
+        (n_fut > 0).alias("label"),
+    )
+
+
+QUERIES["point_in_time_features"] = q_point_in_time_features
+QUERIES["label_horizon"] = q_label_horizon
+
+ORACLES["point_in_time_features"] = f"""
+    WITH ev AS (
+        SELECT event_id, user_id, event_type, value, epoch_us(ts) AS us
+        FROM events),
+    feats AS (
+        SELECT event_id, user_id, event_type,
+               count(*) OVER w AS n_prev_7d,
+               round(sum(value) OVER w, 4) AS sum_prev_7d,
+               coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                        OVER w, 0) AS n_prev_purchases_7d
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY us
+                     RANGE BETWEEN {_PIT_7D_US} PRECEDING AND 1 PRECEDING))
+    SELECT event_id, user_id, n_prev_7d,
+           coalesce(sum_prev_7d, 0.0) AS sum_prev_7d,
+           CAST(n_prev_purchases_7d AS BIGINT) AS n_prev_purchases_7d
+    FROM feats WHERE event_type = 'purchase'
+"""
+
+ORACLES["label_horizon"] = f"""
+    WITH ev AS (
+        SELECT event_id, user_id, event_type, epoch_us(ts) AS us
+        FROM events),
+    labeled AS (
+        SELECT event_id, user_id, event_type,
+               sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY us
+                         RANGE BETWEEN 1 FOLLOWING AND {_PIT_7D_US} FOLLOWING)
+                   AS n_future_purchases
+        FROM ev)
+    SELECT event_id, user_id,
+           CAST(coalesce(n_future_purchases, 0) AS BIGINT) AS n_future_purchases,
+           coalesce(n_future_purchases, 0) > 0 AS label
+    FROM labeled WHERE event_type = 'click'
+"""

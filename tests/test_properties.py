@@ -273,3 +273,51 @@ def test_hamilton_allocation_properties(counts, total):
         else:
             assert abs(quota[nm] - share) < 1.0 + 1e-9, (nm, quota[nm], share)
         assert quota[nm] <= c
+
+
+def test_point_in_time_windows_exclude_anchor_and_future(spark, tmp_path):
+    """Leakage safety of the feature/label factory: the trailing frame
+    must see strictly-before events only (neither the anchor itself
+    nor same-microsecond peers nor the future), and the label frame
+    must start strictly after the anchor — on a hand-built timeline
+    where every boundary case is pinned by construction."""
+    from datetime import datetime
+
+    from osarchiver_spark.queries.events_analytics import (
+        q_label_horizon,
+        q_point_in_time_features,
+    )
+    from pyspark.sql import types as T
+
+    rows = [
+        # user 1: purchase at T0+2d with one view before, one at the
+        # same instant (peer — must NOT count), one after
+        (1, 1, "view", datetime(2024, 1, 1), 10.0),
+        (2, 1, "view", datetime(2024, 1, 3), 20.0),      # same instant as anchor
+        (3, 1, "purchase", datetime(2024, 1, 3), 5.0),   # anchor
+        (4, 1, "view", datetime(2024, 1, 4), 30.0),      # future
+        # user 1: click at T0, purchase 2 days later -> label true
+        (5, 1, "click", datetime(2024, 1, 1, 6), 0.0),
+        # user 2: click with no purchase in 7d -> label false
+        (6, 2, "click", datetime(2024, 1, 1), 0.0),
+        (7, 2, "purchase", datetime(2024, 1, 20), 9.0),  # beyond horizon
+    ]
+    schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("value", T.DoubleType()),
+    ])
+    path = str(tmp_path / "events.parquet")
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(path)
+
+    feats = {r.event_id: r for r in q_point_in_time_features(spark, str(tmp_path)).collect()}
+    a = feats[3]
+    # only event 1 and the click (event 5) precede strictly; the
+    # same-instant view (2) and the future view (4) are excluded
+    assert a.n_prev_7d == 2 and a.sum_prev_7d == 10.0 and a.n_prev_purchases_7d == 0
+
+    labels = {r.event_id: r for r in q_label_horizon(spark, str(tmp_path)).collect()}
+    assert labels[5].label is True and labels[5].n_future_purchases == 1
+    assert labels[6].label is False and labels[6].n_future_purchases == 0
