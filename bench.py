@@ -132,6 +132,8 @@ HEADLINE = [
     "quantile_normalize",
     "point_in_time_features",
     "label_horizon",
+    "ab_test_report",
+    "survival_curve",
 ]
 
 

@@ -1353,3 +1353,201 @@ ORACLES["label_horizon"] = f"""
            coalesce(n_future_purchases, 0) > 0 AS label
     FROM labeled WHERE event_type = 'click'
 """
+
+
+def q_ab_test_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment readout: deterministic 50/50 assignment (user_id
+    parity, standing in for an assignment table), per-arm exposure
+    and conversion (a user converts when they have >= 1 purchase),
+    and the pooled two-proportion z-statistic with the |z| > 1.96
+    call — the analytics side of an A/B platform. All counts are
+    exact integers; the z arithmetic is identical IEEE on both
+    engines and rounds to 4 before the significance compare, so the
+    verdict can't flip across engines. One distinct-user aggregate +
+    one single-row report; nothing wide."""
+    ev = load_table(spark, sf_dir, "events")
+    arm = F.when(F.col("user_id") % 2 == 0, "A").otherwise("B")
+    users = (
+        ev.select("user_id", arm.alias("arm"), "event_type")
+        .groupBy("arm", "user_id")
+        .agg(
+            F.max((F.col("event_type") == "purchase").cast("int")).alias("converted")
+        )
+    )
+    arms = users.groupBy("arm").agg(
+        F.count("*").alias("n_users"),
+        F.sum("converted").alias("n_converted"),
+    )
+    a = arms.filter(F.col("arm") == "A").select(
+        F.col("n_users").alias("n_a"), F.col("n_converted").alias("c_a")
+    )
+    b = arms.filter(F.col("arm") == "B").select(
+        F.col("n_users").alias("n_b"), F.col("n_converted").alias("c_b")
+    )
+    j = a.crossJoin(b)  # two one-row frames
+    p_a = F.col("c_a") / F.col("n_a")
+    p_b = F.col("c_b") / F.col("n_b")
+    p_pool = (F.col("c_a") + F.col("c_b")) / (F.col("n_a") + F.col("n_b"))
+    se = F.sqrt(p_pool * (1 - p_pool) * (1 / F.col("n_a") + 1 / F.col("n_b")))
+    # degenerate arms (everyone or no one converted): se = 0 and the
+    # z-stat is undefined — report 0 (no detectable difference), the
+    # same convention the oracle uses, instead of an ANSI div-by-zero
+    z = F.when(se > 0, F.round((p_a - p_b) / se, 4)).otherwise(F.lit(0.0))
+    return j.select(
+        "n_a",
+        "c_a",
+        "n_b",
+        "c_b",
+        F.round(p_a, 6).alias("conv_a"),
+        F.round(p_b, 6).alias("conv_b"),
+        z.alias("z_conversion"),
+        (F.abs(z) > 1.96).alias("significant"),
+    )
+
+
+QUERIES["ab_test_report"] = q_ab_test_report
+
+ORACLES["ab_test_report"] = """
+    WITH users AS (
+        SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+               user_id,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+        FROM events GROUP BY 1, 2),
+    arms AS (
+        SELECT arm, count(*) AS n_users, sum(converted) AS n_converted
+        FROM users GROUP BY 1),
+    j AS (
+        SELECT a.n_users AS n_a, a.n_converted AS c_a,
+               b.n_users AS n_b, b.n_converted AS c_b
+        FROM (SELECT * FROM arms WHERE arm = 'A') a,
+             (SELECT * FROM arms WHERE arm = 'B') b)
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(c_a AS BIGINT) AS c_a,
+           CAST(n_b AS BIGINT) AS n_b, CAST(c_b AS BIGINT) AS c_b,
+           round(c_a / n_a, 6) AS conv_a,
+           round(c_b / n_b, 6) AS conv_b,
+           CASE WHEN sqrt(((c_a + c_b) / (n_a + n_b)) * (1 - (c_a + c_b) / (n_a + n_b))
+                          * (1.0 / n_a + 1.0 / n_b)) > 0
+                THEN round((c_a / n_a - c_b / n_b)
+                     / sqrt(((c_a + c_b) / (n_a + n_b)) * (1 - (c_a + c_b) / (n_a + n_b))
+                            * (1.0 / n_a + 1.0 / n_b)), 4)
+                ELSE 0.0 END AS z_conversion,
+           abs(CASE WHEN sqrt(((c_a + c_b) / (n_a + n_b)) * (1 - (c_a + c_b) / (n_a + n_b))
+                              * (1.0 / n_a + 1.0 / n_b)) > 0
+                    THEN round((c_a / n_a - c_b / n_b)
+                         / sqrt(((c_a + c_b) / (n_a + n_b)) * (1 - (c_a + c_b) / (n_a + n_b))
+                                * (1.0 / n_a + 1.0 / n_b)), 4)
+                    ELSE 0.0 END) > 1.96 AS significant
+    FROM j
+"""
+
+
+def q_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve of time-to-first-purchase: per
+    user, the duration (whole hours) from their first event to their
+    first purchase, right-censored at their last event when they
+    never purchase — the product-limit estimator behind churn and
+    conversion-delay modeling (public textbook method). Output: one
+    row per event time with (duration_h, n_risk, n_events, n_censored,
+    survival).
+
+    Determinism: each factor (1 - d/n) is a ratio of exact integers
+    rounded to 8; the survival product is exp of the ORDERED running
+    sum of ln(factor) — the cumulative window evaluates in duration
+    order on both engines, so the sum is bit-identical and the final
+    round(·, 6) is safe; a factor of exactly 0 (everyone at risk
+    converts) pins survival to 0 from that time on without touching
+    ln. Scale shape: one per-user aggregate, one per-duration
+    aggregate (report-sized), one ordered cumulative window over the
+    duration rows — the corpus is shuffled once on user_id."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros(F.col("ts")).alias("us")
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.min("us").alias("t0"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("us"))).alias("tp"),
+        F.max("us").alias("tl"),
+    )
+    dur = per_user.select(
+        # explicit floor: DuckDB's double->bigint CAST rounds while
+        # Spark's truncates — floor() agrees everywhere
+        F.floor(
+            (F.coalesce(F.col("tp"), F.col("tl")) - F.col("t0"))
+            / F.lit(3600.0 * 1e6)
+        ).cast("long").alias("duration_h"),
+        F.col("tp").isNotNull().cast("int").alias("event"),
+    )
+    cells = dur.groupBy("duration_h").agg(
+        F.sum("event").alias("d"),
+        F.sum(1 - F.col("event")).alias("c"),
+    )
+    w_cum = W.orderBy("duration_h").rowsBetween(W.unboundedPreceding, -1)
+    w_inc = W.orderBy("duration_h").rowsBetween(W.unboundedPreceding, 0)
+    n_total = F.sum(F.col("d") + F.col("c")).over(
+        W.orderBy(F.lit(1)).rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    staged = cells.select(
+        "duration_h",
+        "d",
+        "c",
+        (n_total - F.coalesce(F.sum(F.col("d") + F.col("c")).over(w_cum), F.lit(0))).alias("n_risk"),
+    )
+    factor = F.round(1 - F.col("d") / F.col("n_risk"), 8)
+    staged2 = staged.select(
+        "duration_h", "d", "c", "n_risk",
+        F.when(factor > 0, F.log(factor)).otherwise(F.lit(0.0)).alias("ln_f"),
+        (factor <= 0).cast("int").alias("hit_zero"),
+    )
+    surv = F.when(
+        F.sum("hit_zero").over(w_inc) > 0, F.lit(0.0)
+    ).otherwise(F.round(F.exp(F.sum("ln_f").over(w_inc)), 6))
+    return (
+        staged2.select(
+            "duration_h",
+            "n_risk",
+            F.col("d").alias("n_events"),
+            F.col("c").alias("n_censored"),
+            surv.alias("survival"),
+        )
+        .filter(F.col("n_events") > 0)
+    )
+
+
+QUERIES["survival_curve"] = q_survival_curve
+
+ORACLES["survival_curve"] = """
+    WITH per_user AS (
+        SELECT user_id, min(epoch_us(ts)) AS t0,
+               min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS tp,
+               max(epoch_us(ts)) AS tl
+        FROM events GROUP BY 1),
+    dur AS (
+        SELECT CAST(floor((coalesce(tp, tl) - t0) / (3600.0 * 1e6)) AS BIGINT) AS duration_h,
+               CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS event
+        FROM per_user),
+    cells AS (
+        SELECT duration_h, sum(event) AS d, sum(1 - event) AS c
+        FROM dur GROUP BY 1),
+    staged AS (
+        SELECT duration_h, d, c,
+               sum(d + c) OVER () -
+               coalesce(sum(d + c) OVER (ORDER BY duration_h
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS n_risk
+        FROM cells),
+    staged2 AS (
+        SELECT duration_h, d, c, n_risk,
+               CASE WHEN round(1 - d / n_risk, 8) > 0
+                    THEN ln(round(1 - d / n_risk, 8)) ELSE 0.0 END AS ln_f,
+               CASE WHEN round(1 - d / n_risk, 8) <= 0 THEN 1 ELSE 0 END AS hit_zero
+        FROM staged)
+    SELECT duration_h, CAST(n_risk AS BIGINT) AS n_risk,
+           CAST(d AS BIGINT) AS n_events, CAST(c AS BIGINT) AS n_censored,
+           CASE WHEN sum(hit_zero) OVER (ORDER BY duration_h
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) > 0
+                THEN 0.0
+                ELSE round(exp(sum(ln_f) OVER (ORDER BY duration_h
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
+           END AS survival
+    FROM staged2
+    QUALIFY d > 0
+"""

@@ -321,3 +321,21 @@ def test_point_in_time_windows_exclude_anchor_and_future(spark, tmp_path):
     labels = {r.event_id: r for r in q_label_horizon(spark, str(tmp_path)).collect()}
     assert labels[5].label is True and labels[5].n_future_purchases == 1
     assert labels[6].label is False and labels[6].n_future_purchases == 0
+
+
+def test_survival_curve_is_a_valid_km_estimate(spark, sf_small):
+    """KM invariants on the fixture: survival starts <= 1, is
+    monotone non-increasing over event times, and the risk set shrinks
+    by exactly the events+censored of the preceding rows."""
+    from osarchiver_spark.queries.events_analytics import q_survival_curve
+
+    rows = sorted(
+        (r.duration_h, r.n_risk, r.n_events, r.n_censored, r.survival)
+        for r in q_survival_curve(spark, sf_small).collect()
+    )
+    assert rows
+    assert all(0.0 <= s <= 1.0 for *_, s in rows)
+    assert all(a[4] >= b[4] for a, b in zip(rows, rows[1:]))
+    for a, b in zip(rows, rows[1:]):
+        # risk set can only shrink between consecutive event times
+        assert b[1] <= a[1] - a[2] - a[3]
