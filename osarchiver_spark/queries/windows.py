@@ -428,12 +428,17 @@ ORACLES = {
     """,
     "streaming_outer_interval_join": """
         WITH cut AS (
-            SELECT least(
-                       max(CASE WHEN event_type = 'view' THEN ts END)
-                           - INTERVAL 4 HOUR,
-                       max(CASE WHEN event_type = 'purchase' THEN ts END)
-                           - INTERVAL 8 HOUR)
-                   - INTERVAL 5 HOUR AS cutoff
+            -- NULL-propagating: a side with no rows never advances the
+            -- engine watermark, so nothing is provably final
+            SELECT CASE WHEN max(CASE WHEN event_type = 'view' THEN ts END) IS NULL
+                          OR max(CASE WHEN event_type = 'purchase' THEN ts END) IS NULL
+                        THEN NULL
+                        ELSE least(
+                           max(CASE WHEN event_type = 'view' THEN ts END)
+                               - INTERVAL 4 HOUR,
+                           max(CASE WHEN event_type = 'purchase' THEN ts END)
+                               - INTERVAL 8 HOUR)
+                       - INTERVAL 5 HOUR END AS cutoff
             FROM events)
         SELECT v.event_id AS view_id, p.event_id AS purchase_id,
                v.user_id, v.ts AS view_ts, p.ts AS purchase_ts
@@ -445,12 +450,17 @@ ORACLES = {
     """,
     "streaming_full_outer_interval_join": """
         WITH cut AS (
-            SELECT least(
-                       max(CASE WHEN event_type = 'view' THEN ts END)
-                           - INTERVAL 4 HOUR,
-                       max(CASE WHEN event_type = 'purchase' THEN ts END)
-                           - INTERVAL 8 HOUR)
-                   - INTERVAL 5 HOUR AS cutoff
+            -- NULL-propagating: a side with no rows never advances the
+            -- engine watermark, so nothing is provably final
+            SELECT CASE WHEN max(CASE WHEN event_type = 'view' THEN ts END) IS NULL
+                          OR max(CASE WHEN event_type = 'purchase' THEN ts END) IS NULL
+                        THEN NULL
+                        ELSE least(
+                           max(CASE WHEN event_type = 'view' THEN ts END)
+                               - INTERVAL 4 HOUR,
+                           max(CASE WHEN event_type = 'purchase' THEN ts END)
+                               - INTERVAL 8 HOUR)
+                       - INTERVAL 5 HOUR END AS cutoff
             FROM events)
         SELECT v.event_id AS view_id, p.event_id AS purchase_id,
                coalesce(v.user_id, p.user_id) AS user_id,

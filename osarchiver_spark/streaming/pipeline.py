@@ -297,14 +297,19 @@ def outer_interval_join_stream(
     drained = drain_stream_to_parquet(joined, "append", "stream_oij")
     from osarchiver_spark.sources.parquet import load_table
 
-    cutoff = (
+    # NULL-propagating min, NOT least(): least() ignores a missing
+    # side, but an input with no rows leaves the engine's watermark at
+    # epoch — NOTHING finalizes, so the provably-final region is empty
+    # (a hypothesis sweep found this with an all-purchase stream)
+    max_v = F.max(F.when(F.col("event_type") == "view", F.col("ts")))
+    max_p = F.max(F.when(F.col("event_type") == "purchase", F.col("ts")))
+    cutoff = F.when(
+        max_v.isNotNull() & max_p.isNotNull(),
         F.least(
-            F.max(F.when(F.col("event_type") == "view", F.col("ts")))
-            - F.expr(f"INTERVAL {view_delay_hours} HOURS"),
-            F.max(F.when(F.col("event_type") == "purchase", F.col("ts")))
-            - F.expr(f"INTERVAL {purchase_delay_hours} HOURS"),
+            max_v - F.expr(f"INTERVAL {view_delay_hours} HOURS"),
+            max_p - F.expr(f"INTERVAL {purchase_delay_hours} HOURS"),
         )
-        - F.expr(f"INTERVAL {range_hours + margin_hours} HOURS")
+        - F.expr(f"INTERVAL {range_hours + margin_hours} HOURS"),
     )
     bounds = load_table(spark, sf_dir, "events").agg(
         cutoff.alias("v_cutoff"), cutoff.alias("p_cutoff")

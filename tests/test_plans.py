@@ -349,6 +349,7 @@ def test_registry_wide_plan_audit(spark):
         "split_leakage_free": "cluster-map side effects via dedup subplan",
         "bm25_retrieval": "one-row corpus (N, avgdl) stats aggregate",
         "rejection_resample_hour": "one-row min-hour-count aggregate",
+        "ab_test_report": "two one-row arm aggregates",
     }
     offenders = {}
     for name, fn in sorted(all_queries().items()):

@@ -118,14 +118,13 @@ def _batch_outer_reference(events, join_type, range_h, v_delay, p_delay, margin)
         for pid, pu, ph in purch:
             if pid not in matched_p:
                 rows.append((None, pid, pu, None, ph))
-    sides = [m for m in (
-        max((h for _, _, h in views), default=None),
-        max((h for _, _, h in purch), default=None),
-    )]
-    wm_parts = [s - d for s, d in ((sides[0], v_delay), (sides[1], p_delay)) if s is not None]
-    if not wm_parts:
+    max_v = max((h for _, _, h in views), default=None)
+    max_p = max((h for _, _, h in purch), default=None)
+    if max_v is None or max_p is None:
+        # an empty input never advances the engine watermark: nothing
+        # is provably final (mirrors outer_interval_join_stream)
         return []
-    cutoff = min(wm_parts) - range_h - margin
+    cutoff = min(max_v - v_delay, max_p - p_delay) - range_h - margin
     # leftOuter trims the view side only (matched purchases ride with
     # their final view); fullOuter also trims NULL-view purchase rows —
     # mirrors outer_interval_join_stream and the registered oracles
