@@ -134,6 +134,7 @@ HEADLINE = [
     "label_horizon",
     "ab_test_report",
     "survival_curve",
+    "lang_confusion",
 ]
 
 

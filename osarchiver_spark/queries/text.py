@@ -8,7 +8,7 @@ lexicons are embedded from the same LANG_MARKERS constant).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from osarchiver_spark.functions.text import (
@@ -1110,4 +1110,43 @@ ORACLES["ngram_novelty"] = f"""
                  / count(*), 6) AS novelty
     FROM sh s JOIN first f USING (sh)
     GROUP BY s.doc_id
+"""
+
+
+def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix: counts per (metadata label,
+    n-gram prediction) cell plus each cell's share of its label row —
+    the evaluation readout for the lang_id heuristic (which cells
+    justify a better model, which languages the marker lexicons
+    confuse). One codegen scan + one small hash agg."""
+    docs = load_table(spark, sf_dir, "documents")
+    pred = lang_id(F.col("text"))
+    cells = docs.groupBy(
+        F.col("lang").alias("lang_label"), pred.alias("lang_pred")
+    ).agg(F.count("*").alias("n"))
+    label_tot = F.sum("n").over(W.partitionBy("lang_label"))
+    return cells.select(
+        "lang_label",
+        "lang_pred",
+        "n",
+        F.round(F.col("n") / label_tot, 6).alias("label_share"),
+    )
+
+
+QUERIES["lang_confusion"] = q_lang_confusion
+
+ORACLES["lang_confusion"] = f"""
+    WITH scored AS (
+        SELECT lang AS lang_label,
+               CAST({_score_sql('en')} AS INT) AS score_en,
+               CAST({_score_sql('de')} AS INT) AS score_de,
+               CAST({_score_sql('es')} AS INT) AS score_es,
+               CAST({_score_sql('fr')} AS INT) AS score_fr
+        FROM documents),
+    cells AS (
+        SELECT lang_label, {_LANG_CASE} AS lang_pred, count(*) AS n
+        FROM scored GROUP BY 1, 2)
+    SELECT lang_label, lang_pred, n,
+           round(n / sum(n) OVER (PARTITION BY lang_label), 6) AS label_share
+    FROM cells
 """
