@@ -464,3 +464,20 @@ def test_cache_using_queries_leave_no_catalog_entries(spark):
         all_queries()[name](spark, SF).collect()
     jcm = spark._jsparkSession.sharedState().cacheManager()
     assert jcm.isEmpty(), f"cache manager still holds entries after {name}"
+
+
+def test_transient_reuses_one_materialization(spark):
+    # the auto-released cache contract: a transient frame computes its
+    # lineage once and serves every consumer from the checkpointed
+    # blocks — the plan of a consumer shows the RDD scan, not the
+    # original lineage
+    from osarchiver_spark.operators.cache import transient
+    from pyspark.sql import functions as F
+
+    base = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 7).alias("k")
+    )
+    t = transient(base, eager=True)
+    plan = t.groupBy("k").count()._jdf.queryExecution().optimizedPlan().toString()
+    assert "LogicalRDD" in plan or "ExistingRDD" in plan, plan
+    assert t.count() == 1000  # served from the checkpoint
