@@ -1,0 +1,62 @@
+"""Cross-engine-exact fixed-point rounding helpers.
+
+Why this module exists: ``round(double, n)`` is NOT portable across
+engines at ``.xxx5`` decimal boundaries. Spark rounds the SHORTEST
+decimal representation of the double with HALF_UP; DuckDB rounds the
+EXACT binary expansion — so a value whose shortest repr is exactly
+``0.1234565`` rounds to ``0.123457`` in Spark but ``0.123456`` in
+DuckDB (its exact expansion is ``0.12345649999...``). That one-ulp
+disagreement is invisible to row/schema checks and flips a value-hash
+comparison (observed on ``psi_drift`` and ``token_budget_sample`` in
+driver round 4).
+
+The portable alternative used here is ``floor(x * 10^n + 0.5) / 10^n``:
+multiply, add, floor, divide are all IEEE-754 operations that every
+engine executes identically on identical inputs — there is no decimal
+string anywhere, so there is nothing to disagree about. For
+non-negative inputs this equals round-half-up; for negative inputs it
+rounds halves toward +inf (still engine-identical, just a different
+tie convention — callers with signed data should note it).
+
+For cross-partition SUMs of doubles the quantization must happen
+BEFORE the sum (parallel accumulation order differs per engine/run):
+quantize each term to a bigint grid with :func:`quantize`, sum the
+exact integers, then rescale. See ``queries/ml.py`` /
+``target_encode_loo`` for the original statement of this discipline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def exact_round(col: Column, ndigits: int) -> Column:
+    """``floor(x*10^n + 0.5)/10^n`` — portable fixed-point rounding.
+
+    Engine-identical wherever the input doubles are engine-identical
+    (i.e. the input is a fixed-order, row-local IEEE expression over
+    identical operands — NOT an unordered double sum; quantize before
+    summing in that case, see :func:`quantize`).
+    """
+    scale = float(10**ndigits)
+    return F.floor(col * F.lit(scale) + F.lit(0.5)) / F.lit(scale)
+
+
+def quantize(col: Column, ndigits: int) -> Column:
+    """Quantize a double onto an integer grid (bigint) so downstream
+    sums are exact integer arithmetic — accumulation-order-proof."""
+    scale = float(10**ndigits)
+    return F.floor(col * F.lit(scale) + F.lit(0.5)).cast("long")
+
+
+def sql_exact_round(expr: str, ndigits: int) -> str:
+    """DuckDB twin of :func:`exact_round` for oracle SQL strings."""
+    scale = float(10**ndigits)
+    return f"floor(({expr}) * {scale} + 0.5) / {scale}"
+
+
+def sql_quantize(expr: str, ndigits: int) -> str:
+    """DuckDB twin of :func:`quantize`."""
+    scale = float(10**ndigits)
+    return f"CAST(floor(({expr}) * {scale} + 0.5) AS BIGINT)"

@@ -101,20 +101,29 @@ def bpe_vocab(docs: DataFrame, text_col: str = "text", lowercase: bool = True) -
     )
 
 
-def bpe_train(
-    docs: DataFrame,
-    text_col: str = "text",
-    n_merges: int = 8,
-    lowercase: bool = True,
-) -> tuple[DataFrame, DataFrame]:
-    """Learn ``n_merges`` BPE merges. Returns (merges, vocab):
-    merges = (step, sym_a, sym_b, n) — the model, n_merges rows;
-    vocab  = (token, freq, syms) segmented with ALL learned merges —
-    the apply-path lookup table."""
-    spark = docs.sparkSession
+def _train_loop(
+    docs: DataFrame, text_col: str, n_merges: int, lowercase: bool
+) -> tuple[list[tuple[int, str, str, int]], DataFrame, DataFrame | None, bool]:
+    """The shared merge loop. Returns (merges, vocab, parent, cached):
+
+    - on a full run, ``vocab`` is the LAZY final generation (one
+      un-materialized fold on top of ``parent``, the cached and
+      already-materialized previous generation) — the caller decides
+      whether to pay for materializing it (bpe_train with_vocab=True
+      persists+counts it; bpe_segment_counts checkpoints only the
+      2-column projection it joins on), then releases ``parent``;
+    - on early exhaustion (vocabulary fully merged before n_merges),
+      ``vocab`` is cached+materialized, ``parent`` is None, and
+      ``cached`` is True — the caller must unpersist it when done.
+
+    The final generation is deliberately NOT persisted inside the
+    loop: doing so (pre-r5 shape) forced every caller to pay a full
+    extra vocabulary materialization just to avoid leaking the pinned
+    parent — the bpe_train/bpe_segment 1.4x regression in BENCH_r04."""
     v = bpe_vocab(docs, text_col, lowercase=lowercase).persist()
     prev: DataFrame | None = None
     merges: list[tuple[int, str, str, int]] = []
+    cached = True
     try:
         for step in range(1, n_merges + 1):
             top = (
@@ -134,20 +143,52 @@ def bpe_train(
                 break  # vocabulary fully merged — nothing adjacent left
             a, b, n = top[0]["a"], top[0]["b"], int(top[0]["n"])
             merges.append((step, a, b, n))
-            v_next = v.withColumn("syms", _merge_fold(F.col("syms"), a, b)).persist()
-            prev, v = v, v_next
-        if prev is not None:
-            # the loop releases generation k-2 at step k, so the
-            # second-to-last vocabulary is still cached here — without
-            # this, every bpe_train call leaks one pinned relation
-            v.count()  # materialize the final gen before dropping its parent
-            prev.unpersist()
+            folded = v.withColumn("syms", _merge_fold(F.col("syms"), a, b))
+            if step < n_merges:
+                prev, v = v, folded.persist()
+            else:
+                prev, v, cached = v, folded, False
     except Exception:
         if prev is not None:
             prev.unpersist()
-        v.unpersist()
+        if cached:
+            v.unpersist()
         raise
+    return merges, v, prev, cached
+
+
+def bpe_train(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 8,
+    lowercase: bool = True,
+    with_vocab: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """Learn ``n_merges`` BPE merges. Returns (merges, vocab):
+    merges = (step, sym_a, sym_b, n) — the model, n_merges rows;
+    vocab  = (token, freq, syms) segmented with ALL learned merges —
+    the apply-path lookup table.
+
+    ``with_vocab=True``: vocab is returned persisted+materialized —
+    the caller owns the cache entry and must ``unpersist()`` it.
+    ``with_vocab=False``: the model is the only deliverable; vocab is
+    returned as an UNCACHED lazy plan (materializing it would replay
+    the fold chain) and nothing is left pinned — callers that only
+    want ``merges`` skip a full vocabulary materialization."""
+    spark = docs.sparkSession
+    merges, v, parent, cached = _train_loop(docs, text_col, n_merges, lowercase)
     merges_df = spark.createDataFrame(merges, MERGE_SCHEMA)
+    if not with_vocab:
+        if parent is not None:
+            parent.unpersist()
+        if cached:
+            v.unpersist()
+        return merges_df, v
+    if not cached:
+        v = v.persist()
+        v.count()  # materialize the final gen before dropping its parent
+        if parent is not None:
+            parent.unpersist()
     return merges_df, v
 
 
@@ -164,16 +205,19 @@ def bpe_segment_counts(
     training pipeline provisions from. Documents never see the merge
     loop: they equi-join the segmented vocabulary."""
     if vocab is None:
-        _, vocab = bpe_train(docs, text_col, n_merges=n_merges, lowercase=lowercase)
-        # only the (token, n_syms) projection is needed for the join:
-        # checkpoint it eagerly and release the full persisted vocab
-        # right away instead of leaking it past this call
+        # only the (token, n_syms) projection is needed for the join,
+        # so skip bpe_train's full-vocab materialization: checkpoint
+        # the projection straight off the loop's lazy final fold (one
+        # pass over the cached parent generation), then release every
+        # loop cache before returning
         from osarchiver_spark.operators.cache import transient
 
-        seg = transient(
-            vocab.select("token", F.size("syms").alias("n_syms")), eager=True
-        )
-        vocab.unpersist()
+        _, v, parent, cached = _train_loop(docs, text_col, n_merges, lowercase)
+        seg = transient(v.select("token", F.size("syms").alias("n_syms")), eager=True)
+        if parent is not None:
+            parent.unpersist()
+        if cached:
+            v.unpersist()
     else:
         seg = vocab.select("token", F.size("syms").alias("n_syms"))
     text = F.lower(F.col(text_col)) if lowercase else F.col(text_col)

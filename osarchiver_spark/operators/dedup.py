@@ -440,10 +440,12 @@ def repeated_span_report(
     # on caller drop, operators/cache.py)
     from osarchiver_spark.operators.cache import transient
 
-    # eager: the plan pin (test_substring_spans_selection_is_map_side)
-    # reads the checkpointed scan, which also makes the pin independent
-    # of whether an earlier query materialized the lazy checkpoint
-    spans = transient(spans, eager=True)
+    # lazy: building the report (registration, explain, plan pins)
+    # must not run the per-character anchor/hash scan — the LogicalRDD
+    # node is in the plan either way, so the plan pin
+    # (test_substring_spans_selection_is_map_side) holds without
+    # materialization; the scan runs on the caller's first action
+    spans = transient(spans)
     dup = (
         spans.groupBy("h")
         .agg(F.count_distinct("doc_id").alias("nd"))

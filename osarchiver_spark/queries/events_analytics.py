@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from osarchiver_spark.functions.precision import exact_round, quantize
 from osarchiver_spark.functions.text import token_count
 from osarchiver_spark.sources.parquet import load_table
 
@@ -645,7 +646,16 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     global time span + per-type moments broadcast into the scan,
     conditional counts per (type, bin), Laplace-smoothed shares over
     the occupied bins, one map-combinable PSI sum. Nothing leaves
-    codegen."""
+    codegen.
+
+    Cross-engine hash discipline (driver-r04 hash-fail fix): each
+    per-bin PSI term is quantized onto a 1e-9 bigint grid BEFORE the
+    per-type sum, so the sum is exact integer arithmetic and immune
+    to accumulation order (Spark partial aggregation vs DuckDB
+    single-threaded); the 6-dp output is then derived from the
+    integer sum with pure integer/IEEE ops — no decimal ``round`` on
+    a double anywhere, which is the HALF_UP-vs-exact-expansion
+    boundary where the engines disagree (functions/precision.py)."""
     ev = load_table(spark, sf_dir, "events").select(
         "event_type", "value", F.unix_micros(F.col("ts")).alias("us")
     )
@@ -685,11 +695,15 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = cells.join(F.broadcast(totals), "event_type")
     p_ref = (F.col("n_ref") + 0.5) / (F.col("r_tot") + 0.5 * F.col("n_bins"))
     p_cur = (F.col("n_cur") + 0.5) / (F.col("c_tot") + 0.5 * F.col("n_bins"))
+    # PSI terms are >= 0 (factors share sign), so floor(x*1e9+0.5) is
+    # plain half-up; the bigint sum is order-proof; (sum+500) div 1000
+    # rescales to 6 dp in exact integer arithmetic.
+    term_q = quantize((p_cur - p_ref) * F.log(p_cur / p_ref), 9)
     return j.groupBy("event_type").agg(
         F.max("r_tot").alias("n_ref"),
         F.max("c_tot").alias("n_cur"),
         F.max("n_bins").cast("int").alias("n_bins"),
-        F.round(F.sum((p_cur - p_ref) * F.log(p_cur / p_ref)), 6).alias("psi"),
+        (F.floor((F.sum(term_q) + F.lit(500)) / F.lit(1000)) / F.lit(1e6)).alias("psi"),
     )
 
 
@@ -1049,10 +1063,12 @@ ORACLES["psi_drift"] = f"""
     SELECT event_type,
            max(r_tot) AS n_ref, max(c_tot) AS n_cur,
            CAST(max(n_bins) AS INT) AS n_bins,
-           round(sum(((n_cur + 0.5) / (c_tot + 0.5 * n_bins)
-                      - (n_ref + 0.5) / (r_tot + 0.5 * n_bins))
-                     * ln(((n_cur + 0.5) / (c_tot + 0.5 * n_bins))
-                          / ((n_ref + 0.5) / (r_tot + 0.5 * n_bins)))), 6) AS psi
+           floor((sum(CAST(floor((((n_cur + 0.5) / (c_tot + 0.5 * n_bins)
+                                   - (n_ref + 0.5) / (r_tot + 0.5 * n_bins))
+                                  * ln(((n_cur + 0.5) / (c_tot + 0.5 * n_bins))
+                                       / ((n_ref + 0.5) / (r_tot + 0.5 * n_bins))))
+                                 * 1000000000.0 + 0.5) AS BIGINT))
+                  + 500) / 1000) / 1000000.0 AS psi
     FROM cells JOIN totals USING (event_type)
     GROUP BY event_type
 """
@@ -1126,10 +1142,15 @@ def q_attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
     (attribution_last_touch) collapses to a single winner. Rolls up to
     (campaign, n_touches, attributed_revenue).
 
-    Determinism: the decay weight is rounded to 6 decimals on both
-    engines before the per-purchase normalization (exp() differs in
-    the last ulp across libms), and the rollup follows the standard
-    4-dp revenue-sum convention.
+    Determinism: the decay weight is QUANTIZED to integer micro-units
+    (bigint) before the per-purchase normalization, so both the
+    per-purchase weight sum and the weight itself are exact integers
+    (exp() differs in the last ulp across libms, and an unordered
+    double window-sum is accumulation-order-sensitive — either alone
+    can flip a final decimal round across engines); each credit is
+    then quantized to a 1e-8 grid before the campaign rollup, making
+    the revenue sum exact bigint arithmetic, rescaled to the 4-dp
+    output with pure integer ops (functions/precision.py).
 
     Scale shape: the touch relation is a user_id equi-join with the
     lookback as a join-time range predicate — per-user click lists are
@@ -1161,14 +1182,16 @@ def q_attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
     age_h = (F.unix_micros(F.col("p_ts")) - F.unix_micros(F.col("c_ts"))) / F.lit(
         3600.0 * 1e6
     )
-    w = F.round(F.exp(-age_h / F.lit(ATTR_TAU_HOURS)), 6)
-    wsum = F.sum("w").over(W.partitionBy("purchase_id"))
+    w_u = quantize(F.exp(-age_h / F.lit(ATTR_TAU_HOURS)), 6)
+    wsum_u = F.sum("w_u").over(W.partitionBy("purchase_id"))
     credited = touches.select(
-        "purchase_id", "value", "campaign", w.alias("w")
-    ).withColumn("credit", F.col("value") * F.col("w") / wsum)
+        "purchase_id", "value", "campaign", w_u.alias("w_u")
+    ).withColumn("credit_u", quantize(F.col("value") * F.col("w_u") / wsum_u, 8))
     return credited.groupBy("campaign").agg(
         F.count("*").alias("n_touches"),
-        F.round(F.sum("credit"), 4).alias("attributed_revenue"),
+        (F.floor((F.sum("credit_u") + F.lit(5000)) / F.lit(10000)) / F.lit(1e4)).alias(
+            "attributed_revenue"
+        ),
     )
 
 
@@ -1185,8 +1208,9 @@ ORACLES["attribution_time_decay"] = f"""
         FROM events WHERE event_type = 'click'),
     touches AS (
         SELECT p.purchase_id, p.value, c.campaign,
-               round(exp(-((epoch_us(p.p_ts) - epoch_us(c.c_ts))
-                           / (3600.0 * 1e6)) / {ATTR_TAU_HOURS}), 6) AS w
+               CAST(floor(exp(-((epoch_us(p.p_ts) - epoch_us(c.c_ts))
+                                / (3600.0 * 1e6)) / {ATTR_TAU_HOURS})
+                          * 1000000.0 + 0.5) AS BIGINT) AS w_u
         FROM purchases p
         JOIN clicks c
           ON p.user_id = c.c_user_id
@@ -1194,10 +1218,11 @@ ORACLES["attribution_time_decay"] = f"""
          AND c.c_ts >= p.p_ts - INTERVAL {ATTR_LOOKBACK_DAYS} DAYS),
     credited AS (
         SELECT campaign,
-               value * w / sum(w) OVER (PARTITION BY purchase_id) AS credit
+               CAST(floor(value * w_u / sum(w_u) OVER (PARTITION BY purchase_id)
+                          * 100000000.0 + 0.5) AS BIGINT) AS credit_u
         FROM touches)
     SELECT campaign, count(*) AS n_touches,
-           round(sum(credit), 4) AS attributed_revenue
+           floor((sum(credit_u) + 5000) / 10000) / 10000.0 AS attributed_revenue
     FROM credited GROUP BY campaign
 """
 
@@ -1208,8 +1233,10 @@ def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     distribution-free feature transform that makes heavy-tailed
     telemetry comparable across types (rank-gaussianization minus the
     probit). percent_rank = (rank-1)/(n-1) is pure integer arithmetic
-    over the sort, so both engines agree exactly (ties share a rank;
-    rounded 6 dp by convention only).
+    over the sort, so both engines agree exactly (ties share a rank);
+    the 6-dp presentation uses the portable floor-round — an exact
+    ratio like 125/2000000 lands EXACTLY on a .5e-6 boundary, where
+    decimal round() is the one op the engines disagree on.
 
     Scale shape: one window per event_type — a single hash shuffle on
     a low-cardinality key; within-partition sort only, no global
@@ -1221,7 +1248,7 @@ def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "event_type",
         F.round("value", 4).alias("value"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        exact_round(F.percent_rank().over(w), 6).alias("pct_rank"),
     )
 
 
@@ -1229,8 +1256,8 @@ QUERIES["quantile_normalize"] = q_quantile_normalize
 
 ORACLES["quantile_normalize"] = """
     SELECT event_id, event_type, round(value, 4) AS value,
-           round(percent_rank() OVER (PARTITION BY event_type ORDER BY value), 6)
-               AS pct_rank
+           floor(percent_rank() OVER (PARTITION BY event_type ORDER BY value)
+                 * 1000000.0 + 0.5) / 1000000.0 AS pct_rank
     FROM events
 """
 
@@ -1450,11 +1477,15 @@ def q_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     row per event time with (duration_h, n_risk, n_events, n_censored,
     survival).
 
-    Determinism: each factor (1 - d/n) is a ratio of exact integers
-    rounded to 8; the survival product is exp of the ORDERED running
-    sum of ln(factor) — the cumulative window evaluates in duration
-    order on both engines, so the sum is bit-identical and the final
-    round(·, 6) is safe; a factor of exactly 0 (everyone at risk
+    Determinism: each factor (1 - d/n) is a ratio of exact integers,
+    fixed-point-rounded to 8 with the portable floor form; ln(factor)
+    is then QUANTIZED onto a 1e-9 bigint grid before the running sum
+    (Java Math.log and DuckDB libm ln can differ in the last ulp, so
+    even an identically-ordered double sum of raw ln outputs is not
+    bit-safe), making the cumulative sum exact integer arithmetic;
+    survival is exp of the rescaled integer sum, emitted through the
+    portable floor-round (functions/precision.py) rather than
+    ``round(·, 6)``. A factor of exactly 0 (everyone at risk
     converts) pins survival to 0 from that time on without touching
     ln. Scale shape: one per-user aggregate, one per-duration
     aggregate (report-sized), one ordered cumulative window over the
@@ -1491,15 +1522,15 @@ def q_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c",
         (n_total - F.coalesce(F.sum(F.col("d") + F.col("c")).over(w_cum), F.lit(0))).alias("n_risk"),
     )
-    factor = F.round(1 - F.col("d") / F.col("n_risk"), 8)
+    factor = exact_round(1 - F.col("d") / F.col("n_risk"), 8)
     staged2 = staged.select(
         "duration_h", "d", "c", "n_risk",
-        F.when(factor > 0, F.log(factor)).otherwise(F.lit(0.0)).alias("ln_f"),
+        F.when(factor > 0, quantize(F.log(factor), 9)).otherwise(F.lit(0).cast("long")).alias("ln_f_q"),
         (factor <= 0).cast("int").alias("hit_zero"),
     )
     surv = F.when(
         F.sum("hit_zero").over(w_inc) > 0, F.lit(0.0)
-    ).otherwise(F.round(F.exp(F.sum("ln_f").over(w_inc)), 6))
+    ).otherwise(exact_round(F.exp(F.sum("ln_f_q").over(w_inc) / F.lit(1e9)), 6))
     return (
         staged2.select(
             "duration_h",
@@ -1536,17 +1567,21 @@ ORACLES["survival_curve"] = """
         FROM cells),
     staged2 AS (
         SELECT duration_h, d, c, n_risk,
-               CASE WHEN round(1 - d / n_risk, 8) > 0
-                    THEN ln(round(1 - d / n_risk, 8)) ELSE 0.0 END AS ln_f,
-               CASE WHEN round(1 - d / n_risk, 8) <= 0 THEN 1 ELSE 0 END AS hit_zero
+               CASE WHEN floor((1 - d / n_risk) * 100000000.0 + 0.5) / 100000000.0 > 0
+                    THEN CAST(floor(ln(floor((1 - d / n_risk) * 100000000.0 + 0.5)
+                                       / 100000000.0) * 1000000000.0 + 0.5) AS BIGINT)
+                    ELSE 0 END AS ln_f_q,
+               CASE WHEN floor((1 - d / n_risk) * 100000000.0 + 0.5) / 100000000.0 <= 0
+                    THEN 1 ELSE 0 END AS hit_zero
         FROM staged)
     SELECT duration_h, CAST(n_risk AS BIGINT) AS n_risk,
            CAST(d AS BIGINT) AS n_events, CAST(c AS BIGINT) AS n_censored,
            CASE WHEN sum(hit_zero) OVER (ORDER BY duration_h
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) > 0
                 THEN 0.0
-                ELSE round(exp(sum(ln_f) OVER (ORDER BY duration_h
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
+                ELSE floor(exp(sum(ln_f_q) OVER (ORDER BY duration_h
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        / 1000000000.0) * 1000000.0 + 0.5) / 1000000.0
            END AS survival
     FROM staged2
     QUALIFY d > 0

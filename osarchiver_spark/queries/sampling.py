@@ -284,14 +284,23 @@ def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     one per-source window cumsum, scan-side admission predicate; the
     budget check uses the PRE-admission running sum so one oversized
     doc can't block a smaller later one from overshooting exactly at
-    the boundary (take-while semantics, deterministic)."""
+    the boundary (take-while semantics, deterministic).
+
+    The emitted ``quality`` is rounded with the portable
+    ``floor(x*1e6+0.5)/1e6`` form (functions/precision.py), not
+    ``round(x, 6)``: the raw score is a fixed-order row-local IEEE
+    expression (identical double on every engine), but decimal
+    ``round`` at a ``.xxxxx5`` boundary is where Spark (HALF_UP on
+    the shortest repr) and DuckDB (exact expansion) disagree — the
+    driver-r04 hash-fail on this query."""
+    from osarchiver_spark.functions.precision import exact_round
     from osarchiver_spark.functions.text import punct_ratio, stopword_ratio, token_count
 
     docs = load_table(spark, sf_dir, "documents")
     n_toks = token_count(F.col("text"))
     stop_r = stopword_ratio(F.col("text"))
     len_score = F.least(n_toks.cast("double") / 100.0, F.lit(1.0))
-    quality = F.round(
+    quality = exact_round(
         0.5 * stop_r + 0.3 * len_score + 0.2 * (1.0 - punct_ratio(F.col("text"))), 6
     )
     base = docs.select(
@@ -504,14 +513,15 @@ _SQL_TOKS_RAW = "list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <
 ORACLES["token_budget_sample"] = f"""
     WITH base AS (
         SELECT doc_id, source,
-               round(0.5 * (CASE WHEN len(ltoks) > 0
+               floor((0.5 * (CASE WHEN len(ltoks) > 0
                        THEN CAST(len(list_filter(ltoks,
                             t -> list_contains(['the','and','of','to','a','in','is','it'], t))) AS DOUBLE)
                             / len(ltoks) ELSE 0.0 END)
                      + 0.3 * least(len(toks) / 100.0, 1.0)
                      + 0.2 * (1.0 - CASE WHEN length(text) > 0
                        THEN CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS DOUBLE)
-                            / length(text) ELSE 0.0 END), 6) AS quality,
+                            / length(text) ELSE 0.0 END)) * 1000000.0 + 0.5) / 1000000.0
+                   AS quality,
                CAST(len(toks) AS BIGINT) AS n_tokens
         FROM (SELECT doc_id, source, text, {_SQL_TOKS_RAW} AS toks,
                      {_SQL_TOKS_LOWER} AS ltoks

@@ -566,8 +566,9 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     from osarchiver_spark.operators.bpe import bpe_train
 
     docs = load_table(spark, sf_dir, "documents")
-    merges, vocab = bpe_train(docs, "text", n_merges=BPE_N_MERGES)
-    vocab.unpersist()
+    # the model rows are the deliverable: with_vocab=False skips the
+    # final vocabulary materialization (and leaves nothing cached)
+    merges, _ = bpe_train(docs, "text", n_merges=BPE_N_MERGES, with_vocab=False)
     return merges
 
 

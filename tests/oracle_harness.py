@@ -1,8 +1,13 @@
 """Local mirror of the driver's Spark-vs-DuckDB differential check.
 
-Stricter than (our best guess of) the driver: row count, sorted
-column names, and an order-insensitive canonical value comparison
-with tight float tolerance. Run this before the driver does.
+Default mode is BIT-EXACT (driver round 4 taught us why: `psi_drift`
+and `token_budget_sample` passed 630 local tests under a 1e-9
+tolerance and then hash-failed adjudication, because the driver
+hashes exact values). Numbers are canonicalized to `fractions.
+Fraction` — exact for int, Decimal and float alike — so a one-ulp or
+one-decimal-boundary divergence fails here first. The 1e-9-tolerant
+comparison survives behind ``exact=False`` for callers that
+deliberately compare against a non-identical formulation.
 """
 
 from __future__ import annotations
@@ -10,6 +15,7 @@ from __future__ import annotations
 import math
 from datetime import date, datetime
 from decimal import Decimal
+from fractions import Fraction
 
 import duckdb
 
@@ -26,25 +32,27 @@ def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
-def _canon(v):
+def _canon(v, exact: bool = False):
     if v is None:
         return ("null",)
     if isinstance(v, bool):
         return ("b", v)
     if isinstance(v, (int,)):
-        return ("n", float(v))
+        return ("n", Fraction(v)) if exact else ("n", float(v))
     if isinstance(v, Decimal):
-        return ("n", float(v))
+        return ("n", Fraction(v)) if exact else ("n", float(v))
     if isinstance(v, float):
         if math.isnan(v):
             return ("nan",)
-        return ("n", v)
+        if math.isinf(v):
+            return ("inf", v > 0)
+        return ("n", Fraction(v)) if exact else ("n", v)
     if isinstance(v, datetime):
         return ("t", v.replace(tzinfo=None).isoformat())
     if isinstance(v, date):
         return ("t", datetime(v.year, v.month, v.day).isoformat())
     if isinstance(v, (list, tuple)):
-        return ("l", tuple(_canon(x) for x in v))
+        return ("l", tuple(_canon(x, exact) for x in v))
     if isinstance(v, bytes):
         return ("y", v)
     return ("s", str(v))
@@ -60,8 +68,14 @@ def _values_close(a, b) -> bool:
     return False
 
 
-def compare_query(spark, name: str, query_fn, oracle: str, sf_dir: str) -> None:
-    """Raise AssertionError with a readable diff on any mismatch."""
+def compare_query(
+    spark, name: str, query_fn, oracle: str, sf_dir: str, exact: bool = True
+) -> None:
+    """Raise AssertionError with a readable diff on any mismatch.
+
+    ``exact=True`` (default) mirrors the driver's value hash: every
+    number must agree to the bit. ``exact=False`` falls back to the
+    1e-9-tolerant float comparison."""
     sdf = query_fn(spark, sf_dir)
     spark_cols = list(sdf.columns)
     spark_rows = [tuple(r) for r in sdf.collect()]
@@ -83,12 +97,32 @@ def compare_query(spark, name: str, query_fn, oracle: str, sf_dir: str) -> None:
 
     order = sorted(range(len(spark_cols)), key=lambda i: spark_cols[i])
     duck_order = sorted(range(len(duck_cols)), key=lambda i: duck_cols[i])
-    s_canon = sorted(tuple(_canon(r[i]) for i in order) for r in spark_rows)
-    d_canon = sorted(tuple(_canon(r[i]) for i in duck_order) for r in duck_rows)
+    s_canon = sorted(tuple(_canon(r[i], exact) for i in order) for r in spark_rows)
+    d_canon = sorted(tuple(_canon(r[i], exact) for i in duck_order) for r in duck_rows)
     mismatches = []
     for i, (sr, dr) in enumerate(zip(s_canon, d_canon)):
-        if not all(_values_close(a, b) for a, b in zip(sr, dr)):
-            mismatches.append((i, sr, dr))
+        row_ok = (
+            sr == dr
+            if exact
+            else all(_values_close(a, b) for a, b in zip(sr, dr))
+        )
+        if not row_ok:
+            mismatches.append((i, _pretty(sr), _pretty(dr)))
             if len(mismatches) >= 3:
                 break
-    assert not mismatches, f"{name}: value mismatches (first 3 of sorted rows): {mismatches}"
+    mode = "bit-exact" if exact else "tolerant"
+    assert not mismatches, (
+        f"{name}: {mode} value mismatches (first 3 of sorted rows): {mismatches}"
+    )
+
+
+def _pretty(row):
+    """Readable mismatch rendering: Fractions back to floats/hex."""
+    out = []
+    for cell in row:
+        if cell[0] == "n" and isinstance(cell[1], Fraction):
+            f = float(cell[1])
+            out.append(f"{f!r}({f.hex()})")
+        else:
+            out.append(cell)
+    return tuple(out)
