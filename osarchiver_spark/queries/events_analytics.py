@@ -1389,9 +1389,14 @@ def q_ab_test_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the pooled two-proportion z-statistic with the |z| > 1.96
     call — the analytics side of an A/B platform. All counts are
     exact integers; the z arithmetic is identical IEEE on both
-    engines and rounds to 4 before the significance compare, so the
-    verdict can't flip across engines. One distinct-user aggregate +
-    one single-row report; nothing wide."""
+    engines (division, sqrt and subtraction are correctly-rounded
+    IEEE ops), and every decimal presentation uses the portable
+    floor-round (functions/precision.py) — conversion rates are exact
+    integer ratios, which is precisely the value class that lands ON
+    ``round()``'s .xxx5 boundaries — so neither the rates, the
+    z-stat, nor the significance compare can flip across engines.
+    One distinct-user aggregate + one single-row report; nothing
+    wide."""
     ev = load_table(spark, sf_dir, "events")
     arm = F.when(F.col("user_id") % 2 == 0, "A").otherwise("B")
     users = (
@@ -1419,14 +1424,14 @@ def q_ab_test_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # degenerate arms (everyone or no one converted): se = 0 and the
     # z-stat is undefined — report 0 (no detectable difference), the
     # same convention the oracle uses, instead of an ANSI div-by-zero
-    z = F.when(se > 0, F.round((p_a - p_b) / se, 4)).otherwise(F.lit(0.0))
+    z = F.when(se > 0, exact_round((p_a - p_b) / se, 4)).otherwise(F.lit(0.0))
     return j.select(
         "n_a",
         "c_a",
         "n_b",
         "c_b",
-        F.round(p_a, 6).alias("conv_a"),
-        F.round(p_b, 6).alias("conv_b"),
+        exact_round(p_a, 6).alias("conv_a"),
+        exact_round(p_b, 6).alias("conv_b"),
         z.alias("z_conversion"),
         (F.abs(z) > 1.96).alias("significant"),
     )
@@ -1450,19 +1455,19 @@ ORACLES["ab_test_report"] = """
              (SELECT * FROM arms WHERE arm = 'B') b)
     SELECT CAST(n_a AS BIGINT) AS n_a, CAST(c_a AS BIGINT) AS c_a,
            CAST(n_b AS BIGINT) AS n_b, CAST(c_b AS BIGINT) AS c_b,
-           round(c_a / n_a, 6) AS conv_a,
-           round(c_b / n_b, 6) AS conv_b,
+           floor(c_a / n_a * 1000000.0 + 0.5) / 1000000.0 AS conv_a,
+           floor(c_b / n_b * 1000000.0 + 0.5) / 1000000.0 AS conv_b,
            CASE WHEN sqrt(((c_a + c_b) / (n_a + n_b)) * (1 - (c_a + c_b) / (n_a + n_b))
                           * (1.0 / n_a + 1.0 / n_b)) > 0
-                THEN round((c_a / n_a - c_b / n_b)
+                THEN floor((c_a / n_a - c_b / n_b)
                      / sqrt(((c_a + c_b) / (n_a + n_b)) * (1 - (c_a + c_b) / (n_a + n_b))
-                            * (1.0 / n_a + 1.0 / n_b)), 4)
+                            * (1.0 / n_a + 1.0 / n_b)) * 10000.0 + 0.5) / 10000.0
                 ELSE 0.0 END AS z_conversion,
            abs(CASE WHEN sqrt(((c_a + c_b) / (n_a + n_b)) * (1 - (c_a + c_b) / (n_a + n_b))
                               * (1.0 / n_a + 1.0 / n_b)) > 0
-                    THEN round((c_a / n_a - c_b / n_b)
+                    THEN floor((c_a / n_a - c_b / n_b)
                          / sqrt(((c_a + c_b) / (n_a + n_b)) * (1 - (c_a + c_b) / (n_a + n_b))
-                                * (1.0 / n_a + 1.0 / n_b)), 4)
+                                * (1.0 / n_a + 1.0 / n_b)) * 10000.0 + 0.5) / 10000.0
                     ELSE 0.0 END) > 1.96 AS significant
     FROM j
 """

@@ -255,3 +255,156 @@ def test_psi_drift_constant_valued_type_is_defined(spark, tmp_path):
     assert oracle["const"][3] == out["const"]["n_bins"]
     assert oracle["const"][4] == out["const"]["psi"]
     assert oracle["vary"][4] == out["vary"]["psi"]
+
+
+def _events_fixture(spark, tmp_path, rows):
+    """Write a minimal events table (user_id, event_type, value, ts)
+    and return (sf_dir, duckdb-view SQL path)."""
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    path = str(tmp_path / "events.parquet")
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(path)
+    return str(tmp_path), f"{path}/*.parquet"
+
+
+def _bit_exact_vs_duckdb(spark, tmp_path, rows, query_fn, oracle_sql):
+    """Run query + oracle on a hand-built events table; assert the
+    sorted canonical rows agree BIT-exactly (driver hash semantics)."""
+    import duckdb
+
+    from tests.oracle_harness import _canon
+
+    sf_dir, duck_glob = _events_fixture(spark, tmp_path, rows)
+    sdf = query_fn(spark, sf_dir)
+    cols = sorted(sdf.columns)
+    s_rows = sorted(
+        tuple(_canon(r[c], exact=True) for c in cols) for r in sdf.collect()
+    )
+    con = duckdb.connect()
+    try:
+        con.execute(f"CREATE VIEW events AS SELECT * FROM '{duck_glob}'")
+        res = con.execute(oracle_sql)
+        d_cols = [d[0] for d in res.description]
+        order = sorted(range(len(d_cols)), key=lambda i: d_cols[i])
+        d_rows = sorted(
+            tuple(_canon(r[i], exact=True) for i in order) for r in res.fetchall()
+        )
+    finally:
+        con.close()
+    assert sorted(d_cols) == cols
+    assert s_rows == d_rows, f"bit-exact mismatch:\nspark={s_rows[:3]}\nduck ={d_rows[:3]}"
+    return sdf
+
+
+def test_survival_curve_no_purchase_cohort_is_empty(spark, tmp_path):
+    """Everyone right-censored (no purchases anywhere): every duration
+    row has d=0, so the d>0 output filter leaves an EMPTY curve on
+    both engines — not a div-by-zero or a NULL survival."""
+    from osarchiver_spark.queries.events_analytics import ORACLES, q_survival_curve
+
+    rows = [
+        (1, "click", 1.0, datetime(2024, 1, 1, 0)),
+        (1, "view", 1.0, datetime(2024, 1, 2, 0)),
+        (2, "click", 1.0, datetime(2024, 1, 1, 5)),
+        (3, "view", 1.0, datetime(2024, 1, 3, 12)),
+    ]
+    out = _bit_exact_vs_duckdb(
+        spark, tmp_path, rows, q_survival_curve, ORACLES["survival_curve"]
+    )
+    assert out.count() == 0
+
+
+def test_survival_curve_single_user_converts_pins_zero(spark, tmp_path):
+    """One user, one purchase: the only at-risk subject converts, the
+    factor is exactly 0, and survival must pin to 0.0 (the hit_zero
+    path) instead of evaluating ln(0)."""
+    from osarchiver_spark.queries.events_analytics import ORACLES, q_survival_curve
+
+    rows = [
+        (1, "click", 1.0, datetime(2024, 1, 1, 0)),
+        (1, "purchase", 9.0, datetime(2024, 1, 1, 3)),
+    ]
+    out = _bit_exact_vs_duckdb(
+        spark, tmp_path, rows, q_survival_curve, ORACLES["survival_curve"]
+    )
+    r = out.collect()
+    assert len(r) == 1
+    assert r[0]["duration_h"] == 3 and r[0]["n_risk"] == 1
+    assert r[0]["survival"] == 0.0
+
+
+def test_survival_curve_zero_factor_mid_curve(spark, tmp_path):
+    """All remaining subjects convert at an interior time: survival
+    hits exactly 0 there and must STAY 0 for later rows (the
+    cumulative hit_zero guard), while earlier rows keep their
+    product-limit value."""
+    from osarchiver_spark.queries.events_analytics import ORACLES, q_survival_curve
+
+    rows = [
+        # u1 converts at hour 1 (2 at risk -> factor 1/2)
+        (1, "click", 1.0, datetime(2024, 1, 1, 0)),
+        (1, "purchase", 1.0, datetime(2024, 1, 1, 1)),
+        # u2 converts at hour 2 (last subject -> factor 0)
+        (2, "click", 1.0, datetime(2024, 1, 1, 0)),
+        (2, "purchase", 1.0, datetime(2024, 1, 1, 2)),
+    ]
+    out = _bit_exact_vs_duckdb(
+        spark, tmp_path, rows, q_survival_curve, ORACLES["survival_curve"]
+    )
+    by_h = {r["duration_h"]: r for r in out.collect()}
+    assert by_h[1]["survival"] == 0.5
+    assert by_h[2]["survival"] == 0.0
+
+
+def test_ab_test_degenerate_arms(spark, tmp_path):
+    """Everyone converts (or no one does): the pooled rate is 0 or 1,
+    se = 0, and the z-stat is pinned to 0.0 / not-significant on both
+    engines instead of a div-by-zero."""
+    from osarchiver_spark.queries.events_analytics import ORACLES, q_ab_test_report
+
+    everyone = [
+        (2, "purchase", 1.0, datetime(2024, 1, 1, 0)),
+        (4, "purchase", 1.0, datetime(2024, 1, 1, 1)),
+        (1, "purchase", 1.0, datetime(2024, 1, 1, 2)),
+        (3, "purchase", 1.0, datetime(2024, 1, 1, 3)),
+    ]
+    out = _bit_exact_vs_duckdb(
+        spark, tmp_path, everyone, q_ab_test_report, ORACLES["ab_test_report"]
+    ).collect()[0]
+    assert out["conv_a"] == 1.0 and out["conv_b"] == 1.0
+    assert out["z_conversion"] == 0.0 and out["significant"] is False
+
+    nobody = [
+        (2, "click", 1.0, datetime(2024, 1, 1, 0)),
+        (4, "view", 1.0, datetime(2024, 1, 1, 1)),
+        (1, "click", 1.0, datetime(2024, 1, 1, 2)),
+        (3, "view", 1.0, datetime(2024, 1, 1, 3)),
+    ]
+    out = _bit_exact_vs_duckdb(
+        spark, tmp_path / "b", nobody, q_ab_test_report, ORACLES["ab_test_report"]
+    ).collect()[0]
+    assert out["conv_a"] == 0.0 and out["conv_b"] == 0.0
+    assert out["z_conversion"] == 0.0 and out["significant"] is False
+
+
+def test_ab_test_single_arm_population_is_empty_report(spark, tmp_path):
+    """Every user hashes to arm A (all-even user_ids): the report is
+    the empty relation on both engines (no A-vs-B row to emit), not a
+    one-sided row with NULLs."""
+    from osarchiver_spark.queries.events_analytics import ORACLES, q_ab_test_report
+
+    rows = [
+        (2, "purchase", 1.0, datetime(2024, 1, 1, 0)),
+        (4, "click", 1.0, datetime(2024, 1, 1, 1)),
+        (6, "purchase", 1.0, datetime(2024, 1, 1, 2)),
+    ]
+    out = _bit_exact_vs_duckdb(
+        spark, tmp_path, rows, q_ab_test_report, ORACLES["ab_test_report"]
+    )
+    assert out.count() == 0
