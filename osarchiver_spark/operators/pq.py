@@ -134,11 +134,15 @@ def pq_joint_fit(
                         cid_o += live.tolist()
                         s_o += [p_sum[j][i] for i in live]
                         n_o += p_n[j][live].tolist()
+                # "s" must be an OBJECT series: with zero output rows
+                # (an empty input split — routine once the scan has
+                # more tasks than row groups) a bare list infers dtype
+                # float64 and Arrow refuses ndarray->list<double>
                 yield pd.DataFrame(
                     {
                         "grp": np.asarray(grp, dtype="int32"),
                         "cid": np.asarray(cid_o, dtype="int32"),
-                        "s": s_o,
+                        "s": pd.Series(s_o, dtype="object"),
                         "n": np.asarray(n_o, dtype="int64"),
                     }
                 )

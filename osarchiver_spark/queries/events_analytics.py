@@ -315,21 +315,35 @@ def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anomaly flagging: events whose value sits more than 3
     population standard deviations from their type's mean. Per-type
     moments are one map-combinable agg over the low-cardinality key,
-    broadcast back into the scan-side predicate."""
-    ev = load_table(spark, sf_dir, "events")
-    stats = ev.groupBy("event_type").agg(
-        F.avg("value").alias("mu"),
-        F.stddev_pop("value").alias("sigma"),
+    broadcast back into the scan-side predicate.
+
+    Determinism: the moments are integer sums of value-in-cents (and
+    its square) — a raw double avg/stddev_pop is accumulation-order-
+    sensitive across engines, and a last-ulp shift in sigma can flip
+    MEMBERSHIP at the |z| > 3 boundary, not just a rounded digit.
+    From the exact bigint moments, mu/sigma/z are fixed-order IEEE
+    expressions (identical doubles everywhere); sigma > 0 guards the
+    constant-valued type (z would be 0/0 = NaN, and NaN orders
+    differently in Spark vs DuckDB comparisons)."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "v_c", F.round(F.col("value") * 100).cast("long")
     )
-    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    stats = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v_c").alias("s1"),
+        F.sum(F.col("v_c") * F.col("v_c")).alias("s2"),
+    )
+    mu_c = F.col("s1") / F.col("n")
+    sigma_c = F.sqrt(F.col("s2") / F.col("n") - mu_c * mu_c)
+    z = (F.col("v_c") - mu_c) / sigma_c
     return (
         ev.join(F.broadcast(stats), "event_type")
-        .filter(F.abs(z) > 3.0)
+        .filter((sigma_c > 0) & (F.abs(z) > 3.0))
         .select(
             "event_id",
             "event_type",
             F.round("value", 4).alias("value"),
-            F.round(z, 4).alias("zscore"),
+            exact_round(z, 4).alias("zscore"),
         )
     )
 
@@ -943,14 +957,23 @@ ORACLES = {
         LIMIT 10
     """,
     "zscore_outliers": """
-        WITH stats AS (
-            SELECT event_type, avg(value) AS mu, stddev_pop(value) AS sigma
-            FROM events GROUP BY 1)
+        WITH ev AS (
+            SELECT event_id, event_type, value,
+                   CAST(round(value * 100) AS BIGINT) AS v_c
+            FROM events),
+        stats AS (
+            SELECT event_type, count(*) AS n,
+                   sum(v_c) AS s1, sum(v_c * v_c) AS s2
+            FROM ev GROUP BY 1)
         SELECT e.event_id, e.event_type,
                round(e.value, 4) AS value,
-               round((e.value - s.mu) / s.sigma, 4) AS zscore
-        FROM events e JOIN stats s USING (event_type)
-        WHERE abs((e.value - s.mu) / s.sigma) > 3.0
+               floor((e.v_c - s.s1 / s.n)
+                     / sqrt(s.s2 / s.n - (s.s1 / s.n) * (s.s1 / s.n))
+                     * 10000.0 + 0.5) / 10000.0 AS zscore
+        FROM ev e JOIN stats s USING (event_type)
+        WHERE sqrt(s.s2 / s.n - (s.s1 / s.n) * (s.s1 / s.n)) > 0
+          AND abs((e.v_c - s.s1 / s.n)
+                  / sqrt(s.s2 / s.n - (s.s1 / s.n) * (s.s1 / s.n))) > 3.0
     """,
     "rolling_active_users": """
         WITH ud AS (
@@ -1275,10 +1298,20 @@ def q_point_in_time_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     excluded identically on both engines; the frame is computed over
     ALL events per user and then filtered to the purchase anchors.
 
+    Determinism: the value sum is computed in integer cents (the
+    target_encode_loo discipline) because engines associate sliding-
+    window sums differently — DuckDB aggregates RANGE frames via a
+    segment tree while Spark accumulates in frame order, so a raw
+    double window-sum is not reproducible across engines even for
+    identical frames; the bigint sum is exact under any association
+    and the /100.0 quotient is the same IEEE double everywhere,
+    emitted unrounded.
+
     Scale shape: one hash shuffle on user_id + an in-partition sort —
     the canonical time-series window; no self-join, no explosion."""
     ev = load_table(spark, sf_dir, "events").select(
-        "event_id", "user_id", "event_type", "value",
+        "event_id", "user_id", "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("v_c"),
         F.unix_micros(F.col("ts")).alias("us"),
     )
     w = (
@@ -1291,7 +1324,7 @@ def q_point_in_time_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "event_type",
         F.count(F.lit(1)).over(w).alias("n_prev_7d"),
-        F.round(F.sum("value").over(w), 4).alias("sum_prev_7d"),
+        (F.sum("v_c").over(w) / F.lit(100.0)).alias("sum_prev_7d"),
         F.sum(
             F.when(F.col("event_type") == "purchase", 1).otherwise(0)
         ).over(w).alias("n_prev_purchases_7d"),
@@ -1347,12 +1380,13 @@ QUERIES["label_horizon"] = q_label_horizon
 
 ORACLES["point_in_time_features"] = f"""
     WITH ev AS (
-        SELECT event_id, user_id, event_type, value, epoch_us(ts) AS us
+        SELECT event_id, user_id, event_type,
+               CAST(round(value * 100) AS BIGINT) AS v_c, epoch_us(ts) AS us
         FROM events),
     feats AS (
         SELECT event_id, user_id, event_type,
                count(*) OVER w AS n_prev_7d,
-               round(sum(value) OVER w, 4) AS sum_prev_7d,
+               sum(v_c) OVER w / 100.0 AS sum_prev_7d,
                coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
                         OVER w, 0) AS n_prev_purchases_7d
         FROM ev

@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from osarchiver_spark.functions.precision import exact_round
 from osarchiver_spark.functions.text import tokens
 from osarchiver_spark.sources.parquet import load_table
 
@@ -182,7 +183,10 @@ def q_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         6,
     )
-    score = F.round(
+    # portable floor-round: idf is an exact 1e-6 multiple, so the
+    # score is rational and CAN land exactly on a .5e-6 boundary,
+    # where decimal round() diverges across engines (precision.py)
+    score = exact_round(
         idf
         * (F.col("tf") * (BM25_K1 + 1.0))
         / (
@@ -262,11 +266,11 @@ ORACLES = {
             WHERE drank BETWEEN {BM25_TERM_LO} AND {BM25_TERM_HI}),
         scored AS (
             SELECT t.token, t.doc_id,
-                   round(round(ln(1.0 + (c.n_docs - q.df + 0.5) / (q.df + 0.5)), 6)
+                   floor(round(ln(1.0 + (c.n_docs - q.df + 0.5) / (q.df + 0.5)), 6)
                          * (t.tf * ({BM25_K1} + 1.0))
                          / (t.tf + {BM25_K1} * (1.0 - {BM25_B}
-                                                + {BM25_B} * d.dl / c.avgdl)),
-                         6) AS score
+                                                + {BM25_B} * d.dl / c.avgdl))
+                         * 1000000.0 + 0.5) / 1000000.0 AS score
             FROM tf t
             JOIN qterms q ON t.token = q.token
             JOIN dl d ON t.doc_id = d.doc_id

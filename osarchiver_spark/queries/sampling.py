@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from osarchiver_spark.functions.precision import exact_round
 from osarchiver_spark.functions.text import token_count, tokens
 from osarchiver_spark.sources.parquet import load_table
 
@@ -293,7 +294,6 @@ def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``round`` at a ``.xxxxx5`` boundary is where Spark (HALF_UP on
     the shortest repr) and DuckDB (exact expansion) disagree — the
     driver-r04 hash-fail on this query."""
-    from osarchiver_spark.functions.precision import exact_round
     from osarchiver_spark.functions.text import punct_ratio, stopword_ratio, token_count
 
     docs = load_table(spark, sf_dir, "documents")
@@ -705,7 +705,9 @@ def q_padding_waste_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_batches"),
             F.sum("toks").alias("n_tokens"),
             F.sum(F.col("mx") * F.col("n_seq") - F.col("toks")).alias("n_padding"),
-            F.round(
+            # exact integer ratio -> portable floor-round: p*100/t can
+            # land exactly on a .00005 boundary (functions/precision.py)
+            exact_round(
                 F.sum(F.col("mx") * F.col("n_seq") - F.col("toks"))
                 / F.sum(F.col("mx") * F.col("n_seq"))
                 * 100,
@@ -740,13 +742,13 @@ ORACLES["padding_waste_report"] = f"""
     SELECT 'naive' AS strategy, count(*) AS n_batches,
            CAST(sum(toks) AS BIGINT) AS n_tokens,
            CAST(sum(mx * n_seq - toks) AS BIGINT) AS n_padding,
-           round(sum(mx * n_seq - toks) / sum(mx * n_seq) * 100, 4) AS waste_pct
+           floor(sum(mx * n_seq - toks) / sum(mx * n_seq) * 100 * 10000.0 + 0.5) / 10000.0 AS waste_pct
     FROM nb
     UNION ALL
     SELECT 'length_sorted', count(*),
            CAST(sum(toks) AS BIGINT),
            CAST(sum(mx * n_seq - toks) AS BIGINT),
-           round(sum(mx * n_seq - toks) / sum(mx * n_seq) * 100, 4)
+           floor(sum(mx * n_seq - toks) / sum(mx * n_seq) * 100 * 10000.0 + 0.5) / 10000.0
     FROM sb
 """
 
@@ -800,7 +802,9 @@ def q_split_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_docs"),
             F.sum(F.coalesce(F.col("leaky"), F.lit(0))).alias("n_leaky"),
-            F.round(
+            # exact integer ratio -> portable floor-round (boundary-
+            # safe across engines, functions/precision.py)
+            exact_round(
                 F.sum(F.coalesce(F.col("leaky"), F.lit(0))) / F.count("*") * 100, 4
             ).alias("leaky_pct"),
         )
@@ -837,8 +841,8 @@ def _contamination_oracle() -> str:
         SELECT s.split, count(*) AS n_docs,
                CAST(sum(CASE WHEN l.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
                    AS n_leaky,
-               round(sum(CASE WHEN l.doc_id IS NOT NULL THEN 1 ELSE 0 END)
-                     / count(*) * 100, 4) AS leaky_pct
+               floor(sum(CASE WHEN l.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                     / count(*) * 100 * 10000.0 + 0.5) / 10000.0 AS leaky_pct
         FROM splits s LEFT JOIN leaky l USING (doc_id)
         GROUP BY s.split
     """

@@ -392,9 +392,13 @@ def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     before they poison an ANN index or a SemDeDup pass.
 
     Determinism discipline: per-dim mean and std are rounded to 6
-    decimals, each z to 4 BEFORE the per-vector aggregation, and the
-    z-norm² to 3 — every value the two engines compare is computed on
-    the same rounded grid. Constant dimensions (std 0) contribute
+    decimals and each z to 4 BEFORE the per-vector aggregation, so
+    the summed z² terms are EXACT multiples of 1e-8 — which is
+    precisely why the per-vector norm² must be quantized to that grid
+    (bigint) before summation and floor-rescaled to 3 dp: an exact
+    1e-8-multiple sum can land exactly ON a .0005 decimal boundary,
+    where ``round()`` is the one op Spark and DuckDB disagree on
+    (functions/precision.py). Constant dimensions (std 0) contribute
     z = 0 by definition.
 
     Scale shape: posexplode → one map-combinable (dim) moment agg (64
@@ -408,12 +412,17 @@ def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sqrt(F.greatest(F.avg(F.col("v") * F.col("v")) - F.avg("v") * F.avg("v"), F.lit(0.0))), 6).alias("sd"),
     )
     z = F.when(F.col("sd") > 0, F.round((F.col("v") - F.col("m")) / F.col("sd"), 4)).otherwise(0.0)
+    from osarchiver_spark.functions.precision import quantize
+
     return (
         ex.join(F.broadcast(stats), "dim")
         .select("vec_id", z.alias("z"))
         .groupBy("vec_id")
         .agg(
-            F.round(F.sum(F.col("z") * F.col("z")), 3).alias("z_norm2"),
+            (
+                F.floor((F.sum(quantize(F.col("z") * F.col("z"), 8)) + F.lit(50000)) / F.lit(100000))
+                / F.lit(1e3)
+            ).alias("z_norm2"),
             F.max(F.abs(F.col("z"))).alias("max_abs_z"),
         )
         .orderBy(F.col("max_abs_z").desc(), "vec_id")
@@ -437,7 +446,10 @@ ORACLES["embedding_outliers"] = f"""
         SELECT e.vec_id,
                CASE WHEN s.sd > 0 THEN round((e.v - s.m) / s.sd, 4) ELSE 0.0 END AS z
         FROM ex e JOIN stats s USING (dim))
-    SELECT vec_id, round(sum(z * z), 3) AS z_norm2, max(abs(z)) AS max_abs_z
+    SELECT vec_id,
+           floor((sum(CAST(floor(z * z * 100000000.0 + 0.5) AS BIGINT)) + 50000)
+                 / 100000) / 1000.0 AS z_norm2,
+           max(abs(z)) AS max_abs_z
     FROM zs GROUP BY vec_id
     ORDER BY max_abs_z DESC, vec_id
     LIMIT {OUTLIER_TOPK}

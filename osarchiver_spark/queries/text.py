@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from osarchiver_spark.functions.precision import exact_round
 from osarchiver_spark.functions.text import (
     LANG_MARKERS,
     lang_id,
@@ -1087,7 +1088,9 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_shingles"),
             F.sum((F.col("first_doc") == F.col("doc_id")).cast("long")).alias("n_novel"),
-            F.round(
+            # exact integer ratio -> portable floor-round (boundary-
+            # safe across engines, functions/precision.py)
+            exact_round(
                 F.sum((F.col("first_doc") == F.col("doc_id")).cast("long"))
                 / F.count("*"),
                 6,
@@ -1107,8 +1110,8 @@ ORACLES["ngram_novelty"] = f"""
     SELECT s.doc_id, count(*) AS n_shingles,
            CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS BIGINT)
                AS n_novel,
-           round(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
-                 / count(*), 6) AS novelty
+           floor(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+                 / count(*) * 1000000.0 + 0.5) / 1000000.0 AS novelty
     FROM sh s JOIN first f USING (sh)
     GROUP BY s.doc_id
 """
@@ -1130,7 +1133,7 @@ def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang_label",
         "lang_pred",
         "n",
-        F.round(F.col("n") / label_tot, 6).alias("label_share"),
+        exact_round(F.col("n") / label_tot, 6).alias("label_share"),
     )
 
 
@@ -1148,6 +1151,7 @@ ORACLES["lang_confusion"] = f"""
         SELECT lang_label, {_LANG_CASE} AS lang_pred, count(*) AS n
         FROM scored GROUP BY 1, 2)
     SELECT lang_label, lang_pred, n,
-           round(n / sum(n) OVER (PARTITION BY lang_label), 6) AS label_share
+           floor(n / sum(n) OVER (PARTITION BY lang_label) * 1000000.0 + 0.5)
+               / 1000000.0 AS label_share
     FROM cells
 """

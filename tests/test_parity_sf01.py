@@ -47,6 +47,22 @@ HEAVY = [
     "time_weighted_avg",
     "zorder_locality",
     "snapshot_diff",
+    # round-5: every query hardened with the fixed-point discipline
+    # (functions/precision.py) re-checked at 10x the driver's scale
+    "psi_drift",
+    "token_budget_sample",
+    "zscore_outliers",
+    "ab_test_report",
+    "survival_curve",
+    "attribution_time_decay",
+    "quantile_normalize",
+    "point_in_time_features",
+    "embedding_outliers",
+    "padding_waste_report",
+    "split_contamination_report",
+    "ngram_novelty",
+    "lang_confusion",
+    "bm25_retrieval",
 ]
 
 pytestmark = pytest.mark.skipif(

@@ -312,6 +312,37 @@ def test_entity_resolution_blocking_is_an_equi_join(spark):
     assert "WindowGroupLimit" in plan
 
 
+def test_entity_resolution_production_purges_oversized_blocks(spark):
+    # the deployment twin caps in-block verify at max_block^2 pairs
+    # via a census semi-join (the sf1 rehearsal measured the
+    # purge-free form going quadratic: 1.4 s -> 99 s on 10x dup names)
+    from osarchiver_spark.queries.relational import (
+        entity_resolution_production,
+        q_entity_resolution,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    base = {tuple(r) for r in q_entity_resolution(spark, sf).collect()}
+    # sf0.001 blocks top out at 25 records — under the default cap
+    # the purge is a no-op and results are identical to the oracle'd
+    # registered query
+    prod = {tuple(r) for r in entity_resolution_production(spark, sf).collect()}
+    assert prod == base
+    # a tight cap must PURGE (strict subset), never invent matches
+    capped = {
+        tuple(r)
+        for r in entity_resolution_production(spark, sf, max_block=10).collect()
+    }
+    assert capped < base
+    # and the purge must be a semi-join in the plan, not a collect
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        entity_resolution_production(spark, sf).explain("formatted")
+    plan = buf.getvalue()
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_registry_wide_plan_audit(spark):
     """Registry-wide scale-smell scan over every batch query's
     optimized plan: CartesianProduct is banned outright, and

@@ -1,0 +1,114 @@
+"""Differential property tests for functions/precision.py — the
+fixed-point discipline every cross-engine float emission relies on.
+
+The claim under test: ``floor(x*10^n + 0.5)/10^n`` (and its bigint
+``quantize`` twin) produce BIT-IDENTICAL doubles in Spark, DuckDB and
+CPython for any shared double input, because multiply/add/floor/divide
+are plain IEEE-754 ops with no decimal-string step. If any engine
+disagreed on a single bit, every query hardened with these helpers
+would be one driver round away from a hash-fail — so this test is the
+foundation the round-5 hardening stands on.
+
+Adversarial inputs: exact decimal .5 boundaries (k + 5)/10^(n+1),
+their float neighbors (nextafter up/down), and random doubles across
+magnitudes — precisely the population where Spark's round() (HALF_UP
+on the shortest repr) and DuckDB's round() (exact binary expansion)
+are KNOWN to disagree (see module docstring of precision.py; the
+psi_drift / token_budget_sample driver-r04 hash fails).
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+
+import duckdb
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from osarchiver_spark.functions.precision import (
+    exact_round,
+    quantize,
+    sql_exact_round,
+    sql_quantize,
+)
+
+
+def _bits(x: float) -> str:
+    return struct.pack("<d", x).hex()
+
+
+def _py_exact_round(x: float, n: int) -> float:
+    scale = float(10**n)
+    return math.floor(x * scale + 0.5) / scale
+
+
+def _py_quantize(x: float, n: int) -> int:
+    scale = float(10**n)
+    return int(math.floor(x * scale + 0.5))
+
+
+def _boundary_floats() -> list[float]:
+    vals: list[float] = []
+    for n in (2, 4, 6):
+        for k in (0, 1, 12345, 999_999):
+            b = (10 * k + 5) / (10.0 ** (n + 1))  # exact .5 boundary at n dp
+            vals += [b, math.nextafter(b, 0.0), math.nextafter(b, math.inf)]
+    return vals
+
+
+_FINITE = st.floats(
+    min_value=-1e9, max_value=1e9, allow_nan=False, allow_infinity=False
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(xs=st.lists(_FINITE, min_size=1, max_size=64), n=st.integers(0, 8))
+def test_exact_round_and_quantize_agree_across_three_engines(spark, xs, n):
+    xs = xs + _boundary_floats()
+    sdf = spark.createDataFrame([(float(x),) for x in xs], "x double").select(
+        exact_round(F.col("x"), n).alias("r"), quantize(F.col("x"), n).alias("q")
+    )
+    got = sdf.collect()
+    con = duckdb.connect()
+    for (s_r, s_q), x in zip(got, xs):
+        d_r, d_q = con.execute(
+            f"SELECT {sql_exact_round('?', n)}, {sql_quantize('?', n)}",
+            [float(x), float(x)],
+        ).fetchone()
+        p_r, p_q = _py_exact_round(float(x), n), _py_quantize(float(x), n)
+        assert _bits(s_r) == _bits(d_r) == _bits(p_r), (x, n, s_r, d_r, p_r)
+        assert int(s_q) == int(d_q) == p_q, (x, n, s_q, d_q, p_q)
+
+
+def test_known_spark_duckdb_round_divergence_is_fixed(spark):
+    """0.0005045 is a MEASURED divergence (scanned 200k decimal .5
+    boundaries at 6 dp on this engine pair): its shortest repr ends
+    in 5, so Spark's HALF_UP-on-repr round(…, 6) gives 0.000505,
+    while its exact binary expansion is …44999…, so DuckDB's
+    exact-expansion round gives 0.000504 — precisely the class of
+    one-digit disagreement behind the driver-r04 psi_drift /
+    token_budget_sample hash fails (~1.7% of boundary values diverge).
+    Which side the fixed-point form lands on is an IEEE detail; what
+    this pins is that all three engines land on the SAME side, while
+    the builtin round()s demonstrably do not."""
+    x = 0.0005045
+    con = duckdb.connect()
+    (d_r,) = con.execute(f"SELECT {sql_exact_round('?', 6)}", [x]).fetchone()
+    (s_r,) = (
+        spark.createDataFrame([(x,)], "x double")
+        .select(exact_round(F.col("x"), 6).alias("r"))
+        .collect()[0]
+    )
+    assert _bits(s_r) == _bits(d_r) == _bits(_py_exact_round(x, 6))
+    # and the hazard itself is real on this engine pair: the builtin
+    # decimal rounds disagree with each other on this input
+    (d_round,) = con.execute("SELECT round(?, 6)", [x]).fetchone()
+    (s_round,) = (
+        spark.createDataFrame([(x,)], "x double")
+        .select(F.round("x", 6).alias("r"))
+        .collect()[0]
+    )
+    assert s_round != d_round  # Spark HALF_UP-on-repr vs DuckDB exact expansion
