@@ -176,17 +176,83 @@ def _knn_ivf_pq_production(spark, sf_dir):
     )
 
 
+def _dedup_embedding_production(spark, sf_dir):
+    from osarchiver_spark.operators.dedup import embedding_lsh_neardup_auto
+    from osarchiver_spark.sources.parquet import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_lsh_neardup_auto(emb, "vec_id", "embedding")
+
+
+def _dedup_embedding_incremental_production(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from osarchiver_spark.operators.dedup import auto_planes, embedding_lsh_incremental
+    from osarchiver_spark.sources.parquet import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    new = emb.filter(F.col("vec_id") % 10 == 3)
+    corpus = emb.filter(F.col("vec_id") % 10 != 3)
+    return embedding_lsh_incremental(
+        corpus,
+        new,
+        "vec_id",
+        "embedding",
+        threshold=0.9,
+        n_tables=32,
+        planes_per_table=auto_planes(emb.count()),
+    )
+
+
+def _semdedup_production(spark, sf_dir):
+    from osarchiver_spark.operators.semdedup import semdedup_losers
+    from osarchiver_spark.sources.parquet import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # the SemDeDup paper's contract made executable: k tracks corpus
+    # size so mean cluster width stays ~512 (fixture k=8 is the
+    # oracle-replay mode; at 200k+ vectors it leaves 25k-wide
+    # clusters -> quadratic in-cluster grams)
+    k = max(8, emb.count() // 512)
+    return semdedup_losers(
+        emb, "vec_id", "embedding", threshold=0.9, n_clusters=k, iters=2, quantize=6
+    )
+
+
+def _simhash_multiprobe_production(spark, sf_dir):
+    from osarchiver_spark.operators.dedup import simhash64_multiprobe_pairs
+    from osarchiver_spark.sources.parquet import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash64_multiprobe_pairs(docs, "doc_id", "text", max_hamming=3)
+
+
 # name -> callable overriding the registry entry for benching. The
 # registered ANN queries run at full-recall ORACLE parameters (probe
 # everything) so they can share the exact brute-force oracle — a path
 # no deployment runs. The bench measures the production serving
 # parameters (pruning on; recall pinned in tests/test_similarity.py,
 # tests/test_ivf.py, tests/test_pq.py), which is also what BENCH_r02
-# measured before the oracle modes landed.
+# measured before the oracle modes landed. dedup_simhash_multiprobe
+# follows the same split: the registered 16-bit sketch is the
+# oracle-exact mode, but its 5-6-bit block keys go quadratic past
+# ~1e5 docs (measured: multi-hour stall at sf10), so the bench runs
+# the 64-bit production parameterization
+# (operators/dedup.py::simhash64_multiprobe_pairs).
 BENCH_OVERRIDES = {
     "knn_lsh": _knn_lsh_production,
     "knn_ivf": _knn_ivf_production,
     "knn_ivf_pq": _knn_ivf_pq_production,
+    "dedup_simhash_multiprobe": _simhash_multiprobe_production,
+    # registered embedding-LSH queries run the swept full-recall
+    # (b=6, L=64, thr=0.45) oracle parameters; b=6 = 64 buckets/table
+    # goes quadratic past ~1e5 vectors (sf10-measured stall). The
+    # production forms size b from a corpus count (auto_planes) at
+    # the production near-dup threshold 0.9; recall pinned in
+    # tests/test_similarity.py::test_embedding_auto_recall.
+    "dedup_embedding": _dedup_embedding_production,
+    "dedup_embedding_incremental": _dedup_embedding_incremental_production,
+    "semdedup": _semdedup_production,
 }
 
 

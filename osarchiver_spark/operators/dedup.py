@@ -25,8 +25,11 @@ from osarchiver_spark.functions.text import (
     lsh_band_keys,
     minhash_signature,
     normalized_fingerprint,
-    simhash16_from_hashed,
-    token_hashes,
+    simhash16_vote_columns,
+    simhash64_vote_columns,
+    token_simhash_mask,
+    token_simhash_mask64,
+    tokens,
     word_shingles,
 )
 
@@ -188,19 +191,51 @@ def minhash_lsh_incremental(
     )
 
 
+def _simhash_sketches(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc_id, simhash): one 16-bit sketch per document, computed as
+    explode(tokens) → md5-prefix mask → groupBy(doc_id) vote sums.
+
+    This is the scale-safe shape: the per-token work (one md5 + 16
+    integer shift/mask votes) runs in whole-stage codegen over
+    exploded rows, partial aggregation combines the votes map-side,
+    and the exchange carries 16 ints per document — never a
+    token-hash array. The previous form (materialize
+    array<md5-hex> per doc, shuffle it, then 16 interpreted
+    ArrayAggregate passes) held the whole hash array per in-flight
+    row and OOMed the sf10 rehearsal on long documents; sketch
+    values are bit-identical (same md5 digits, same vote rule).
+
+    explode_outer keeps empty/NULL-text docs as a NULL-token row
+    voting 0 on every bit → simhash 0, matching the old
+    aggregate-over-empty result.
+
+    The raw (id, text) repartition spreads token hashing across
+    cores when the fixture parquet has too few splits; it shuffles
+    plain text rows, strictly smaller than the old array shuffle.
+    """
+    par = df.sparkSession.sparkContext.defaultParallelism
+    ex = (
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t"))
+        .repartition(par)
+        .select("doc_id", F.explode_outer(tokens(F.col("_t"))).alias("_tok"))
+        .select("doc_id", token_simhash_mask(F.col("_tok")).alias("_mask"))
+    )
+    votes = simhash16_vote_columns(F.col("_mask"))
+    agg = ex.groupBy("doc_id").agg(
+        *[F.sum(v).alias(f"_v{p}") for p, v in enumerate(votes)]
+    )
+    out = F.lit(0)
+    for p in range(16):
+        out = out + F.when(F.col(f"_v{p}") > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return agg.select("doc_id", out.alias("simhash"))
+
+
 def simhash_candidates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """SimHash near-dup candidates: pairs with identical 16-bit
     sketch. Candidates come from a groupable equi-join on the sketch
     value — the classic 'hamming distance 0 block' of a
     multi-probe scheme (rotations would add distance 1-2 probes)."""
-    par = df.sparkSession.sparkContext.defaultParallelism
-    # token_hashes materialized below a repartition: the barrier both
-    # spreads the md5 work across cores and stops projection collapse
-    # from re-inlining the hashing into each of the 16 bit votes.
-    hashed = df.select(
-        F.col(id_col).alias("doc_id"), token_hashes(F.col(text_col)).alias("toks_h")
-    ).repartition(par)
-    sk = hashed.select("doc_id", simhash16_from_hashed(F.col("toks_h")).alias("simhash"))
+    sk = _simhash_sketches(df, id_col, text_col)
     a = sk.select(F.col("doc_id").alias("doc_a"), "simhash")
     b = sk.select(F.col("doc_id").alias("doc_b"), "simhash")
     return (
@@ -233,11 +268,7 @@ def simhash_multiprobe_pairs(
     blocks; the block key keeps the self-join an equi-join (AQE
     splits hot blocks)."""
     n_blocks = max_hamming + 1
-    par = df.sparkSession.sparkContext.defaultParallelism
-    hashed = df.select(
-        F.col(id_col).alias("doc_id"), token_hashes(F.col(text_col)).alias("toks_h")
-    ).repartition(par)
-    sk = hashed.select("doc_id", simhash16_from_hashed(F.col("toks_h")).alias("simhash"))
+    sk = _simhash_sketches(df, id_col, text_col)
 
     # block i covers bits [lo, lo+width): widths as even as possible
     widths = [n_bits // n_blocks + (1 if i < n_bits % n_blocks else 0) for i in range(n_blocks)]
@@ -254,6 +285,80 @@ def simhash_multiprobe_pairs(
         "doc_id", "simhash", F.explode(F.array(*blocks)).alias("b")
     ).select("doc_id", "simhash", "b.block_idx", "b.block_bits")
 
+    left = keyed.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"), "block_idx", "block_bits"
+    )
+    right = keyed.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"), "block_idx", "block_bits"
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        left.join(right, ["block_idx", "block_bits"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+def simhash64_multiprobe_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Production multi-probe SimHash: 64-bit sketches (the Manku
+    web-crawl parameterization), hamming <= ``max_hamming`` via
+    block-pigeonhole equi-joins.
+
+    The 16-bit registered variant (simhash_multiprobe_pairs) is
+    oracle-exact but cannot scale past ~1e5 documents: 16 bits split
+    into d+1 blocks leaves 5-6 bit block keys (<= 64 distinct
+    values), so at 500k docs EVERY pair collides on some block by
+    chance — the sf10 rehearsal measured the resulting ~4e9-row join
+    as a multi-hour stall. With 64-bit sketches the block keys are
+    ~16-21 bits (millions of values) and random collisions vanish;
+    only genuine near-duplicates and birthday-rate noise reach the
+    bit_count verify. Same operator shape, same vote rule, one md5
+    per token, map-combinable vote sums — just a sketch wide enough
+    for the corpus.
+    """
+    n_blocks = max_hamming + 1
+    par = df.sparkSession.sparkContext.defaultParallelism
+    ex = (
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t"))
+        .repartition(par)
+        .select("doc_id", F.explode_outer(tokens(F.col("_t"))).alias("_tok"))
+        .select("doc_id", token_simhash_mask64(F.col("_tok")).alias("_mask"))
+    )
+    votes = simhash64_vote_columns(F.col("_mask"))
+    agg = ex.groupBy("doc_id").agg(
+        *[F.sum(v).alias(f"_v{p}") for p, v in enumerate(votes)]
+    )
+    one = F.lit(1).cast("bigint")
+    out = F.lit(0).cast("bigint")
+    for p in range(64):
+        out = out.bitwiseOR(
+            F.when(F.col(f"_v{p}") > 0, F.shiftleft(one, p)).otherwise(F.lit(0).cast("bigint"))
+        )
+    sk = agg.select("doc_id", out.alias("simhash"))
+
+    n_bits = 64
+    widths = [n_bits // n_blocks + (1 if i < n_bits % n_blocks else 0) for i in range(n_blocks)]
+    blocks, lo = [], 0
+    for i, w in enumerate(widths):
+        blocks.append(
+            F.struct(
+                F.lit(i).alias("block_idx"),
+                F.shiftrightunsigned("simhash", lo)
+                .bitwiseAND(F.shiftleft(one, w) - one)
+                .alias("block_bits"),
+            )
+        )
+        lo += w
+    keyed = sk.select(
+        "doc_id", "simhash", F.explode(F.array(*blocks)).alias("b")
+    ).select("doc_id", "simhash", "b.block_idx", "b.block_bits")
     left = keyed.select(
         F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"), "block_idx", "block_bits"
     )
@@ -707,6 +812,58 @@ def embedding_lsh_neardup_pairs(
         pairs_big = cand.mapInPandas(pair_cosine, schema=out_schema)
         pairs = pairs_small.unionByName(pairs_big)
     return pairs.groupBy("vec_a", "vec_b").agg(F.max("cosine").alias("cosine"))
+
+
+def auto_planes(n: int, target_bucket: int = 128) -> int:
+    """planes_per_table sized so the expected hyperplane-LSH bucket
+    width stays ~target_bucket for an n-vector corpus: b =
+    log2(n / target_bucket), floored at the swept fixture value 6."""
+    import math
+
+    return max(6, math.ceil(math.log2(max(n / target_bucket, 2.0))))
+
+
+def embedding_lsh_neardup_auto(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.9,
+    n_tables: int = 32,
+    dim: int = 64,
+    seed: str = "emb",
+    target_bucket: int = 128,
+    max_bucket: int = 4096,
+) -> DataFrame:
+    """Production parameterization of embedding_lsh_neardup_pairs:
+    size planes_per_table from the corpus so buckets stay sparse.
+
+    The registered query runs the swept full-recall parameters
+    (b=6, L=64, threshold 0.45) that make the exact all-pairs SQL its
+    oracle — but b=6 means 64 buckets per table, so past ~1e5
+    vectors every bucket blows the max_bucket census and the
+    overflow equi-join goes quadratic (the sf10 rehearsal measured
+    the stall). This is the docstring contract ("raise
+    planes_per_table ~log2(n)") made executable: one corpus count()
+    (a scalar collect), then b = log2(n / target_bucket) so the
+    expected bucket width stays ~target_bucket at ANY corpus size.
+    At the production near-dup threshold (0.9; the fixture's planted
+    clusters sit at ~1.0) the recall envelope 1-(1-p^b)^L with
+    p = 1 - arccos(0.9)/pi = 0.856 stays >= 0.99 through b=13/L=32
+    (recall pinned vs brute force in
+    tests/test_similarity.py::test_embedding_auto_recall).
+    """
+    b = auto_planes(df.count(), target_bucket)
+    return embedding_lsh_neardup_pairs(
+        df,
+        id_col,
+        vec_col,
+        threshold=threshold,
+        n_tables=n_tables,
+        planes_per_table=b,
+        dim=dim,
+        seed=seed,
+        max_bucket=max_bucket,
+    )
 
 
 def embedding_lsh_incremental(

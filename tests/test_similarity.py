@@ -82,6 +82,79 @@ def test_simhash_multiprobe_recall_is_total(spark, sf_small):
     assert zero <= set(got)
 
 
+def test_simhash64_production_recall_is_total(spark, sf_small):
+    # the production 64-bit multiprobe (bench override; the 16-bit
+    # registered form goes quadratic past ~1e5 docs) must equal exact
+    # all-pairs hamming<=3 filtering over sketches computed by an
+    # INDEPENDENT pure-Python md5 implementation — pinning tokenize,
+    # per-token mask packing, vote rule, bit packing, and the
+    # block-pigeonhole join in one go
+    import hashlib
+
+    from osarchiver_spark.operators.dedup import simhash64_multiprobe_pairs
+
+    def py_sketch(text: str) -> int:
+        votes = [0] * 64
+        for t in text.split():
+            m = int(hashlib.md5(t.encode("utf-8")).hexdigest()[:16], 16)
+            for p in range(64):
+                votes[p] += 1 if (m >> p) & 1 else -1
+        return sum(1 << p for p in range(64) if votes[p] > 0)
+
+    docs = load_table(spark, sf_small, "documents")
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in simhash64_multiprobe_pairs(docs, "doc_id", "text", max_hamming=3).collect()
+    }
+    vals = [(r.doc_id, py_sketch(r.text or "")) for r in docs.select("doc_id", "text").collect()]
+    expect = {}
+    for i in range(len(vals)):
+        for j in range(i + 1, len(vals)):
+            a, b = vals[i], vals[j]
+            lo, hi = min(a[0], b[0]), max(a[0], b[0])
+            h = bin(a[1] ^ b[1]).count("1")
+            if h <= 3:
+                expect[(lo, hi)] = h
+    assert got == expect
+    assert expect, "fixture should contain 64-bit near-dup pairs"
+
+
+def test_embedding_auto_recall(spark, sf_small):
+    # the production auto-parameterized embedding LSH (bench
+    # override) must recover >= 95% of the exact brute-force pairs
+    # at its production threshold, and report identical cosines on
+    # the pairs it finds (same rounding, same verify)
+    from osarchiver_spark.operators.dedup import (
+        embedding_lsh_neardup_auto,
+        embedding_neardup_pairs,
+    )
+
+    base = load_table(spark, sf_small, "embeddings")
+    # plant 0.9+ pairs the way the scale synthesizer does: a perturbed
+    # twin of every vector (last coordinate +0.001 -> cosine ~1.0)
+    twin = base.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.concat(
+            F.slice("embedding", 1, F.size("embedding") - 1),
+            F.array(F.element_at("embedding", -1) + F.lit(0.001)),
+        ).alias("embedding"),
+    )
+    emb = base.select("vec_id", "embedding").unionByName(twin)
+    exact = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in embedding_neardup_pairs(emb, "vec_id", "embedding", threshold=0.9).collect()
+    }
+    auto = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in embedding_lsh_neardup_auto(emb, "vec_id", "embedding", threshold=0.9).collect()
+    }
+    assert exact, "fixture should contain planted 0.9+ cosine pairs"
+    assert set(auto) <= set(exact)
+    assert len(auto) / len(exact) >= 0.95, f"auto recall {len(auto)}/{len(exact)}"
+    for k, v in auto.items():
+        assert v == exact[k]
+
+
 def test_multimodal_metadata_matches_python(spark, sf_small):
     docs = load_table(spark, sf_small, "documents").limit(20)
     out = extract_metadata(attach_binary(docs, "doc_id", "text")).collect()
