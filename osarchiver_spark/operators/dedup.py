@@ -814,7 +814,7 @@ def embedding_lsh_neardup_pairs(
     return pairs.groupBy("vec_a", "vec_b").agg(F.max("cosine").alias("cosine"))
 
 
-def auto_planes(n: int, target_bucket: int = 128) -> int:
+def auto_planes(n: int, target_bucket: int = 512) -> int:
     """planes_per_table sized so the expected hyperplane-LSH bucket
     width stays ~target_bucket for an n-vector corpus: b =
     log2(n / target_bucket), floored at the swept fixture value 6."""
@@ -831,7 +831,7 @@ def embedding_lsh_neardup_auto(
     n_tables: int = 32,
     dim: int = 64,
     seed: str = "emb",
-    target_bucket: int = 128,
+    target_bucket: int = 512,
     max_bucket: int = 4096,
 ) -> DataFrame:
     """Production parameterization of embedding_lsh_neardup_pairs:
