@@ -882,17 +882,35 @@ def embedding_lsh_incremental(
     vector twin of minhash_lsh_incremental, keeping an embedded
     corpus deduplicated batch-by-batch at O(|new| + one corpus scan).
 
-    Asymmetric like the text version: the new side's (table, bucket)
-    keys — |new|·L rows, a crawl drop against a corpus — are
-    BROADCAST; the corpus streams through a map-side hash join with
-    NO corpus shuffle (the only exchanges are the tiny candidate-pair
-    dedup at the end, and — on toy fixtures only — a parallelism
-    widening of a 1-2-partition corpus, skipped whenever the corpus
-    already carries defaultParallelism partitions). Verification is exact row-wise cosine on the
-    candidates (Arrow/BLAS), rounded before the threshold compare.
-    Same hyperplane model and (b, L) contract as
-    embedding_lsh_neardup_pairs — the swept full-recall parameters
-    make the exact new×corpus all-pairs SQL the oracle.
+    FUSED-PROBE shape: the new batch is the MODEL. Its vectors and
+    hyperplane bucket keys are computed up front (an eager collect of
+    the new side — batch-sized by contract, the way trainers collect
+    model rows) and shipped to executors as one Spark broadcast; the
+    corpus then makes a SINGLE mapInPandas pass that bucketizes each
+    Arrow batch, hash-probes the broadcast key index (sorted-array
+    searchsorted — vectorized, no per-row Python), deduplicates
+    table collisions in-batch, and verifies surviving pairs with the
+    exact rounded cosine — only above-threshold survivors ever leave
+    Python. Zero shuffles, zero joins, one linear corpus scan.
+
+    Two earlier shapes measured worse at the sf10 rehearsal (200k
+    vectors, planted 100-wide neighbor clusters → 263M candidate
+    pairs): bucketize-then-broadcast-join carried the 512 B vector ×L
+    tables through Arrow (173 s), and a skinny-keys + fetch-join
+    variant shuffled pair+vector rows (>560 s). Fusing probe and
+    verify moves each corpus vector through Arrow exactly once.
+
+    Cross-batch pair duplicates are impossible (a pair lives where
+    its corpus row lives), so no trailing aggregate is needed; the
+    in-batch np.unique handles multi-table collisions. Rounding and
+    accumulation are bit-identical to embedding_lsh_neardup_pairs'
+    verify, and the swept full-recall (b=6, L=64) parameters make
+    the exact new×corpus all-pairs SQL the oracle.
+
+    Note the new side is MATERIALIZED when this function is CALLED
+    (one Spark job), not at the caller's first action — the price of
+    the fused probe, worth stating since every other operator here
+    builds plans lazily.
     """
     import numpy as np
     import pandas as pd
@@ -911,53 +929,6 @@ def embedding_lsh_incremental(
     thr = float(threshold)
     L, b = n_tables, planes_per_table
     id_type = corpus.schema[id_col].dataType
-
-    def keyed_schema(idc: str) -> T.StructType:
-        return T.StructType(
-            [
-                T.StructField("table_idx", T.IntegerType()),
-                T.StructField("bucket", T.LongType()),
-                T.StructField(idc, id_type),
-                T.StructField(f"{idc}_v", T.ArrayType(T.DoubleType())),
-            ]
-        )
-
-    def keyed(df: DataFrame, idc: str) -> DataFrame:
-        base = df.select(F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("v"))
-
-        def bucketize(batches):
-            for pdf in batches:
-                if pdf.empty:
-                    continue
-                V = np.stack(pdf["v"].to_numpy())
-                signs = (V @ planes.T) >= 0
-                buckets = signs.reshape(len(pdf), L, b) @ bit_weights
-                yield pd.DataFrame(
-                    {
-                        "table_idx": np.tile(np.arange(L, dtype="int32"), len(pdf)),
-                        "bucket": buckets.reshape(-1),
-                        idc: pdf["vid"].to_numpy(dtype=object).repeat(L),
-                        f"{idc}_v": pdf["v"].to_numpy().repeat(L),
-                    }
-                )
-
-        return base.mapInPandas(bucketize, schema=keyed_schema(idc))
-
-    # Fixture-parallelism knob ONLY: a tiny single-file corpus arrives
-    # as 1-2 partitions, which would serialize the bucketize matmul on
-    # local[32]; widening it costs one exchange of a toy input. At
-    # scale the corpus already has >= defaultParallelism partitions and
-    # this is a no-op — the stated "NO corpus shuffle" contract holds
-    # exactly where it matters (a corpus that is expensive to move).
-    par = corpus.sparkSession.sparkContext.defaultParallelism
-    if corpus.rdd.getNumPartitions() < par:
-        corpus = corpus.repartition(par)
-    ckeyed = keyed(corpus, "corpus_id")
-    nkeyed = keyed(new, "new_id")
-    cand = ckeyed.join(F.broadcast(nkeyed), ["table_idx", "bucket"]).select(
-        "new_id", "new_id_v", "corpus_id", "corpus_id_v"
-    )
-
     out_schema = T.StructType(
         [
             T.StructField("new_id", id_type),
@@ -965,34 +936,135 @@ def embedding_lsh_incremental(
             T.StructField("cosine", T.DoubleType()),
         ]
     )
+    spark = corpus.sparkSession
 
-    def pair_cosine(batches):
+    new_rows = new.select(
+        F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("v")
+    ).collect()
+    if not new_rows:
+        return spark.createDataFrame([], out_schema)
+    new_ids = np.array([r["vid"] for r in new_rows], dtype=object)
+    NV = np.array([r["v"] for r in new_rows], dtype="float64")
+    n_new = len(new_ids)
+    # new-side bucket keys, table-combined into one int64
+    # (table_idx << b | bucket), sorted for searchsorted range probes;
+    # several new vectors can share a key, so matches are [lo, hi)
+    # ranges into the parallel row-index array
+    nsigns = (NV @ planes.T) >= 0
+    nbuckets = nsigns.reshape(n_new, L, b) @ bit_weights
+    nkeys = (np.arange(L, dtype="int64")[None, :] << b) | nbuckets
+    flat = nkeys.reshape(-1)
+    order = np.argsort(flat, kind="stable")
+    nk_sorted = flat[order]
+    nrow_sorted = (np.repeat(np.arange(n_new, dtype="int64"), L))[order]
+    nnorm = np.sqrt((NV * NV).sum(axis=1))
+    nnorm = np.where(nnorm > 0, nnorm, np.inf)
+    bc = spark.sparkContext.broadcast((NV, nk_sorted, nrow_sorted, new_ids, nnorm))
+
+    # Fixture-parallelism knob ONLY: a tiny single-file corpus arrives
+    # as 1-2 partitions, which would serialize the fused probe on
+    # local[32]; widening it costs one exchange of a toy input. At
+    # scale the corpus already has >= defaultParallelism partitions and
+    # this is a no-op — the stated "NO corpus shuffle" contract holds
+    # exactly where it matters (a corpus that is expensive to move).
+    par = spark.sparkContext.defaultParallelism
+    if corpus.rdd.getNumPartitions() < par:
+        corpus = corpus.repartition(par)
+    base = corpus.select(F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("v"))
+
+    # Bounded-memory verify: an adversarial corpus (the sf10 K-fold
+    # fixture's embeddings sit in a tight cone — 41% of ALL pairs
+    # collide at the auto-sized b) can make one Arrow batch's match
+    # set tens of millions of pairs; expanding + gathering that in
+    # one shot OOM-kills the Python worker. Slice the batch on CORPUS
+    # ROW boundaries (all L tables of a row stay together, so the
+    # in-slice np.unique still deduplicates every table collision)
+    # with ≤ CHUNK_PAIRS expanded matches per slice — and verify into
+    # PREALLOCATED per-worker buffers (np.take(out=), in-place
+    # multiply: identical float64 values, no fresh-page allocation).
+    # Buffer sizing is first-touch-bound, not throughput-bound:
+    # measured on this host class, faulting fresh pages runs ~30 MB/s
+    # while warm writes run ~1.7 GB/s and reads ~10 GB/s, so a 1M-pair
+    # (2×512 MB) buffer cost each reused worker ~30 s before its first
+    # chunk; 128k pairs (2×64 MB) faults in ~4 s and still amortizes
+    # the per-chunk fixed work.
+    CHUNK_PAIRS = 131_072
+
+    def probe(batches):
+        NVb, nk, nrow, nids, nn = bc.value
+        A_buf = np.empty((CHUNK_PAIRS, NVb.shape[1]))
+        B_buf = np.empty((CHUNK_PAIRS, NVb.shape[1]))
         for pdf in batches:
             if pdf.empty:
                 continue
-            A = np.stack(pdf["new_id_v"].to_numpy())
-            B = np.stack(pdf["corpus_id_v"].to_numpy())
-            na = np.sqrt((A * A).sum(axis=1))
-            nb = np.sqrt((B * B).sum(axis=1))
-            na = np.where(na > 0, na, np.inf)
-            nb = np.where(nb > 0, nb, np.inf)
-            vals = np.round((A * B).sum(axis=1) / (na * nb), 6)
-            mask = vals >= thr
-            yield pd.DataFrame(
-                {
-                    "new_id": pdf["new_id"].to_numpy(dtype=object)[mask],
-                    "corpus_id": pdf["corpus_id"].to_numpy(dtype=object)[mask],
-                    "cosine": vals[mask],
-                }
-            )
+            V = np.stack(pdf["v"].to_numpy())
+            cids = pdf["vid"].to_numpy(dtype=object)
+            m = len(pdf)
+            # per-row norms once per batch, gathered per pair below —
+            # identical float64 values to a per-pair recompute (same
+            # row data, same op), one fewer 512 B/pair temporary
+            cnorm = np.sqrt((V * V).sum(axis=1))
+            cnorm = np.where(cnorm > 0, cnorm, np.inf)
+            signs = (V @ planes.T) >= 0
+            buckets = signs.reshape(m, L, b) @ bit_weights
+            ckeys = ((np.arange(L, dtype="int64")[None, :] << b) | buckets).reshape(-1)
+            lo = np.searchsorted(nk, ckeys, side="left")
+            hi = np.searchsorted(nk, ckeys, side="right")
+            counts = hi - lo
+            if int(counts.sum()) == 0:
+                continue
+            row_cum = np.cumsum(counts.reshape(m, L).sum(axis=1))
+            start_row = 0
+            while start_row < m:
+                # widest slice of whole rows within the pair budget
+                # (always at least one row, whatever its width)
+                base_pairs = row_cum[start_row - 1] if start_row else 0
+                end_row = int(
+                    np.searchsorted(row_cum, base_pairs + CHUNK_PAIRS, side="right")
+                )
+                end_row = max(end_row, start_row + 1)
+                sl = slice(start_row * L, end_row * L)
+                cnt = counts[sl]
+                total = int(cnt.sum())
+                start_row = end_row
+                if total == 0:
+                    continue
+                # expand [lo, hi) ranges: positions into nk per match
+                steps = np.arange(total, dtype="int64") - np.repeat(
+                    np.cumsum(cnt) - cnt, cnt
+                )
+                pos = np.repeat(lo[sl], cnt) + steps
+                c_row = (
+                    np.repeat(np.arange(sl.start, sl.stop, dtype="int64"), cnt) // L
+                )
+                n_row = nrow[pos]
+                # a pair colliding in several tables verifies once
+                pair_code = np.unique(c_row * n_new + n_row)
+                c_row = pair_code // n_new
+                n_row = pair_code % n_new
+                p = len(pair_code)
+                if p <= CHUNK_PAIRS:
+                    A = A_buf[:p]
+                    B = B_buf[:p]
+                    np.take(NVb, n_row, axis=0, out=A)
+                    np.take(V, c_row, axis=0, out=B)
+                else:  # single row wider than the budget — rare
+                    A = NVb[n_row]
+                    B = V[c_row]
+                np.multiply(A, B, out=A)
+                vals = np.round(A.sum(axis=1) / (nn[n_row] * cnorm[c_row]), 6)
+                mask = vals >= thr
+                if not mask.any():
+                    continue
+                yield pd.DataFrame(
+                    {
+                        "new_id": nids[n_row[mask]],
+                        "corpus_id": cids[c_row[mask]],
+                        "cosine": vals[mask],
+                    }
+                )
 
-    # the same pair survives from several tables; values are identical
-    # after rounding — one tiny aggregate deduplicates
-    return (
-        cand.mapInPandas(pair_cosine, schema=out_schema)
-        .groupBy("new_id", "corpus_id")
-        .agg(F.max("cosine").alias("cosine"))
-    )
+    return base.mapInPandas(probe, schema=out_schema)
 
 
 def embedding_neardup_pairs(df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.95) -> DataFrame:

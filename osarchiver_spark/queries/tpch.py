@@ -192,8 +192,19 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 shape (adapted: lateness = shipped >60 days after
     order date — the fixture has no commit/receipt dates): suppliers
     who were the ONLY late supplier in a multi-supplier order.
-    EXISTS/NOT EXISTS compile to semi/anti self-joins co-partitioned
-    on l_orderkey."""
+
+    The oracle keeps the textbook EXISTS/NOT EXISTS form; here both
+    decorrelate into per-order AGGREGATES instead of semi/anti
+    self-joins. For a late line (o, s): "another supplier's line
+    exists in o" ⟺ o has ≥2 distinct suppliers, and "no other
+    supplier shipped late in o" ⟺ o's late lines span exactly one
+    distinct supplier (min == max) — which is then the waiting
+    supplier, so the joins against the 60M-row lineitem collapse to
+    two order-grained aggregates joined on l_orderkey. The sf10
+    rehearsal measured the self-join form at 168 s (three
+    lineitem-wide exchanges, `late` computed twice); the aggregate
+    form moves the fact table once, and the late aggregate reuses the
+    l_orderkey partitioning the orders join already established."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     supp = load_table(spark, sf_dir, "supplier")
@@ -202,19 +213,29 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
         .select("l_orderkey", "l_suppkey")
     )
-    lines = li.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sk"))
-    late_lines = late.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sk"))
-    waiting = late.join(
-        lines, (F.col("l_orderkey") == F.col("ok")) & (F.col("l_suppkey") != F.col("sk")), "left_semi"
-    ).join(
-        late_lines,
-        (F.col("l_orderkey") == F.col("ok")) & (F.col("l_suppkey") != F.col("sk")),
-        "left_anti",
+    # orders whose late lines all belong to one supplier: that
+    # supplier + its late-line count (= this order's numwait rows)
+    sole_late = (
+        late.groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("late_cnt"),
+            F.min("l_suppkey").alias("mn_supp"),
+            F.max("l_suppkey").alias("mx_supp"),
+        )
+        .filter(F.col("mn_supp") == F.col("mx_supp"))
+        .select("l_orderkey", F.col("mn_supp").alias("l_suppkey"), "late_cnt")
+    )
+    multi_supp = (
+        li.groupBy("l_orderkey")
+        .agg(F.count_distinct("l_suppkey").alias("n_supp"))
+        .filter(F.col("n_supp") >= 2)
+        .select("l_orderkey")
     )
     return (
-        waiting.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        sole_late.join(multi_supp, "l_orderkey")
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
-        .agg(F.count("*").alias("numwait"))
+        .agg(F.sum("late_cnt").alias("numwait"))
         .orderBy(F.col("numwait").desc(), F.col("s_name"))
         .limit(20)
     )

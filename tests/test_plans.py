@@ -86,13 +86,16 @@ def test_dedup_incremental_broadcasts_the_new_side(spark):
     assert "SortMergeJoin" not in plan
 
 
-def test_dedup_embedding_incremental_broadcasts_the_new_side(spark):
-    # vector twin of the text incremental pin: new-batch bucket keys
-    # broadcast, corpus bucketize stays map-side — no corpus exchange
+def test_dedup_embedding_incremental_is_a_fused_joinless_probe(spark):
+    # the new batch ships as a Spark BROADCAST VARIABLE (model-shaped,
+    # like the hyperplane matrix), so the plan must be a single fused
+    # corpus pass: scan → MapInPandas, with NO join operator of any
+    # kind and no corpus exchange beyond the toy-fixture parallelism
+    # widening — bucketize, probe, and verify all happen inside one
+    # Python stage and only above-threshold survivors leave it
     plan = _formatted(spark, "dedup_embedding_incremental")
-    assert "CartesianProduct" not in plan
-    assert "BroadcastHashJoin" in plan
-    assert "SortMergeJoin" not in plan
+    assert "Join" not in plan
+    assert "MapInPandas" in plan
 
 
 def test_tpch_star_joins_have_no_cartesian(spark):
@@ -114,11 +117,17 @@ def test_every_tpch_query_is_cross_product_free(spark):
         assert "CartesianProduct" not in plan, name
 
 
-def test_q21_self_joins_are_semi_anti(spark):
+def test_q21_decorrelates_to_order_grained_aggregates(spark):
+    # the EXISTS/NOT EXISTS pair must compile to per-order aggregates
+    # (sole-late-supplier + distinct-supplier count) — the sf10
+    # rehearsal measured the semi/anti self-join form at 168 s from
+    # three lineitem-wide exchanges; the aggregate form keeps exactly
+    # one scan-side shuffle of the fact table per aggregate and
+    # map-side partial aggregation on both
     plan = _formatted(spark, "q21_waiting_supplier")
-    assert "LeftSemi" in plan
-    assert "LeftAnti" in plan
     assert "CartesianProduct" not in plan
+    assert "LeftSemi" not in plan and "LeftAnti" not in plan
+    assert "partial_count" in plan or "partial_sum" in plan
 
 
 def test_q18_having_filter_before_join(spark):
