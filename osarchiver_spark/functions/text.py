@@ -235,10 +235,22 @@ def simhash16(text: Column) -> Column:
     return simhash16_from_hashed(token_hashes(text))
 
 
+_ALNUM_SPACE = "abcdefghijklmnopqrstuvwxyz0123456789 "
+
+
 def punct_ratio(text: Column) -> Column:
-    """Fraction of characters that are not [a-z0-9 ] (lowercased)."""
+    """Fraction of characters that are not [a-z0-9 ] (lowercased).
+
+    ``translate`` (a plain char-map pass) instead of
+    ``regexp_replace("[a-z0-9 ]", "")``: identical output for every
+    input — both remove exactly the chars in the class and keep the
+    rest, non-ASCII included — but the regex form ran the java.util
+    regex engine per character and rebuilt the string through it,
+    which the sf10 rehearsal measured as most of text_quality's 75 s
+    on 500k docs (lang_id, same scan + four token filters but no
+    regex replace, took 16 s)."""
     low = F.lower(text)
-    clean = F.regexp_replace(low, "[a-z0-9 ]", "")
+    clean = F.translate(low, _ALNUM_SPACE, "")
     return F.when(F.length(text) > 0, F.length(clean) / F.length(text)).otherwise(F.lit(0.0))
 
 

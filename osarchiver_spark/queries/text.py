@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from osarchiver_spark.functions.precision import exact_round
 from osarchiver_spark.functions.text import (
+    ENGLISH_STOPWORDS,
     LANG_MARKERS,
     lang_id,
     lang_scores,
@@ -67,10 +68,17 @@ def q_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite quality score: stopword presence, length saturation,
     punctuation penalty — the standard cheap pre-filter of a training
-    data pipeline."""
+    data pipeline.
+
+    One tokenization feeds both the count and the stopword hits:
+    whitespace splitting is case-invariant, so sizing the lowercased
+    token array is bit-identical to token_count(text) at one fewer
+    regex-split pass over every document."""
     docs = load_table(spark, sf_dir, "documents")
-    n_toks = token_count(F.col("text"))
-    stop_r = stopword_ratio(F.col("text"))
+    toks = tokens(F.lower(F.col("text")))
+    n_toks = F.size(toks)
+    hits = F.size(F.filter(toks, lambda t: t.isin(ENGLISH_STOPWORDS)))
+    stop_r = F.when(n_toks > 0, hits / n_toks).otherwise(F.lit(0.0))
     punct_r = punct_ratio(F.col("text"))
     len_score = F.least(n_toks.cast("double") / 100.0, F.lit(1.0))
     quality = 0.5 * stop_r + 0.3 * len_score + 0.2 * (1.0 - punct_r)
