@@ -73,6 +73,16 @@ def q_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     lines = transient(_doc_lines(docs))
     freq = lines.groupBy("line").agg(F.count_distinct("doc_id").alias("nd"))
+    # NOTE (measured, sf10): joining back a filtered nd>=threshold
+    # subset as a LEFT join reads as the obvious optimization — on a
+    # real corpus the boiler subset is tiny and AQE broadcasts it —
+    # but on the K-fold rehearsal fixture EVERY line is boilerplate
+    # (100-wide duplicate clusters), the "subset" is all distinct
+    # lines, and the variant measured 75.8 s vs 40.8 s for this
+    # shuffle join. A collect_list-per-line single-shuffle form was
+    # also rejected: a universally repeated line at 100 TB becomes
+    # one unbounded in-memory array (the hot-bucket hazard this repo
+    # gates everywhere else).
     flagged = lines.join(freq, "line").withColumn(
         "is_boiler", (F.col("nd") >= BOILER_MIN_DOCS).cast("int")
     )
