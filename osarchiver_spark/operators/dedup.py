@@ -654,9 +654,17 @@ def embedding_lsh_neardup_pairs(
 
     par = df.sparkSession.sparkContext.defaultParallelism
     id_type = df.schema[id_col].dataType
-    base = df.select(
-        F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("v")
-    ).repartition(par)
+    # base (n rows, ONE vector each) is the only relation worth
+    # checkpointing: every downstream pass re-derives the ×L bucket
+    # fan-out from it with one cheap BLAS projection, so the stored
+    # footprint is n·dim — not the n·L·dim a checkpoint of the keyed
+    # fan-out costs (L× the corpus; 3.3 GB at the sf10 rehearsal,
+    # and the dominant transient at 100 TB).
+    base = transient(
+        df.select(
+            F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("v")
+        ).repartition(par)
+    )
 
     keyed_schema = T.StructType(
         [
@@ -683,14 +691,14 @@ def embedding_lsh_neardup_pairs(
                 }
             )
 
-    # keyed feeds three consumers (hot-bucket census, grouped verify,
-    # overflow join): cache it so the ×L bucketize fan-out runs ONCE
-    # instead of once per consumer. transient (localCheckpoint stores
-    # MEMORY_AND_DISK, spilling instead of evicting) because the
-    # returned pairs reference it — auto-released on caller drop;
-    # callers keeping planes_per_table ~ log2(n) (the documented
-    # contract) bound it to a small multiple of the corpus.
-    keyed = transient(base.mapInPandas(bucketize, schema=keyed_schema))
+    # keyed is deliberately NOT checkpointed: its consumers (grouped
+    # verify, and in the hot case the two overflow-join sides) each
+    # re-derive the ×L fan-out from the checkpointed `base` with one
+    # BLAS projection — n·dim·L·b multiplies, seconds at rehearsal
+    # scale — instead of writing and re-reading an n·L·dim relation.
+    # The bucket CENSUS never sees the fat rows at all (see
+    # bucket_census below).
+    keyed = base.mapInPandas(bucketize, schema=keyed_schema)
 
     out_schema = T.StructType(
         [
@@ -731,16 +739,49 @@ def embedding_lsh_neardup_pairs(
             }
         )
 
-    # Hot-bucket split: bucket widths from a map-combinable count (tiny
-    # output — one row per occupied bucket), collected driver-side.
-    # The census is model-sized BY CONSTRUCTION (≤ n·L/max_bucket hot
-    # keys — the IVF "model-sized collect only" rule), and collecting
-    # it here both materializes the persisted `keyed` exactly once and
-    # lets the common all-buckets-healthy case skip the routing joins
-    # and the overflow subtree entirely.
+    # Hot-bucket split: bucket widths from a SLIM census pass that
+    # never materializes the fat keyed rows — the projection runs
+    # again over vectors only and pre-aggregates (table_idx, bucket)
+    # counts inside each Arrow batch (np.unique), so the exchange
+    # carries per-batch distinct buckets, not n·L rows. The census is
+    # model-sized BY CONSTRUCTION (≤ n·L/max_bucket hot keys — the
+    # IVF "model-sized collect only" rule); collecting it here both
+    # materializes the checkpointed `base` exactly once and lets the
+    # common all-buckets-healthy case skip the routing filters and
+    # the overflow subtree entirely.
+    census_schema = T.StructType(
+        [
+            T.StructField("table_idx", T.IntegerType()),
+            T.StructField("bucket", T.LongType()),
+            T.StructField("cnt", T.LongType()),
+        ]
+    )
+    assert b < 40, "bucket keys must fit the 40-bit census packing"
+
+    def bucket_census(batches):
+        tid = None
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            V = np.stack(pdf["v"].to_numpy())
+            signs = (V @ planes.T) >= 0
+            buckets = (signs.reshape(len(V), L, b) @ bit_weights).reshape(-1)
+            if tid is None or len(tid) != len(buckets):
+                tid = np.tile(np.arange(L, dtype="int64"), len(V))
+            uk, cnt = np.unique((tid << 40) | buckets, return_counts=True)
+            yield pd.DataFrame(
+                {
+                    "table_idx": (uk >> 40).astype("int32"),
+                    "bucket": uk & ((1 << 40) - 1),
+                    "cnt": cnt.astype("int64"),
+                }
+            )
+
     hot_keys = (
-        keyed.groupBy("table_idx", "bucket")
-        .agg(F.count(F.lit(1)).alias("bsize"))
+        base.select("v")
+        .mapInPandas(bucket_census, schema=census_schema)
+        .groupBy("table_idx", "bucket")
+        .agg(F.sum("cnt").alias("bsize"))
         .filter(F.col("bsize") > max_bucket)
         .select("table_idx", "bucket")
         .collect()
