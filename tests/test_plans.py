@@ -72,6 +72,25 @@ def test_dedup_embedding_is_bucketed(spark):
     assert "FlatMapGroupsInPandas" in plan  # within-bucket BLAS verify
 
 
+def test_dedup_embedding_checkpoints_base_not_the_fanout(spark):
+    # the only pinned relation may be the n-row (vid, v) base — never
+    # the n·L keyed fan-out, which is 33x larger at the sf10 rehearsal
+    # (3955 MiB vs 119 MiB). Consumers re-derive the bucket keys from
+    # base with one BLAS projection instead of re-reading a fat
+    # checkpoint, and the hot-bucket census runs over vectors only.
+    plan = _formatted(spark, "dedup_embedding")
+    ckpt_lines = [
+        line
+        for line in plan.splitlines()
+        if "localCheckpoint" in line and "MapPartitionsRDD" in line
+    ]
+    assert ckpt_lines, "expected the checkpointed base relation in the plan"
+    for line in ckpt_lines:
+        assert "table_idx" not in line and "bucket" not in line, (
+            f"fat keyed fan-out is checkpointed again: {line}"
+        )
+
+
 def test_dedup_incremental_broadcasts_the_new_side(spark):
     # arrival-vs-corpus dedup: the small new batch must broadcast so
     # the corpus band probe is a map-side hash join — a shuffle of the
