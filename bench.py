@@ -172,7 +172,17 @@ def _knn_ivf_pq_production(spark, sf_dir):
 
     emb, queries = _ann_queries(spark, sf_dir)
     return ivf_pq_topk(
-        emb, queries, "vec_id", "embedding", k=TOP_K, n_clusters=16, nprobe=4, shortlist=32
+        emb,
+        queries,
+        "vec_id",
+        "embedding",
+        k=TOP_K,
+        n_clusters=16,
+        nprobe=4,
+        shortlist=32,
+        # codebooks train on a ~4k-vector hash sample (the at-scale
+        # build path); the encode/search passes still cover everything
+        train_sample=4096,
     )
 
 

@@ -232,6 +232,7 @@ def ivf_pq_topk(
     m: int = 16,
     codes: int = 16,
     shortlist: int = 32,
+    train_sample: int | None = None,
 ) -> DataFrame:
     """Top-k cosine neighbors via IVF cells + PQ-coded shortlisting +
     exact re-rank. Output (query_id, rank, neighbor_id, cosine) —
@@ -244,7 +245,17 @@ def ivf_pq_topk(
     callers disable the two lossy stages (``nprobe`` = n_clusters,
     ``shortlist`` >= corpus) so the exact ranking survives and the
     brute-force oracle applies — mirroring IVF's nprobe convention;
-    production parameters keep both cuts and are recall-tested."""
+    production parameters keep both cuts and are recall-tested.
+
+    ``train_sample``: cap codebook TRAINING at ~this many vectors via
+    a deterministic hash sample (xxhash64(id) mod ratio) — the
+    standard IVF/PQ practice at scale: Lloyd's fits a model-sized
+    sample (centroids converge on the sample distribution), then the
+    ENCODE pass still covers the full corpus, so index completeness
+    is unaffected; only training cost drops from iters × corpus
+    scans to iters × sample scans. None (default, and the registered
+    oracle-mode form) trains on everything. Production recall with
+    sampled training is pinned in tests/test_pq.py."""
     from osarchiver_spark.functions.vectors import cosine, norm
 
     # L2-normalize before quantizing: on unit vectors |q-v|^2 =
@@ -258,8 +269,15 @@ def ivf_pq_topk(
     corpus_n = corpus.select(F.col(id_col), unit.alias("_uv"))
     queries_n = queries.select(F.col(id_col), unit.alias("_uv"))
 
+    train = corpus_n
+    if train_sample is not None:
+        ratio = max(1, corpus_n.count() // max(1, train_sample))
+        if ratio > 1:
+            train = corpus_n.filter(
+                F.pmod(F.xxhash64(F.col(id_col)), F.lit(ratio)) == 0
+            )
     coarse, books = pq_joint_fit(
-        corpus_n, id_col, "_uv", n_clusters=n_clusters, m=m, codes=codes
+        train, id_col, "_uv", n_clusters=n_clusters, m=m, codes=codes
     )
     C = np.asarray(coarse, dtype="float64")
     c_sq = (C * C).sum(axis=1)

@@ -31,6 +31,26 @@ def test_pq_production_params_recall_floor(spark, sf_small):
     # 0.44 with (nprobe=4, shortlist=32) — generous floor for seed drift
     assert recall >= 0.3, f"IVF-PQ recall too low: {recall}"
 
+    # sampled codebook training (the 100 TB build path: Lloyd's over a
+    # deterministic hash sample, full-corpus encode) must hold the
+    # same production recall floor — centroids fit the sample
+    # distribution, index completeness is untouched
+    sampled = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_pq_topk(
+            emb,
+            queries,
+            "vec_id",
+            "embedding",
+            k=5,
+            nprobe=4,
+            shortlist=32,
+            train_sample=max(64, emb.count() // 4),
+        ).collect()
+    }
+    recall_s = len(exact & sampled) / len(exact)
+    assert recall_s >= 0.3, f"sampled-training recall too low: {recall_s}"
+
 
 def test_pq_codes_are_bounded_and_deterministic(spark, sf_small):
     emb = load_table(spark, sf_small, "embeddings")
