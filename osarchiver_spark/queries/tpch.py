@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from osarchiver_spark.functions.precision import quantize
 from osarchiver_spark.sources.parquet import load_table
 
 def _rev():
@@ -91,20 +92,31 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9 shape (adapted: no partsupp, so supply cost is
     estimated from p_retailprice): profit on STANDARD parts by
-    supplier nation and order year."""
+    supplier nation and order year.
+
+    Float determinism: the per-row profit term is QUANTIZED to integer
+    micro-units before the group sum (the target_encode_loo / psi_drift
+    discipline), so the cross-engine aggregate is exact bigint
+    arithmetic and the cents rounding happens in integer space — a
+    `round(sum(double), 2)` here flipped a .xx5 boundary between Spark
+    and DuckDB at sf0.1 (accumulation-order-dependent last bit)."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     supp = load_table(spark, sf_dir, "supplier")
     part = load_table(spark, sf_dir, "part")
     nation = load_table(spark, sf_dir, "nation")
-    profit = _rev() - F.col("p_retailprice") * F.col("l_quantity")
+    profit_q = quantize(_rev() - F.col("p_retailprice") * F.col("l_quantity"), 6)
     return (
         li.join(part.filter(F.col("p_type") == "STANDARD"), F.col("l_partkey") == F.col("p_partkey"))
         .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
-        .agg(F.round(F.sum(profit), 2).alias("profit_est"))
+        .agg(
+            (
+                F.floor((F.sum(profit_q) + F.lit(5000)) / F.lit(10000)) / F.lit(100.0)
+            ).alias("profit_est")
+        )
     )
 
 
@@ -496,9 +508,14 @@ ORACLES = {
         GROUP BY 1
     """,
     "q9_product_profit": """
+        -- per-row micro-unit quantization before the sum, cents
+        -- rounding in integer space: mirrors the Spark query exactly
+        -- (the quantize/psi_drift fixed-point discipline)
         SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
-               round(sum(l_extendedprice * (1 - l_discount)
-                         - p_retailprice * l_quantity), 2) AS profit_est
+               floor((sum(CAST(floor((l_extendedprice * (1 - l_discount)
+                                      - p_retailprice * l_quantity)
+                                     * 1000000.0 + 0.5) AS BIGINT)) + 5000)
+                     / 10000) / 100.0 AS profit_est
         FROM lineitem
         JOIN part ON l_partkey = p_partkey AND p_type = 'STANDARD'
         JOIN supplier ON l_suppkey = s_suppkey
