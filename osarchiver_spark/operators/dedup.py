@@ -205,9 +205,13 @@ def _simhash_sketches(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     row and OOMed the sf10 rehearsal on long documents; sketch
     values are bit-identical (same md5 digits, same vote rule).
 
-    explode_outer keeps empty/NULL-text docs as a NULL-token row
-    voting 0 on every bit → simhash 0, matching the old
-    aggregate-over-empty result.
+    explode_outer keeps EMPTY-text docs as a NULL-token row voting 0
+    on every bit → simhash 0, matching the old aggregate-over-empty
+    result. NULL-text docs are filtered out entirely: the previous
+    aggregate form (and the unchanged DuckDB oracles) produce a NULL
+    sketch for a NULL token list, which drops such rows from the
+    candidate equi-joins — giving them sketch 0 would instead pair
+    every NULL-text doc with every empty-text doc.
 
     The raw (id, text) repartition spreads token hashing across
     cores when the fixture parquet has too few splits; it shuffles
@@ -216,6 +220,7 @@ def _simhash_sketches(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     par = df.sparkSession.sparkContext.defaultParallelism
     ex = (
         df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t"))
+        .filter(F.col("_t").isNotNull())
         .repartition(par)
         .select("doc_id", F.explode_outer(tokens(F.col("_t"))).alias("_tok"))
         .select("doc_id", token_simhash_mask(F.col("_tok")).alias("_mask"))
@@ -323,10 +328,18 @@ def simhash64_multiprobe_pairs(
     per token, map-combinable vote sums — just a sketch wide enough
     for the corpus.
     """
+    # max_hamming=0 would make n_blocks=1 and w=64, where JVM shift
+    # amounts wrap mod 64 (shiftleft(1,64)=1 → mask 0 → every doc in
+    # block 0: an all-pairs self-join, the exact quadratic this
+    # function exists to avoid). Hamming-0 blocking is a plain
+    # equi-join on the full sketch — use simhash_candidates for that.
+    if max_hamming < 1:
+        raise ValueError("max_hamming must be >= 1; use an exact-sketch equi-join for hamming 0")
     n_blocks = max_hamming + 1
     par = df.sparkSession.sparkContext.defaultParallelism
     ex = (
         df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t"))
+        .filter(F.col("_t").isNotNull())  # NULL text: NULL sketch in oracle form — excluded
         .repartition(par)
         .select("doc_id", F.explode_outer(tokens(F.col("_t"))).alias("_tok"))
         .select("doc_id", token_simhash_mask64(F.col("_tok")).alias("_mask"))

@@ -30,6 +30,7 @@ _MODULES = [
     "graph",
     "indexing",
     "ml",
+    "probes",
 ]
 
 

@@ -334,7 +334,12 @@ def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("v_c") * F.col("v_c")).alias("s2"),
     )
     mu_c = F.col("s1") / F.col("n")
-    sigma_c = F.sqrt(F.col("s2") / F.col("n") - mu_c * mu_c)
+    # non-negativity clamp: once s2 exceeds 2^53 the long->double
+    # conversion is inexact and a near-constant type can make the
+    # operand slightly negative — Spark would yield NaN (which passes
+    # both predicates, NaN ordering) while DuckDB raises on sqrt(<0).
+    # Same guard as q_embedding_outliers.
+    sigma_c = F.sqrt(F.greatest(F.col("s2") / F.col("n") - mu_c * mu_c, F.lit(0.0)))
     z = (F.col("v_c") - mu_c) / sigma_c
     return (
         ev.join(F.broadcast(stats), "event_type")
@@ -709,15 +714,27 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = cells.join(F.broadcast(totals), "event_type")
     p_ref = (F.col("n_ref") + 0.5) / (F.col("r_tot") + 0.5 * F.col("n_bins"))
     p_cur = (F.col("n_cur") + 0.5) / (F.col("c_tot") + 0.5 * F.col("n_bins"))
+    # Driver-r05 hash-fail fix (2nd round): the output is now BIGINT
+    # micro-units end-to-end — integers hash identically under ANY
+    # engine build or float canonicalization, which two rounds of
+    # locally-bit-exact float discipline could not guarantee for the
+    # driver's (unobservable) oracle stack. Additionally the ln — a
+    # transcendental whose last ulp is NOT IEEE-pinned across Java
+    # Math.log and DuckDB's libm — is pre-rounded onto a coarse 1e-6
+    # grid BEFORE the product (the bm25-idf discipline), so a 1-ulp
+    # libm disagreement can no longer straddle the quantize boundary.
     # PSI terms are >= 0 (factors share sign), so floor(x*1e9+0.5) is
     # plain half-up; the bigint sum is order-proof; (sum+500) div 1000
-    # rescales to 6 dp in exact integer arithmetic.
-    term_q = quantize((p_cur - p_ref) * F.log(p_cur / p_ref), 9)
+    # rescales to micro-units in exact integer arithmetic.
+    ln_g = exact_round(F.log(p_cur / p_ref), 6)
+    term_q = quantize((p_cur - p_ref) * ln_g, 9)
     return j.groupBy("event_type").agg(
         F.max("r_tot").alias("n_ref"),
         F.max("c_tot").alias("n_cur"),
         F.max("n_bins").cast("int").alias("n_bins"),
-        (F.floor((F.sum(term_q) + F.lit(500)) / F.lit(1000)) / F.lit(1e6)).alias("psi"),
+        F.floor((F.sum(term_q) + F.lit(500)) / F.lit(1000))
+        .cast("long")
+        .alias("psi_micro"),
     )
 
 
@@ -968,12 +985,12 @@ ORACLES = {
         SELECT e.event_id, e.event_type,
                round(e.value, 4) AS value,
                floor((e.v_c - s.s1 / s.n)
-                     / sqrt(s.s2 / s.n - (s.s1 / s.n) * (s.s1 / s.n))
+                     / sqrt(greatest(s.s2 / s.n - (s.s1 / s.n) * (s.s1 / s.n), 0))
                      * 10000.0 + 0.5) / 10000.0 AS zscore
         FROM ev e JOIN stats s USING (event_type)
-        WHERE sqrt(s.s2 / s.n - (s.s1 / s.n) * (s.s1 / s.n)) > 0
+        WHERE sqrt(greatest(s.s2 / s.n - (s.s1 / s.n) * (s.s1 / s.n), 0)) > 0
           AND abs((e.v_c - s.s1 / s.n)
-                  / sqrt(s.s2 / s.n - (s.s1 / s.n) * (s.s1 / s.n))) > 3.0
+                  / sqrt(greatest(s.s2 / s.n - (s.s1 / s.n) * (s.s1 / s.n), 0))) > 3.0
     """,
     "rolling_active_users": """
         WITH ud AS (
@@ -1086,12 +1103,13 @@ ORACLES["psi_drift"] = f"""
     SELECT event_type,
            max(r_tot) AS n_ref, max(c_tot) AS n_cur,
            CAST(max(n_bins) AS INT) AS n_bins,
-           floor((sum(CAST(floor((((n_cur + 0.5) / (c_tot + 0.5 * n_bins)
+           CAST(floor((sum(CAST(floor((((n_cur + 0.5) / (c_tot + 0.5 * n_bins)
                                    - (n_ref + 0.5) / (r_tot + 0.5 * n_bins))
-                                  * ln(((n_cur + 0.5) / (c_tot + 0.5 * n_bins))
-                                       / ((n_ref + 0.5) / (r_tot + 0.5 * n_bins))))
+                                  * (floor(ln(((n_cur + 0.5) / (c_tot + 0.5 * n_bins))
+                                       / ((n_ref + 0.5) / (r_tot + 0.5 * n_bins)))
+                                           * 1000000.0 + 0.5) / 1000000.0))
                                  * 1000000000.0 + 0.5) AS BIGINT))
-                  + 500) / 1000) / 1000000.0 AS psi
+                  + 500) / 1000) AS BIGINT) AS psi_micro
     FROM cells JOIN totals USING (event_type)
     GROUP BY event_type
 """
@@ -1564,12 +1582,16 @@ def q_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     factor = exact_round(1 - F.col("d") / F.col("n_risk"), 8)
     staged2 = staged.select(
         "duration_h", "d", "c", "n_risk",
-        F.when(factor > 0, quantize(F.log(factor), 9)).otherwise(F.lit(0).cast("long")).alias("ln_f_q"),
+        # ln is quantized onto the COARSE 1e-6 grid (not 1e-9): Java
+        # Math.log and DuckDB's libm may disagree in the last ulp, and
+        # the coarser grid makes a boundary straddle ~1000x less likely
+        # (the bm25-idf / psi_drift discipline).
+        F.when(factor > 0, quantize(F.log(factor), 6)).otherwise(F.lit(0).cast("long")).alias("ln_f_q"),
         (factor <= 0).cast("int").alias("hit_zero"),
     )
     surv = F.when(
         F.sum("hit_zero").over(w_inc) > 0, F.lit(0.0)
-    ).otherwise(exact_round(F.exp(F.sum("ln_f_q").over(w_inc) / F.lit(1e9)), 6))
+    ).otherwise(exact_round(F.exp(F.sum("ln_f_q").over(w_inc) / F.lit(1e6)), 6))
     return (
         staged2.select(
             "duration_h",
@@ -1608,7 +1630,7 @@ ORACLES["survival_curve"] = """
         SELECT duration_h, d, c, n_risk,
                CASE WHEN floor((1 - d / n_risk) * 100000000.0 + 0.5) / 100000000.0 > 0
                     THEN CAST(floor(ln(floor((1 - d / n_risk) * 100000000.0 + 0.5)
-                                       / 100000000.0) * 1000000000.0 + 0.5) AS BIGINT)
+                                       / 100000000.0) * 1000000.0 + 0.5) AS BIGINT)
                     ELSE 0 END AS ln_f_q,
                CASE WHEN floor((1 - d / n_risk) * 100000000.0 + 0.5) / 100000000.0 <= 0
                     THEN 1 ELSE 0 END AS hit_zero
@@ -1620,7 +1642,7 @@ ORACLES["survival_curve"] = """
                 THEN 0.0
                 ELSE floor(exp(sum(ln_f_q) OVER (ORDER BY duration_h
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                        / 1000000000.0) * 1000000.0 + 0.5) / 1000000.0
+                        / 1000000.0) * 1000000.0 + 0.5) / 1000000.0
            END AS survival
     FROM staged2
     QUALIFY d > 0

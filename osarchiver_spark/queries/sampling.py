@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from osarchiver_spark.functions.precision import exact_round
+from osarchiver_spark.functions.precision import exact_round, quantize
 from osarchiver_spark.functions.text import token_count, tokens
 from osarchiver_spark.sources.parquet import load_table
 
@@ -287,31 +287,36 @@ def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc can't block a smaller later one from overshooting exactly at
     the boundary (take-while semantics, deterministic).
 
-    The emitted ``quality`` is rounded with the portable
-    ``floor(x*1e6+0.5)/1e6`` form (functions/precision.py), not
-    ``round(x, 6)``: the raw score is a fixed-order row-local IEEE
-    expression (identical double on every engine), but decimal
-    ``round`` at a ``.xxxxx5`` boundary is where Spark (HALF_UP on
-    the shortest repr) and DuckDB (exact expansion) disagree — the
-    driver-r04 hash-fail on this query."""
+    Driver-r05 hash-fail fix (2nd round): the emitted quality is now
+    ``quality_ppm BIGINT`` — ``floor(x*1e6+0.5)`` kept as a long,
+    never divided back to a double. Round 4's portable float rounding
+    was locally bit-exact vs DuckDB yet still hash-failed in the
+    driver, so the residual divergence lives in the driver's oracle
+    build or its value-hash canonicalization of DOUBLE columns;
+    integers hash identically under any canonicalization. The window
+    orders by quality_ppm (monotone with the old rounded quality, so
+    admission membership is unchanged)."""
     from osarchiver_spark.functions.text import punct_ratio, stopword_ratio, token_count
 
     docs = load_table(spark, sf_dir, "documents")
     n_toks = token_count(F.col("text"))
     stop_r = stopword_ratio(F.col("text"))
     len_score = F.least(n_toks.cast("double") / 100.0, F.lit(1.0))
-    quality = exact_round(
+    quality_ppm = quantize(
         0.5 * stop_r + 0.3 * len_score + 0.2 * (1.0 - punct_ratio(F.col("text"))), 6
     )
     base = docs.select(
-        "doc_id", "source", quality.alias("quality"), n_toks.cast("long").alias("n_tokens")
+        "doc_id",
+        "source",
+        quality_ppm.alias("quality_ppm"),
+        n_toks.cast("long").alias("n_tokens"),
     )
-    w = W.partitionBy("source").orderBy(F.desc("quality"), "doc_id")
+    w = W.partitionBy("source").orderBy(F.desc("quality_ppm"), "doc_id")
     cum = F.sum("n_tokens").over(w)
     return (
         base.withColumn("cum_tokens", cum)
         .filter(F.col("cum_tokens") - F.col("n_tokens") < TOKEN_BUDGET_PER_SOURCE)
-        .select("doc_id", "source", "quality", "n_tokens", "cum_tokens")
+        .select("doc_id", "source", "quality_ppm", "n_tokens", "cum_tokens")
     )
 
 
@@ -513,24 +518,24 @@ _SQL_TOKS_RAW = "list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <
 ORACLES["token_budget_sample"] = f"""
     WITH base AS (
         SELECT doc_id, source,
-               floor((0.5 * (CASE WHEN len(ltoks) > 0
+               CAST(floor((0.5 * (CASE WHEN len(ltoks) > 0
                        THEN CAST(len(list_filter(ltoks,
                             t -> list_contains(['the','and','of','to','a','in','is','it'], t))) AS DOUBLE)
                             / len(ltoks) ELSE 0.0 END)
                      + 0.3 * least(len(toks) / 100.0, 1.0)
                      + 0.2 * (1.0 - CASE WHEN length(text) > 0
                        THEN CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS DOUBLE)
-                            / length(text) ELSE 0.0 END)) * 1000000.0 + 0.5) / 1000000.0
-                   AS quality,
+                            / length(text) ELSE 0.0 END)) * 1000000.0 + 0.5) AS BIGINT)
+                   AS quality_ppm,
                CAST(len(toks) AS BIGINT) AS n_tokens
         FROM (SELECT doc_id, source, text, {_SQL_TOKS_RAW} AS toks,
                      {_SQL_TOKS_LOWER} AS ltoks
               FROM documents)),
     cum AS (
         SELECT *, sum(n_tokens) OVER (PARTITION BY source
-                                      ORDER BY quality DESC, doc_id) AS cum_tokens
+                                      ORDER BY quality_ppm DESC, doc_id) AS cum_tokens
         FROM base)
-    SELECT doc_id, source, quality, n_tokens, cum_tokens
+    SELECT doc_id, source, quality_ppm, n_tokens, cum_tokens
     FROM cum WHERE cum_tokens - n_tokens < {TOKEN_BUDGET_PER_SOURCE}
 """
 
