@@ -50,6 +50,22 @@ def quantize(col: Column, ndigits: int) -> Column:
     return F.floor(col * F.lit(scale) + F.lit(0.5)).cast("long")
 
 
+def cent_sum(col: Column) -> Column:
+    """Exact SUM of a 2-decimal (cents-valued) double column: quantize
+    each row to bigint cents (exact — the fixture's ``value`` is
+    generated at 2 dp, so floor(v*100+0.5) recovers the integer cents
+    with zero error), sum the integers (order-proof), divide once by
+    100.0 (one IEEE op on the identical integer in every engine).
+    Replaces ``round(sum(double), 4)``, which sums doubles in an
+    engine/partitioning-dependent order before rounding."""
+    return F.sum(quantize(col, 2)) / F.lit(100.0)
+
+
+def sql_cent_sum(expr: str) -> str:
+    """DuckDB twin of :func:`cent_sum` (aggregate form)."""
+    return f"(sum(CAST(floor(({expr}) * 100.0 + 0.5) AS BIGINT)) / 100.0)"
+
+
 def sql_exact_round(expr: str, ndigits: int) -> str:
     """DuckDB twin of :func:`exact_round` for oracle SQL strings."""
     scale = float(10**ndigits)

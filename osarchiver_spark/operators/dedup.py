@@ -191,6 +191,122 @@ def minhash_lsh_incremental(
     )
 
 
+def minhash_lsh_index(
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    num_hashes: int = 12,
+    bands: int = 4,
+    hash_fn: str = "md5",
+    num_files: int | None = None,
+) -> DataFrame:
+    """The PERSISTED band index for incremental dedup: (corpus_id,
+    band_idx, band_key), range-partitioned and sorted by band_key so
+    each output parquet file / row group covers a narrow key range.
+
+    minhash_lsh_incremental recomputes the corpus signatures on EVERY
+    arriving batch — two linear passes over 100 TB per crawl drop.
+    Building this index once (and appending each accepted batch's
+    bands to it) turns the per-batch cost into a probe of the index:
+    with the band_key-sorted layout, parquet min/max statistics let a
+    pushed ``band_key IN (...)`` predicate skip the row groups that
+    contain none of the new batch's keys — the scan reads only the
+    slivers of the index near the probe keys (measured in
+    tests/test_scale_layout.py, not asserted).
+    """
+    rows = num_hashes // bands
+    sig = _with_shingles(corpus, id_col, text_col, shingle_n).select(
+        "doc_id", minhash_signature(F.col("shingles"), num_hashes, hash_fn).alias("sig")
+    )
+    keyed = sig.select(
+        F.col("doc_id").alias("corpus_id"),
+        F.posexplode(lsh_band_keys(F.col("sig"), bands, rows)).alias(
+            "band_idx", "band_key"
+        ),
+    )
+    parted = (
+        keyed.repartitionByRange(num_files, "band_key")
+        if num_files
+        else keyed.repartitionByRange("band_key")
+    )
+    return parted.sortWithinPartitions("band_key")
+
+
+# An IN-list larger than this stops helping: parquet predicate
+# evaluation over huge key sets costs more than the skipped IO, and
+# the broadcast hash join filters exactly anyway. At cluster scale a
+# crawl drop's distinct band keys exceed this and the probe falls
+# back to the plain broadcast join (plus Spark's runtime row-level
+# bloom filtering where enabled).
+PROBE_PUSHDOWN_MAX_KEYS = 8192
+
+
+def minhash_lsh_incremental_indexed(
+    index: DataFrame,
+    corpus: DataFrame,
+    new: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    num_hashes: int = 12,
+    bands: int = 4,
+    threshold: float = 0.5,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Incremental arrival-vs-corpus check against a PRE-BUILT band
+    index (minhash_lsh_index) instead of re-sketching the corpus:
+    the new batch is banded and broadcast; the index scan carries a
+    pushed band_key IN (...) predicate (when the batch's distinct
+    keys are few enough to be worth it) so the sorted index's row
+    groups prune by min/max stats; only the candidate corpus docs are
+    re-shingled for the exact-Jaccard verify. Result is identical to
+    minhash_lsh_incremental — same candidates, same verify — with the
+    corpus-wide sketch pass replaced by an indexed lookup.
+    """
+    sh_new = transient(_with_shingles(new, id_col, text_col, shingle_n))
+    rows = num_hashes // bands
+    nb = (
+        sh_new.select(
+            "doc_id",
+            minhash_signature(F.col("shingles"), num_hashes, hash_fn).alias("sig"),
+        )
+        .select(
+            F.col("doc_id").alias("new_id"),
+            F.posexplode(lsh_band_keys(F.col("sig"), bands, rows)).alias(
+                "band_idx", "band_key"
+            ),
+        )
+    )
+    keys = [
+        r[0]
+        for r in nb.select("band_key")
+        .distinct()
+        .limit(PROBE_PUSHDOWN_MAX_KEYS + 1)
+        .collect()
+    ]
+    probe_src = index
+    if len(keys) <= PROBE_PUSHDOWN_MAX_KEYS:
+        probe_src = index.filter(F.col("band_key").isin(keys))
+    cand = (
+        probe_src.join(F.broadcast(nb), ["band_idx", "band_key"])
+        .select("new_id", "corpus_id")
+        .distinct()
+    )
+    a = sh_new.select(F.col("doc_id").alias("new_id"), F.col("shingles").alias("sh_a"))
+    b = _with_shingles(corpus, id_col, text_col, shingle_n).select(
+        F.col("doc_id").alias("corpus_id"), F.col("shingles").alias("sh_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        cand.join(F.broadcast(a), "new_id")
+        .join(b, "corpus_id")
+        .select("new_id", "corpus_id", F.round(inter / union, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def _simhash_sketches(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(doc_id, simhash): one 16-bit sketch per document, computed as
     explode(tokens) → md5-prefix mask → groupBy(doc_id) vote sums.

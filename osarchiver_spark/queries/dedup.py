@@ -83,6 +83,38 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_incremental_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The indexed variant of dedup_incremental: the corpus's band
+    index is BUILT ONCE, persisted band_key-sorted, and the new batch
+    probes it with a pushed band_key IN (...) predicate (row groups
+    prune by parquet min/max on the sorted layout — measured in
+    tests/test_scale_layout.py). Exercises the real persisted path:
+    write to a temp dir, read back, probe. Same semantics — and the
+    same oracle — as dedup_incremental: at 100 TB this replaces the
+    per-batch corpus re-sketch with an indexed lookup."""
+    import tempfile
+
+    from osarchiver_spark.operators.dedup import (
+        minhash_lsh_incremental_indexed,
+        minhash_lsh_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 10 == 3)
+    corpus = docs.filter(F.col("doc_id") % 10 != 3)
+    idx_dir = tempfile.mkdtemp(prefix="lsh_index_")
+    minhash_lsh_index(
+        corpus, "doc_id", "text",
+        shingle_n=3, num_hashes=NUM_HASHES, bands=BANDS, num_files=8,
+    ).write.mode("overwrite").parquet(idx_dir)
+    index = spark.read.parquet(idx_dir)
+    return minhash_lsh_incremental_indexed(
+        index, corpus, new, "doc_id", "text",
+        shingle_n=3, num_hashes=NUM_HASHES, bands=BANDS,
+        threshold=MINHASH_THRESHOLD,
+    )
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return simhash_candidates(docs, "doc_id", "text")
@@ -343,6 +375,7 @@ QUERIES = {
     "dedup_clusters": q_dedup_clusters,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_incremental": q_dedup_incremental,
+    "dedup_incremental_indexed": q_dedup_incremental_indexed,
     "dedup_minhash_xxhash64": q_dedup_minhash_xxhash64,
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_multiprobe": q_dedup_simhash_multiprobe,
@@ -740,3 +773,7 @@ def _lsh_eval_oracle() -> str:
 
 
 ORACLES["dedup_lsh_eval"] = _lsh_eval_oracle()
+
+# The indexed probe must return EXACTLY what the recompute-everything
+# probe returns — both adjudicate against the identical SQL.
+ORACLES["dedup_incremental_indexed"] = ORACLES["dedup_incremental"]

@@ -8,6 +8,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from osarchiver_spark.functions.precision import exact_round, quantize
 from osarchiver_spark.operators.lr import (
     ITERATIONS,
     LEARNING_RATE,
@@ -128,15 +129,22 @@ def q_lr_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, (b, w1, w2) = lr_train(docs)
     feats = lr_features(docs)
     z = F.lit(b) + F.lit(w1) * F.col("x1") + F.lit(w2) * F.col("x2")
-    p = F.round(_sigmoid(z), 6)
-    bucket = F.least(F.floor(p * 10), F.lit(9)).cast("int")
+    # p is held as integer ppm through the aggregation: avg(double)
+    # is an accumulation-order-sensitive sum, so the mean is taken
+    # over exact bigint ppm and rescaled with one fixed-order IEEE
+    # expression (the psi_drift discipline).
+    p_ppm = quantize(_sigmoid(z), 6)
+    bucket = F.least(F.floor(F.col("p_ppm") / F.lit(100000.0)), F.lit(9)).cast("int")
     return (
-        feats.select("y", p.alias("p"), bucket.alias("bucket"))
+        feats.select("y", p_ppm.alias("p_ppm"))
+        .withColumn("bucket", bucket)
         .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.avg("p"), 6).alias("mean_p"),
-            F.round(F.sum("y") / F.count(F.lit(1)), 6).alias("frac_pos"),
+            exact_round(
+                F.sum("p_ppm") / (F.count(F.lit(1)) * F.lit(1000000.0)), 6
+            ).alias("mean_p"),
+            exact_round(F.sum("y") / F.count(F.lit(1)), 6).alias("frac_pos"),
         )
     )
 
@@ -227,8 +235,8 @@ def q_labeling_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(lf).alias("lf"),
             F.sum(active.cast("long")).alias("n_active"),
             F.sum(F.when(active, correct).otherwise(0)).alias("n_correct"),
-            F.round(F.sum(active.cast("long")) / n_docs, 6).alias("coverage"),
-            F.round(
+            exact_round(F.sum(active.cast("long")) / n_docs, 6).alias("coverage"),
+            exact_round(
                 F.sum(F.when(active, correct).otherwise(0))
                 / F.sum(active.cast("long")),
                 6,
@@ -272,10 +280,10 @@ def q_lf_majority_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(active.cast("long")).alias("n_voted"),
         F.sum(correct).alias("n_correct"),
-        F.round(F.sum(active.cast("long")) / F.count(F.lit(1)), 6).alias("coverage"),
+        exact_round(F.sum(active.cast("long")) / F.count(F.lit(1)), 6).alias("coverage"),
         F.when(
             F.sum(active.cast("long")) > 0,
-            F.round(F.sum(correct) / F.sum(active.cast("long")), 6),
+            exact_round(F.sum(correct) / F.sum(active.cast("long")), 6),
         ).otherwise(0.0).alias("accuracy"),
     )
 
@@ -452,13 +460,17 @@ ORACLES["lr_calibration"] = f"""
     WITH {_lr_ctes()},
     scored AS (
         SELECT f.y,
-               round(1 / (1 + exp(-(w.b + w.w1 * f.x1 + w.w2 * f.x2))), 6) AS p
+               CAST(floor(1 / (1 + exp(-(w.b + w.w1 * f.x1 + w.w2 * f.x2)))
+                          * 1000000.0 + 0.5) AS BIGINT) AS p_ppm
         FROM feat f, w{ITERATIONS} w),
     bucketed AS (
-        SELECT y, p, CAST(least(floor(p * 10), 9) AS INT) AS bucket FROM scored)
+        SELECT y, p_ppm,
+               CAST(least(floor(p_ppm / 100000.0), 9) AS INT) AS bucket
+        FROM scored)
     SELECT bucket, count(*) AS n,
-           round(avg(p), 6) AS mean_p,
-           round(sum(y) / count(*), 6) AS frac_pos
+           floor(sum(p_ppm) / (count(*) * 1000000.0) * 1000000.0 + 0.5)
+               / 1000000.0 AS mean_p,
+           floor(sum(y) / count(*) * 1000000.0 + 0.5) / 1000000.0 AS frac_pos
     FROM bucketed GROUP BY bucket
 """
 
@@ -626,9 +638,9 @@ def _lf_oracle() -> str:
         f"""SELECT '{name}' AS lf,
                CAST(sum(CASE WHEN {expr} IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_active,
                CAST(sum(CASE WHEN {expr} = y THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
-               round(sum(CASE WHEN {expr} IS NOT NULL THEN 1 ELSE 0 END) / count(*), 6) AS coverage,
-               round(sum(CASE WHEN {expr} = y THEN 1 ELSE 0 END)
-                     / sum(CASE WHEN {expr} IS NOT NULL THEN 1 ELSE 0 END), 6) AS accuracy
+               floor(sum(CASE WHEN {expr} IS NOT NULL THEN 1 ELSE 0 END) / count(*) * 1000000.0 + 0.5) / 1000000.0 AS coverage,
+               floor(sum(CASE WHEN {expr} = y THEN 1 ELSE 0 END)
+                     / sum(CASE WHEN {expr} IS NOT NULL THEN 1 ELSE 0 END) * 1000000.0 + 0.5) / 1000000.0 AS accuracy
         FROM lf_base"""
         for name, expr in lf_defs.items()
     )
@@ -697,10 +709,10 @@ def _lf_vote_oracle() -> str:
         SELECT source, count(*) AS n,
                CAST(sum(CASE WHEN vote IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_voted,
                CAST(sum(CASE WHEN vote = y THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
-               round(sum(CASE WHEN vote IS NOT NULL THEN 1 ELSE 0 END) / count(*), 6) AS coverage,
+               floor(sum(CASE WHEN vote IS NOT NULL THEN 1 ELSE 0 END) / count(*) * 1000000.0 + 0.5) / 1000000.0 AS coverage,
                CASE WHEN sum(CASE WHEN vote IS NOT NULL THEN 1 ELSE 0 END) > 0
-                    THEN round(sum(CASE WHEN vote = y THEN 1 ELSE 0 END)
-                               / sum(CASE WHEN vote IS NOT NULL THEN 1 ELSE 0 END), 6)
+                    THEN floor(sum(CASE WHEN vote = y THEN 1 ELSE 0 END)
+                               / sum(CASE WHEN vote IS NOT NULL THEN 1 ELSE 0 END) * 1000000.0 + 0.5) / 1000000.0
                     ELSE 0.0 END AS accuracy
         FROM voted GROUP BY source
     """

@@ -268,7 +268,7 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_eval_tokens"),
         F.sum(oov.cast("long")).alias("n_oov"),
-        F.round(F.sum(oov.cast("long")) / F.count(F.lit(1)), 6).alias("oov_rate"),
+        exact_round(F.sum(oov.cast("long")) / F.count(F.lit(1)), 6).alias("oov_rate"),
         F.count_distinct(F.when(oov, F.col("token"))).alias("n_unique_oov"),
     )
 
@@ -507,7 +507,7 @@ ORACLES["vocab_coverage"] = f"""
     SELECT source,
            count(*) AS n_eval_tokens,
            CAST(count(*) FILTER (NOT seen) AS BIGINT) AS n_oov,
-           round(count(*) FILTER (NOT seen) / count(*), 6) AS oov_rate,
+           floor(count(*) FILTER (NOT seen) / count(*) * 1000000.0 + 0.5) / 1000000.0 AS oov_rate,
            count(DISTINCT CASE WHEN NOT seen THEN token END) AS n_unique_oov
     FROM ev GROUP BY source
 """

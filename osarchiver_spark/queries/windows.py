@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from osarchiver_spark.functions.precision import cent_sum, exact_round, quantize
 from osarchiver_spark.sources.parquet import load_table
 
 
@@ -36,7 +37,7 @@ def q_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "user_id",
         "event_id",
-        F.round(F.sum("value").over(w), 4).alias("running_value"),
+        (F.sum(quantize(F.col("value"), 2)).over(w) / F.lit(100.0)).alias("running_value"),
     )
 
 
@@ -81,7 +82,7 @@ def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
-        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .agg(F.count("*").alias("n_events"), cent_sum(F.col("value")).alias("sum_value"))
         .select(
             "user_id",
             F.col("sw.start").alias("session_start"),
@@ -100,7 +101,7 @@ def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket = F.timestamp_micros((F.floor(F.unix_micros("ts") / 3_600_000_000) * 3_600_000_000).cast("long"))
     return (
         ev.groupBy(bucket.alias("window_start"), "event_type")
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .agg(F.count("*").alias("n"), cent_sum(F.col("value")).alias("sum_value"))
     )
 
 
@@ -115,7 +116,7 @@ def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.withColumn("window_start_us", F.explode(starts))
         .groupBy(F.timestamp_micros(F.col("window_start_us")).alias("window_start"), "event_type")
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .agg(F.count("*").alias("n"), cent_sum(F.col("value")).alias("sum_value"))
     )
 
 
@@ -156,7 +157,7 @@ def q_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "user_id",
         "event_id",
-        F.round(F.sum("value").over(w), 4).alias("trailing_1h_value"),
+        (F.sum(quantize(F.col("value"), 2)).over(w) / F.lit(100.0)).alias("trailing_1h_value"),
     )
 
 
@@ -319,7 +320,7 @@ def q_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     hourly = (
         ev.select(F.col("event_type"), hour.alias("h"), F.col("value"))
         .groupBy("event_type", "h")
-        .agg(F.round(F.sum("value"), 4).alias("v_raw"))
+        .agg(cent_sum(F.col("value")).alias("v_raw"))
     )
     bounds = hourly.groupBy("event_type").agg(
         F.min("h").alias("h0"), F.max("h").alias("h1")
@@ -344,19 +345,30 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     observation is held until the user's next event, so its weight is
     that holding interval in microseconds (the last observation gets
     zero weight — the standard left-closed convention). One lead()
-    window per user plus a re-agg; weights are exact integer epoch
-    diffs so both engines sum identically."""
+    window per user plus a re-agg.
+
+    Determinism: the numerator is an EXACT integer sum — value is
+    2-dp cents, so cents*w_us is an exact integer per row, summed as
+    DECIMAL(38,0) (hugeint in the oracle; cent-microseconds overflow
+    int64 past ~9e18, i.e. a high-value user observed for years).
+    The old sum(value*w_us) summed ~1e17-magnitude doubles in an
+    engine/partition-dependent order before the 6-dp round. The final
+    ratio is one fixed-order IEEE expression over the exact sums."""
     ev = load_table(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     nxt = F.lead("ts").over(w)
     held_us = F.unix_micros(nxt) - F.unix_micros(F.col("ts"))
     weighted = ev.select(
-        "user_id", "value", held_us.alias("w_us")
+        "user_id", quantize(F.col("value"), 2).alias("cents"), held_us.alias("w_us")
     ).filter(F.col("w_us").isNotNull())
+    num = F.sum(F.col("cents").cast("decimal(38,0)") * F.col("w_us"))
+    den = F.sum("w_us")
     return weighted.groupBy("user_id").agg(
         F.count("*").alias("n_intervals"),
-        F.sum("w_us").alias("observed_us"),
-        F.round(F.sum(F.col("value") * F.col("w_us")) / F.sum("w_us"), 6).alias("twap"),
+        den.alias("observed_us"),
+        exact_round(
+            num.cast("double") / (den.cast("double") * F.lit(100.0)), 6
+        ).alias("twap"),
     )
 
 
@@ -391,7 +403,7 @@ ORACLES = {
     "gapfill_hourly": """
         WITH hourly AS (
             SELECT event_type, date_trunc('hour', ts) AS h,
-                   round(sum(value), 4) AS v_raw
+                   sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) / 100.0 AS v_raw
             FROM events GROUP BY 1, 2),
         b AS (SELECT event_type, min(h) AS h0, max(h) AS h1 FROM hourly GROUP BY 1),
         grid AS (
@@ -414,7 +426,8 @@ ORACLES = {
     """,
     "time_weighted_avg": """
         WITH s AS (
-            SELECT user_id, value,
+            SELECT user_id,
+                   CAST(floor(value * 100.0 + 0.5) AS HUGEINT) AS cents,
                    epoch_us(lead(ts) OVER (PARTITION BY user_id
                                            ORDER BY ts, event_id))
                        - epoch_us(ts) AS w_us
@@ -422,7 +435,9 @@ ORACLES = {
         SELECT user_id,
                count(*) AS n_intervals,
                CAST(sum(w_us) AS BIGINT) AS observed_us,
-               round(sum(value * w_us) / sum(w_us), 6) AS twap
+               floor(CAST(sum(cents * w_us) AS DOUBLE)
+                     / (CAST(sum(w_us) AS DOUBLE) * 100.0)
+                     * 1000000.0 + 0.5) / 1000000.0 AS twap
         FROM s WHERE w_us IS NOT NULL
         GROUP BY user_id
     """,
@@ -499,19 +514,19 @@ ORACLES = {
                    event_type, value
             FROM events)
         SELECT make_timestamp(window_start_us) AS window_start, event_type,
-               count(*) AS n, round(sum(value), 4) AS sum_value
+               count(*) AS n, sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) / 100.0 AS sum_value
         FROM expanded GROUP BY 1, 2
     """,
     "streaming_tumbling": """
         SELECT make_timestamp(CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) * 3600000000)
                    AS window_start,
-               event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+               event_type, count(*) AS n, sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) / 100.0 AS sum_value
         FROM events GROUP BY 1, 2
     """,
     "streaming_static_enrich": """
         SELECT make_timestamp(CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) * 3600000000)
                    AS window_start,
-               n_name AS nation, count(*) AS n, round(sum(value), 4) AS sum_value
+               n_name AS nation, count(*) AS n, sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) / 100.0 AS sum_value
         FROM events
         JOIN customer ON user_id = c_custkey
         JOIN nation ON c_nationkey = n_nationkey
@@ -520,7 +535,7 @@ ORACLES = {
     "streaming_incremental_rollup": """
         SELECT make_timestamp(CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) * 3600000000)
                    AS window_start,
-               event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+               event_type, count(*) AS n, sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) / 100.0 AS sum_value
         FROM events GROUP BY 1, 2
     """,
     "latest_event_per_user": """
@@ -531,9 +546,9 @@ ORACLES = {
     """,
     "running_sum": """
         SELECT user_id, event_id,
-               round(sum(value) OVER (
+               sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) OVER (
                    PARTITION BY user_id ORDER BY ts, event_id
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100.0
                    AS running_value
         FROM events
     """,
@@ -564,7 +579,7 @@ ORACLES = {
                min(ts) AS session_start,
                max(ts) + INTERVAL 30 MINUTE AS session_end,
                count(*) AS n_events,
-               round(sum(value), 4) AS sum_value
+               sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) / 100.0 AS sum_value
         FROM sessions GROUP BY user_id, session_id
     """,
     "sessionize": """
@@ -593,7 +608,7 @@ ORACLES = {
     "tumbling_window": """
         SELECT make_timestamp(CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) * 3600000000)
                    AS window_start,
-               event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+               event_type, count(*) AS n, sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) / 100.0 AS sum_value
         FROM events GROUP BY 1, 2
     """,
     "sliding_window": """
@@ -605,7 +620,7 @@ ORACLES = {
                    event_type, value
             FROM events)
         SELECT make_timestamp(window_start_us) AS window_start, event_type,
-               count(*) AS n, round(sum(value), 4) AS sum_value
+               count(*) AS n, sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) / 100.0 AS sum_value
         FROM expanded GROUP BY 1, 2
     """,
     "topk_per_group": """
@@ -617,9 +632,9 @@ ORACLES = {
     """,
     "range_frame": """
         SELECT user_id, event_id,
-               round(sum(value) OVER (
+               sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) OVER (
                    PARTITION BY user_id ORDER BY epoch_us(ts)
-                   RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW), 4)
+                   RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) / 100.0
                    AS trailing_1h_value
         FROM events
     """,

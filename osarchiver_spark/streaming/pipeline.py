@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from osarchiver_spark.functions.precision import cent_sum
 from osarchiver_spark.sources.parquet import table_path
 
 
@@ -106,7 +107,7 @@ def streaming_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         events_stream(spark, sf_dir)
         .withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 hour"), "event_type")
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .agg(F.count("*").alias("n"), cent_sum(F.col("value")).alias("sum_value"))
     )
     return drain_stream_to_parquet(agg, "complete", "stream_out").select(
         F.col("window.start").alias("window_start"), "event_type", "n", "sum_value"
@@ -122,7 +123,7 @@ def streaming_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         events_stream(spark, sf_dir)
         .withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 hour", "30 minutes"), "event_type")
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .agg(F.count("*").alias("n"), cent_sum(F.col("value")).alias("sum_value"))
     )
     return drain_stream_to_parquet(agg, "complete", "stream_slide").select(
         F.col("window.start").alias("window_start"), "event_type", "n", "sum_value"
@@ -144,7 +145,7 @@ def streaming_session_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         events_stream(spark, sf_dir)
         .withWatermark("ts", "1 hour")
         .groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
-        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .agg(F.count("*").alias("n_events"), cent_sum(F.col("value")).alias("sum_value"))
     )
     return drain_stream_to_parquet(agg, "complete", "stream_sess").select(
         "user_id",
@@ -180,7 +181,7 @@ def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withWatermark("ts", "1 hour")
         .join(F.broadcast(dim), "user_id")
         .groupBy(F.window("ts", "1 hour"), "nation")
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .agg(F.count("*").alias("n"), cent_sum(F.col("value")).alias("sum_value"))
     )
     return drain_stream_to_parquet(agg, "complete", "stream_enrich").select(
         F.col("window.start").alias("window_start"), "nation", "n", "sum_value"
@@ -365,7 +366,7 @@ def incremental_stream_rollup(
         .load(landing_dir)
         .withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 hour"), "event_type")
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .agg(F.count("*").alias("n"), cent_sum(F.col("value")).alias("sum_value"))
     )
 
     def write_batch(batch_df: DataFrame, _epoch_id: int) -> None:

@@ -242,7 +242,7 @@ def test_psi_drift_constant_valued_type_is_defined(spark, tmp_path):
 
     out = {r["event_type"]: r.asDict() for r in q_psi_drift(spark, str(tmp_path)).collect()}
     assert out["const"]["n_bins"] == 1
-    assert out["const"]["psi"] == 0.0
+    assert out["const"]["psi_micro"] == 0
 
     con = duckdb.connect()
     try:
@@ -253,8 +253,8 @@ def test_psi_drift_constant_valued_type_is_defined(spark, tmp_path):
     finally:
         con.close()
     assert oracle["const"][3] == out["const"]["n_bins"]
-    assert oracle["const"][4] == out["const"]["psi"]
-    assert oracle["vary"][4] == out["vary"]["psi"]
+    assert oracle["const"][4] == out["const"]["psi_micro"]
+    assert oracle["vary"][4] == out["vary"]["psi_micro"]
 
 
 def _events_fixture(spark, tmp_path, rows):

@@ -113,3 +113,102 @@ def test_zorder_layout_narrows_both_dims(spark, sf_medium):
     # every file-to-be covers a fraction of both global ranges
     assert cust_w < 0.7 * g_cust
     assert day_w < 0.7 * g_days
+
+
+def _rowgroup_minmax(path: str, column: str) -> list[tuple]:
+    """(min, max) per parquet row group under ``path`` — read straight
+    from the footers, the same statistics a scan's predicate pushdown
+    evaluates."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    out = []
+    for f in glob.glob(os.path.join(path, "*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        names = [md.schema.column(i).name for i in range(md.num_columns)]
+        ci = names.index(column)
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(ci).statistics
+            assert st is not None and st.has_min_max
+            out.append((st.min, st.max))
+    return out
+
+
+def test_lsh_index_probe_skips_rowgroups(spark, sf_small, tmp_path):
+    """MEASURED file skipping on the persisted LSH band index: with
+    the index range-partitioned and sorted by band_key, one arriving
+    document's band keys overlap only a few row groups' [min, max]
+    ranges — the probe scan reads slivers, not the index. Also pins
+    that Spark actually pushes the IN predicate to the scan."""
+    from osarchiver_spark.operators.dedup import minhash_lsh_index
+
+    docs = load_table(spark, sf_small, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 3)
+    idx_dir = str(tmp_path / "lsh_index")
+    minhash_lsh_index(
+        corpus, "doc_id", "text", shingle_n=3, num_hashes=12, bands=4, num_files=32
+    ).write.mode("overwrite").parquet(idx_dir)
+
+    index = spark.read.parquet(idx_dir)
+    # one arriving doc = 4 band keys (the per-document probe cost)
+    keys = [
+        r.band_key
+        for r in index.select("band_key").distinct().orderBy("band_key").limit(4).collect()
+    ]
+    probed = index.filter(F.col("band_key").isin(keys))
+    plan = _explain(probed)
+    assert "PushedFilters" in plan and "band_key" in plan
+
+    ranges = _rowgroup_minmax(idx_dir, "band_key")
+    assert len(ranges) >= 16, "need a multi-row-group layout to measure skipping"
+    hit = sum(1 for lo, hi in ranges if any(lo <= k <= hi for k in keys))
+    skip_frac = 1 - hit / len(ranges)
+    # sorted layout: 4 keys can overlap at most ~4 ranges (plus range
+    # boundaries); an unsorted layout would overlap nearly all of them
+    assert skip_frac >= 0.7, f"only {skip_frac:.0%} of row groups skippable"
+    # correctness: the pruned probe returns exactly the keyed rows
+    assert probed.count() == index.filter(F.col("band_key").isin(keys)).count()
+
+
+def test_restore_lookup_skips_rowgroups(spark, sf_small, tmp_path):
+    """MEASURED min/max pruning on the archive restore path: an
+    archive written pk-sorted (repartitionByRange + sortWithinPartitions
+    — the layout ParquetArchiveSink users should choose for restore-
+    heavy archives) lets a pk-range restore lookup skip almost every
+    row group, where an unsorted archive's row groups all straddle
+    the probe range. Both layouts measured from the real footers."""
+    orders = load_table(spark, sf_small, "orders")
+    archived = retention_filter(orders, "o_orderdate", datetime(1998, 12, 1))
+
+    sorted_dir = str(tmp_path / "arch_sorted")
+    (
+        archived.repartitionByRange(16, "o_orderkey")
+        .sortWithinPartitions("o_orderkey")
+        .write.mode("overwrite").parquet(sorted_dir)
+    )
+    shuffled_dir = str(tmp_path / "arch_shuffled")
+    archived.repartition(16).write.mode("overwrite").parquet(shuffled_dir)
+
+    lo, hi = archived.agg(F.min("o_orderkey"), F.max("o_orderkey")).first()
+    span = hi - lo
+    a, b = lo + span // 2, lo + span // 2 + max(span // 100, 1)  # ~1% restore window
+
+    def skip_frac(path: str) -> float:
+        ranges = _rowgroup_minmax(path, "o_orderkey")
+        hit = sum(1 for mn, mx in ranges if not (mx < a or mn > b))
+        return 1 - hit / len(ranges)
+
+    s_sorted, s_shuffled = skip_frac(sorted_dir), skip_frac(shuffled_dir)
+    assert s_sorted >= 0.85, f"sorted archive skips only {s_sorted:.0%}"
+    assert s_shuffled <= 0.2, f"control: unsorted archive skipped {s_shuffled:.0%}"
+
+    # the restore scan pushes the range predicate down to those stats
+    restore = spark.read.parquet(sorted_dir).filter(
+        (F.col("o_orderkey") >= a) & (F.col("o_orderkey") <= b)
+    )
+    plan = _explain(restore)
+    assert "PushedFilters" in plan and "o_orderkey" in plan
+    want = archived.filter((F.col("o_orderkey") >= a) & (F.col("o_orderkey") <= b)).count()
+    assert restore.count() == want and want > 0
