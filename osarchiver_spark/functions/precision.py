@@ -66,6 +66,34 @@ def sql_cent_sum(expr: str) -> str:
     return f"(sum(CAST(floor(({expr}) * 100.0 + 0.5) AS BIGINT)) / 100.0)"
 
 
+def money_sum(col: Column, in_digits: int, out_digits: int) -> Column:
+    """Exact SUM of a fixed-decimal money expression: quantize each
+    row onto its INTRINSIC decimal grid (2 dp for a price, 4 dp for
+    price*(1-disc), 6 dp for price*(1-disc)*(1+tax) — exact, because
+    the fixture's money columns are generated at 2 dp), sum the
+    bigints (order-proof), then rescale to ``out_digits`` with pure
+    integer arithmetic and one final division. The replacement for
+    ``round(sum(money_double), out_digits)`` — the exact shape that
+    flipped Q9's cents boundary between engines at sf0.1 (288b3fa)."""
+    q = quantize(col, in_digits)
+    out_scale = float(10**out_digits)
+    if in_digits == out_digits:
+        return F.sum(q) / F.lit(out_scale)
+    div = 10 ** (in_digits - out_digits)
+    return F.floor((F.sum(q) + F.lit(div // 2)) / F.lit(div)) / F.lit(out_scale)
+
+
+def sql_money_sum(expr: str, in_digits: int, out_digits: int) -> str:
+    """DuckDB twin of :func:`money_sum`."""
+    in_scale = float(10**in_digits)
+    out_scale = float(10**out_digits)
+    q = f"CAST(floor(({expr}) * {in_scale} + 0.5) AS BIGINT)"
+    if in_digits == out_digits:
+        return f"(sum({q}) / {out_scale})"
+    div = 10 ** (in_digits - out_digits)
+    return f"(floor((sum({q}) + {div // 2}) / {div}) / {out_scale})"
+
+
 def sql_exact_round(expr: str, ndigits: int) -> str:
     """DuckDB twin of :func:`exact_round` for oracle SQL strings."""
     scale = float(10**ndigits)

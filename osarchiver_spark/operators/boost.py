@@ -27,6 +27,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from osarchiver_spark.functions.precision import exact_round
 from pyspark.sql import types as T
 
 BOOST_ROUNDS = 5
@@ -186,6 +188,6 @@ def adaboost_score_by_source(docs: DataFrame, model: list[Stump] | None = None) 
             F.sum((F.col("y") > 0).cast("long")).alias("n_pos"),
             F.sum((F.col("pred") > 0).cast("long")).alias("n_pred_pos"),
             F.sum(correct).alias("n_correct"),
-            F.round(F.sum(correct) / F.count(F.lit(1)), 6).alias("accuracy"),
+            exact_round(F.sum(correct) / F.count(F.lit(1)), 6).alias("accuracy"),
         )
     )

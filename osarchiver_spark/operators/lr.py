@@ -32,6 +32,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from osarchiver_spark.functions.precision import exact_round
 from pyspark.sql import types as T
 
 from osarchiver_spark.functions.text import stopword_ratio
@@ -136,5 +138,5 @@ def lr_score_by_source(
         F.sum("y").cast("long").alias("n_pos"),
         F.sum("pred").cast("long").alias("n_pred_pos"),
         F.sum((F.col("y") == F.col("pred")).cast("long")).alias("n_correct"),
-        F.round(F.sum((F.col("y") == F.col("pred")).cast("long")) / F.count(F.lit(1)), 6).alias("accuracy"),
+        exact_round(F.sum((F.col("y") == F.col("pred")).cast("long")) / F.count(F.lit(1)), 6).alias("accuracy"),
     )

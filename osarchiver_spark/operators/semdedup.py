@@ -42,6 +42,8 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
+
+from osarchiver_spark.functions.precision import quantize as quantize_grid
 from pyspark.sql import types as T
 
 from osarchiver_spark.functions.vectors import as_double
@@ -273,6 +275,14 @@ def semantic_cluster_profile(
         .groupBy("cid")
         .agg(
             F.count(F.lit(1)).alias("n_vecs"),
-            F.round(F.sum("d2"), 3).alias("inertia"),
+            # d2 is already on a 1e-6 grid (np.round above): quantize to
+            # bigint micro-units so the cluster sum is exact integer
+            # arithmetic, then rescale to the 3-dp output in integer
+            # space (the psi_drift discipline; a double sum here is
+            # accumulation-order-sensitive across engines).
+            (
+                F.floor((F.sum(quantize_grid(F.col("d2"), 6)) + F.lit(500)) / F.lit(1000))
+                / F.lit(1000.0)
+            ).alias("inertia"),
         )
     )

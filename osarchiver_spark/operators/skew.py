@@ -36,13 +36,20 @@ def salted_count_sum(
     (groupBy already does map-side partial aggregation; the explicit
     salt additionally splits the *reduce side* of one giant key.)
 
-    Returns (keys..., n, total) with total rounded to 4."""
+    Returns (keys..., n, total) at a fixed 4-decimal grid: values are
+    quantized to bigint 1e-4 units BEFORE the partial sums, so the
+    two-level (partial -> merge) aggregation is exact integer
+    arithmetic — a double sum's result would depend on how the salt
+    split the key (the exact nondeterminism this operator exists to
+    manage)."""
+    from osarchiver_spark.functions.precision import quantize
+
     salted = df.withColumn("_salt", _det_salt(df, salt_buckets))
     partial = salted.groupBy(*keys, "_salt").agg(
-        F.count("*").alias("_n"), F.sum(value_col).alias("_s")
+        F.count("*").alias("_n"), F.sum(quantize(F.col(value_col), 4)).alias("_s")
     )
     return partial.groupBy(*keys).agg(
-        F.sum("_n").alias("n"), F.round(F.sum("_s"), 4).alias("total")
+        F.sum("_n").alias("n"), (F.sum("_s") / F.lit(10000.0)).alias("total")
     )
 
 

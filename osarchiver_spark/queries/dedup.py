@@ -731,7 +731,9 @@ ORACLES["semantic_clusters"] = f"""
                        - 2 * list_dot_product(a.v, ct.c)
                        + list_dot_product(ct.c, ct.c), 6) AS d2
           FROM assigned a JOIN cents ct USING (cid))
-    SELECT cid, count(*) AS n_vecs, round(sum(d2), 3) AS inertia
+    SELECT cid, count(*) AS n_vecs,
+           floor((sum(CAST(floor(d2 * 1000000.0 + 0.5) AS BIGINT)) + 500) / 1000)
+               / 1000.0 AS inertia
     FROM d GROUP BY cid
 """
 

@@ -187,7 +187,7 @@ def q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type", F.to_date("ts").alias("day")
         ).agg(
             F.count("*").alias("n"),
-            F.sum("value").alias("sum_v"),
+            F.sum(quantize(F.col("value"), 2)).alias("sum_v"),
             F.min("value").alias("min_v"),
             F.max("value").alias("max_v"),
         )
@@ -208,7 +208,7 @@ def q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "day",
         "n",
-        F.round("sum_v", 4).alias("sum_value"),
+        (F.col("sum_v") / F.lit(100.0)).alias("sum_value"),
         F.round("min_v", 4).alias("min_value"),
         F.round("max_v", 4).alias("max_value"),
         # no derived avg column: avg = sum/n is recomputable by the
@@ -419,7 +419,10 @@ def q_time_rollup_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ELSE 'month' END AS granularity,
                coalesce(d, w, m) AS bucket,
                count(*) AS n,
-               round(sum(value), 4) AS sum_value
+               -- 100.0D: a bare 100.0 literal is DECIMAL in Spark SQL
+               -- (the DataFrame API's F.lit(100.0) is DOUBLE), and
+               -- BIGINT/DECIMAL division would yield DECIMAL output
+               (sum(CAST(floor(value * 100.0D + 0.5D) AS BIGINT)) / 100.0D) AS sum_value
         FROM _ev_time
         GROUP BY GROUPING SETS ((d), (w), (m))
         """
@@ -480,15 +483,15 @@ def q_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort; the fact-table pass is one hash agg."""
     orders = load_table(spark, sf_dir, "orders")
     per_cust = orders.groupBy("o_custkey").agg(
-        F.round(F.sum("o_totalprice"), 2).alias("revenue")
+        F.sum(quantize(F.col("o_totalprice"), 2)).alias("rev_c")
     )
-    w = W.orderBy(F.col("revenue").desc(), "o_custkey")
+    w = W.orderBy(F.col("rev_c").desc(), "o_custkey")
     return (
         per_cust.withColumn("decile", F.ntile(10).over(w))
         .groupBy("decile")
         .agg(
             F.count("*").alias("n_customers"),
-            F.round(F.sum("revenue"), 2).alias("decile_revenue"),
+            (F.sum("rev_c") / F.lit(100.0)).alias("decile_revenue"),
         )
     )
 
@@ -505,7 +508,7 @@ def q_hour_of_day_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").alias("n"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            (F.sum(quantize(F.col("value"), 2)) / F.lit(100.0)).alias("sum_value"),
         )
     )
 
@@ -573,7 +576,7 @@ def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return attributed.groupBy(F.col("asof_campaign").alias("campaign")).agg(
         F.count("*").alias("n_purchases"),
-        F.round(F.sum("value"), 4).alias("revenue"),
+        (F.sum(quantize(F.col("value"), 2)) / F.lit(100.0)).alias("revenue"),
     )
 
 
@@ -823,7 +826,7 @@ ORACLES = {
                          AND c.click_ts <= p.ts
                          AND p.ts <= c.click_ts + INTERVAL 7 DAY)
         SELECT campaign, count(*) AS n_purchases,
-               round(sum(value), 4) AS revenue
+               (sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) / 100.0) AS revenue
         FROM ranked WHERE rn = 1 GROUP BY 1
     """,
     "distinct_rollup_merge": """
@@ -891,20 +894,21 @@ ORACLES = {
     """,
     "revenue_pareto": """
         WITH per_cust AS (
-            SELECT o_custkey, round(sum(o_totalprice), 2) AS revenue
+            SELECT o_custkey,
+                   sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS rev_c
             FROM orders GROUP BY 1)
         SELECT decile, count(*) AS n_customers,
-               round(sum(revenue), 2) AS decile_revenue
+               (sum(rev_c) / 100.0) AS decile_revenue
         FROM (
-            SELECT revenue,
-                   ntile(10) OVER (ORDER BY revenue DESC, o_custkey) AS decile
+            SELECT rev_c,
+                   ntile(10) OVER (ORDER BY rev_c DESC, o_custkey) AS decile
             FROM per_cust)
         GROUP BY decile
     """,
     "hour_of_day_profile": """
         SELECT CAST(hour(ts) AS INT) AS hour_of_day, event_type,
                count(*) AS n,
-               round(sum(value), 4) AS sum_value
+               (sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) / 100.0) AS sum_value
         FROM events
         GROUP BY 1, 2
     """,
@@ -945,7 +949,7 @@ ORACLES = {
                     ELSE 'month' END AS granularity,
                coalesce(d, w, m) AS bucket,
                count(*) AS n,
-               round(sum(value), 4) AS sum_value
+               (sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) / 100.0) AS sum_value
         FROM t
         GROUP BY GROUPING SETS ((d), (w), (m))
     """,
@@ -1041,7 +1045,7 @@ ORACLES = {
     "incremental_rollup": """
         SELECT event_type, CAST(ts AS DATE) AS day,
                count(*) AS n,
-               round(sum(value), 4) AS sum_value,
+               (sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) / 100.0) AS sum_value,
                round(min(value), 4) AS min_value,
                round(max(value), 4) AS max_value
         FROM events

@@ -360,7 +360,7 @@ ORACLES = {
                CAST(sum(y) AS BIGINT) AS n_pos,
                CAST(sum(pred) AS BIGINT) AS n_pred_pos,
                CAST(sum(CASE WHEN y = pred THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
-               round(sum(CASE WHEN y = pred THEN 1 ELSE 0 END) / count(*), 6) AS accuracy
+               floor(sum(CASE WHEN y = pred THEN 1 ELSE 0 END) / count(*) * 1000000.0 + 0.5) / 1000000.0 AS accuracy
         FROM (
             SELECT f.source, f.y,
                    CASE WHEN round(1 / (1 + exp(-(w.b + w.w1 * f.x1 + w.w2 * f.x2))), 6) >= 0.5
@@ -621,7 +621,7 @@ ORACLES["adaboost_score"] = f"""
            CAST(sum(CASE WHEN y > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
            CAST(sum(CASE WHEN pred > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pred_pos,
            CAST(sum(CASE WHEN y = pred THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
-           round(sum(CASE WHEN y = pred THEN 1 ELSE 0 END) / count(*), 6) AS accuracy
+           floor(sum(CASE WHEN y = pred THEN 1 ELSE 0 END) / count(*) * 1000000.0 + 0.5) / 1000000.0 AS accuracy
     FROM preds GROUP BY source
 """
 

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from osarchiver_spark.functions.precision import exact_round, money_sum, quantize
 from osarchiver_spark.sources.parquet import load_table
 
 
@@ -23,15 +24,19 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 2
+            F.sum(quantize(F.col("l_quantity"), 0)).cast("double").alias("sum_qty"),
+            money_sum(F.col("l_extendedprice"), 2, 2).alias("sum_base_price"),
+            money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4, 2).alias("sum_disc_price"),
+            money_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")), 6, 2
             ).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            exact_round(F.sum(quantize(F.col("l_quantity"), 0)) / F.count(F.lit(1)), 4).alias("avg_qty"),
+            exact_round(
+                F.sum(quantize(F.col("l_extendedprice"), 2)) / (F.count(F.lit(1)) * F.lit(100.0)), 4
+            ).alias("avg_price"),
+            exact_round(
+                F.sum(quantize(F.col("l_discount"), 2)) / (F.count(F.lit(1)) * F.lit(100.0)), 4
+            ).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
     )
@@ -49,7 +54,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
         .filter((F.col("o_orderdate") < F.lit("1998-03-15")) & (F.col("l_shipdate") > F.lit("1998-03-15")))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4, 2).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
         .limit(10)
     )
@@ -73,7 +78,7 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(supp, (F.col("s_suppkey") == F.col("l_suppkey")) & (F.col("s_nationkey") == F.col("c_nationkey")))
         .filter((F.col("o_orderdate") >= F.lit("1996-01-01")) & (F.col("o_orderdate") < F.lit("1997-01-01")))
         .groupBy("n_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4, 2).alias("revenue"))
     )
 
 
@@ -101,7 +106,7 @@ def q_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey", "c_name")
         .agg(
             F.count("o_orderkey").alias("n_orders"),
-            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_spent"),
+            (F.coalesce(F.sum(quantize(F.col("o_totalprice"), 2)), F.lit(0)) / F.lit(100.0)).alias("total_spent"),
         )
     )
 
@@ -120,7 +125,12 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         orders.join(bands, (orders.o_totalprice >= bands.lo) & (orders.o_totalprice < bands.hi))
         .groupBy("band")
-        .agg(F.count("*").alias("n_orders"), F.round(F.avg("o_totalprice"), 2).alias("avg_price"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            exact_round(
+                F.sum(quantize(F.col("o_totalprice"), 2)) / (F.count(F.lit(1)) * F.lit(100.0)), 2
+            ).alias("avg_price"),
+        )
     )
 
 
@@ -130,7 +140,7 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.rollup("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.sum(quantize(F.col("l_quantity"), 0)).cast("double").alias("sum_qty"),
             F.count("*").alias("n"),
             F.grouping_id().alias("gid"),
         )
@@ -142,7 +152,7 @@ def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.cube("l_returnflag", "l_linestatus")
-        .agg(F.round(F.sum("l_extendedprice"), 2).alias("sum_price"), F.grouping_id().alias("gid"))
+        .agg(money_sum(F.col("l_extendedprice"), 2, 2).alias("sum_price"), F.grouping_id().alias("gid"))
     )
 
 
@@ -162,8 +172,10 @@ def q_pivot_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
     explicit values."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.round(F.sum(F.when(F.col("l_linestatus") == "O", F.col("l_quantity")).otherwise(F.lit(0.0))), 2).alias("qty_open"),
-        F.round(F.sum(F.when(F.col("l_linestatus") == "F", F.col("l_quantity")).otherwise(F.lit(0.0))), 2).alias("qty_fulfilled"),
+        F.sum(quantize(F.when(F.col("l_linestatus") == "O", F.col("l_quantity")).otherwise(F.lit(0.0)), 0))
+        .cast("double").alias("qty_open"),
+        F.sum(quantize(F.when(F.col("l_linestatus") == "F", F.col("l_quantity")).otherwise(F.lit(0.0)), 0))
+        .cast("double").alias("qty_fulfilled"),
     )
 
 
@@ -339,7 +351,7 @@ def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(part, li.l_partkey == part.p_partkey)
         .join(avg_qty, li.l_partkey == avg_qty.p_key)
         .filter((F.col("p_brand") == "Brand#1") & (F.col("l_quantity") < F.col("half_avg_qty")))
-        .agg(F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"))
+        .agg(exact_round(F.sum(quantize(F.col("l_extendedprice"), 2)) / F.lit(700.0), 4).alias("avg_yearly"))
     )
 
 
@@ -351,7 +363,7 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT l_returnflag, l_linestatus,
-               round(sum(l_quantity), 2) AS sum_qty,
+               CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS DOUBLE) AS sum_qty,
                count(*) AS n
         FROM lineitem_gs
         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
@@ -384,7 +396,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_discount") >= 0.03)
         & (F.col("l_discount") <= 0.07)
         & (F.col("l_quantity") < 24)
-    ).agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias("revenue"))
+    ).agg(money_sum(F.col("l_extendedprice") * F.col("l_discount"), 4, 4).alias("revenue"))
 
 
 def q12_shipmode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -412,7 +424,7 @@ def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(part, li.l_partkey == part.p_partkey)
         .filter((F.col("l_shipdate") >= F.lit("1997-09-01")) & (F.col("l_shipdate") < F.lit("1997-10-01")))
-        .agg(F.round(100.0 * F.sum(promo) / F.sum(rev), 4).alias("promo_revenue_pct"))
+        .agg(exact_round(100.0 * F.sum(quantize(promo, 4)) / F.sum(quantize(rev, 4)), 4).alias("promo_revenue_pct"))
     )
 
 
@@ -430,7 +442,7 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(part, li.l_partkey == part.p_partkey)
         .filter(cond)
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"),
+            money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4, 4).alias("revenue"),
             F.count("*").alias("n_lines"),
         )
     )
@@ -438,18 +450,47 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_numeric_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical moments per returnflag: stddev/variance (sample),
-    covariance and correlation between quantity and price — all
-    single-pass co-moment aggregates (map-side combinable, one
-    shuffle of 3 groups); both engines implement the standard
-    definitions so 4-decimal rounding is exact parity."""
+    covariance and correlation between quantity and price.
+
+    Determinism: computed from EXACT integer raw moments (quantity is
+    integer-valued, price is exact cents; squares/cross-products sum
+    as bigint/DECIMAL(38,0)) rather than the engines' streaming
+    co-moment aggregates, whose merge order perturbs the last bits —
+    at 1e9-magnitude variances that noise reaches the 2-dp rounding
+    grid. A side benefit of exactness: Cauchy–Schwarz holds exactly
+    in integer arithmetic, so the variance operands can never go
+    negative and sqrt (IEEE-correctly-rounded in both engines) needs
+    no clamp. Still one map-combinable aggregation per group."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    q = quantize(F.col("l_quantity"), 0)
+    c = quantize(F.col("l_extendedprice"), 2)
+    dec = "decimal(38,0)"
+    m = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-        F.round(F.stddev_samp("l_quantity"), 4).alias("std_qty"),
-        F.round(F.var_samp("l_extendedprice"), 2).alias("var_price"),
-        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("covar_qp"),
-        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qp"),
+        F.sum(q).alias("sq"),
+        F.sum(q * q).alias("sqq"),
+        F.sum(c.cast(dec)).alias("sp"),
+        F.sum((c * c).cast(dec)).alias("spp"),
+        F.sum((q * c).cast(dec)).alias("sqp"),
+    )
+    n = F.col("n")
+    var_q = (F.col("sqq").cast(dec) * n - F.col("sq").cast(dec) * F.col("sq")).cast(
+        "double"
+    ) / (n * (n - 1))
+    var_p = (F.col("spp") * n - F.col("sp") * F.col("sp")).cast("double") / (
+        n * (n - 1)
+    ) / F.lit(10000.0)
+    cov_qp = (F.col("sqp") * n - F.col("sq") * F.col("sp")).cast("double") / (
+        n * (n - 1)
+    ) / F.lit(100.0)
+    return m.select(
+        "l_returnflag",
+        "n",
+        exact_round(F.col("sq") / n, 4).alias("avg_qty"),
+        exact_round(F.sqrt(var_q), 4).alias("std_qty"),
+        exact_round(var_p, 2).alias("var_price"),
+        exact_round(cov_qp, 2).alias("covar_qp"),
+        exact_round(cov_qp / (F.sqrt(var_q) * F.sqrt(var_p)), 4).alias("corr_qp"),
     )
 
 
@@ -479,7 +520,7 @@ def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = salted_join(li, supp, "s_suppkey", salt_buckets=8)
     return joined.groupBy("s_nationkey").agg(
         F.count("*").alias("n"),
-        F.round(F.sum("l_extendedprice"), 4).alias("revenue"),
+        money_sum(F.col("l_extendedprice"), 2, 2).alias("revenue"),
     )
 
 
@@ -623,23 +664,38 @@ QUERIES = {
 
 ORACLES = {
     "numeric_stats": """
+        WITH m AS (
+            SELECT l_returnflag,
+                   count(*) AS n,
+                   sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS sq,
+                   sum(CAST(floor(l_quantity + 0.5) AS BIGINT) * CAST(floor(l_quantity + 0.5) AS BIGINT)) AS sqq,
+                   sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS sp,
+                   sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) * CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS spp,
+                   sum(CAST(floor(l_quantity + 0.5) AS BIGINT) * CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS sqp
+            FROM lineitem GROUP BY 1)
         SELECT l_returnflag,
-               CAST(count(*) AS BIGINT) AS n,
-               round(avg(l_quantity), 4) AS avg_qty,
-               round(stddev_samp(l_quantity), 4) AS std_qty,
-               round(var_samp(l_extendedprice), 2) AS var_price,
-               round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qp,
-               round(corr(l_quantity, l_extendedprice), 4) AS corr_qp
-        FROM lineitem GROUP BY 1
+               CAST(n AS BIGINT) AS n,
+               floor(sq / n * 10000.0 + 0.5) / 10000.0 AS avg_qty,
+               floor(sqrt(CAST(sqq * n - sq * sq AS DOUBLE) / (n * (n - 1)))
+                     * 10000.0 + 0.5) / 10000.0 AS std_qty,
+               floor(CAST(spp * n - sp * sp AS DOUBLE) / (n * (n - 1)) / 10000.0
+                     * 100.0 + 0.5) / 100.0 AS var_price,
+               floor(CAST(sqp * n - sq * sp AS DOUBLE) / (n * (n - 1)) / 100.0
+                     * 100.0 + 0.5) / 100.0 AS covar_qp,
+               floor(CAST(sqp * n - sq * sp AS DOUBLE) / (n * (n - 1)) / 100.0
+                     / (sqrt(CAST(sqq * n - sq * sq AS DOUBLE) / (n * (n - 1)))
+                        * sqrt(CAST(spp * n - sp * sp AS DOUBLE) / (n * (n - 1)) / 10000.0))
+                     * 10000.0 + 0.5) / 10000.0 AS corr_qp
+        FROM m
     """,
     "skew_salted_agg": """
         SELECT l_returnflag, count(*) AS n,
-               round(sum(l_quantity), 4) AS total
+               (sum(CAST(floor(l_quantity * 10000.0 + 0.5) AS BIGINT)) / 10000.0) AS total
         FROM lineitem GROUP BY 1
     """,
     "skew_salted_join": """
         SELECT s_nationkey, count(*) AS n,
-               round(sum(l_extendedprice), 4) AS revenue
+               (sum(CAST(floor((l_extendedprice) * 100.0 + 0.5) AS BIGINT)) / 100.0) AS revenue
         FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         GROUP BY 1
     """,
@@ -654,7 +710,7 @@ ORACLES = {
         GROUP BY o_orderpriority
     """,
     "q6_forecast_revenue": """
-        SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue
+        SELECT (sum(CAST(floor((l_extendedprice * l_discount) * 10000.0 + 0.5) AS BIGINT)) / 10000.0) AS revenue
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
           AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
@@ -673,17 +729,19 @@ ORACLES = {
         GROUP BY l_linestatus
     """,
     "q14_promo_effect": """
-        SELECT round(100.0 * sum(CASE WHEN p_type LIKE 'PROMO%'
+        SELECT floor(100.0 * sum(CAST(floor((CASE WHEN p_type LIKE 'PROMO%'
                                       THEN l_extendedprice * (1 - l_discount)
-                                      ELSE 0.0 END)
-                     / sum(l_extendedprice * (1 - l_discount)), 4)
+                                      ELSE 0.0 END) * 10000.0 + 0.5) AS BIGINT))
+                     / sum(CAST(floor((l_extendedprice * (1 - l_discount))
+                                      * 10000.0 + 0.5) AS BIGINT))
+                     * 10000.0 + 0.5) / 10000.0
                    AS promo_revenue_pct
         FROM lineitem JOIN part ON l_partkey = p_partkey
         WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
           AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'
     """,
     "q19_discounted_revenue": """
-        SELECT round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+        SELECT (sum(CAST(floor((l_extendedprice * (1 - l_discount)) * 10000.0 + 0.5) AS BIGINT)) / 10000.0) AS revenue,
                count(*) AS n_lines
         FROM lineitem JOIN part ON l_partkey = p_partkey
         WHERE (p_brand = 'Brand#1' AND p_size <= 10 AND l_quantity >= 10)
@@ -691,7 +749,7 @@ ORACLES = {
            OR (p_brand = 'Brand#3' AND p_size <= 30 AND l_quantity >= 5)
     """,
     "q17_small_quantity": """
-        SELECT round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly
+        SELECT floor(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) / 700.0 * 10000.0 + 0.5) / 10000.0 AS avg_yearly
         FROM lineitem, part
         WHERE p_partkey = l_partkey AND p_brand = 'Brand#1'
           AND l_quantity < (
@@ -700,7 +758,7 @@ ORACLES = {
     """,
     "grouping_sets": """
         SELECT l_returnflag, l_linestatus,
-               round(sum(l_quantity), 2) AS sum_qty,
+               CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS DOUBLE) AS sum_qty,
                count(*) AS n
         FROM lineitem
         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
@@ -751,20 +809,20 @@ ORACLES = {
     """,
     "q1_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
-               round(sum(l_quantity), 2) AS sum_qty,
-               round(sum(l_extendedprice), 2) AS sum_base_price,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-               round(avg(l_quantity), 4) AS avg_qty,
-               round(avg(l_extendedprice), 4) AS avg_price,
-               round(avg(l_discount), 4) AS avg_disc,
+               CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS DOUBLE) AS sum_qty,
+               (sum(CAST(floor((l_extendedprice) * 100.0 + 0.5) AS BIGINT)) / 100.0) AS sum_base_price,
+               (floor((sum(CAST(floor((l_extendedprice * (1 - l_discount)) * 10000.0 + 0.5) AS BIGINT)) + 50) / 100) / 100.0) AS sum_disc_price,
+               (floor((sum(CAST(floor((l_extendedprice * (1 - l_discount) * (1 + l_tax)) * 1000000.0 + 0.5) AS BIGINT)) + 5000) / 10000) / 100.0) AS sum_charge,
+               floor(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) / count(*) * 10000.0 + 0.5) / 10000.0 AS avg_qty,
+               floor(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) / (count(*) * 100.0) * 10000.0 + 0.5) / 10000.0 AS avg_price,
+               floor(sum(CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT)) / (count(*) * 100.0) * 10000.0 + 0.5) / 10000.0 AS avg_disc,
                count(*) AS count_order
         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         GROUP BY l_returnflag, l_linestatus
     """,
     "q3_shipping_priority": """
         SELECT l_orderkey, o_orderdate, o_orderpriority,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+               (floor((sum(CAST(floor((l_extendedprice * (1 - l_discount)) * 10000.0 + 0.5) AS BIGINT)) + 50) / 100) / 100.0) AS revenue
         FROM customer, orders, lineitem
         WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
           AND o_orderkey = l_orderkey
@@ -775,7 +833,7 @@ ORACLES = {
     """,
     "q5_local_supplier": """
         SELECT n_name,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+               (floor((sum(CAST(floor((l_extendedprice * (1 - l_discount)) * 10000.0 + 0.5) AS BIGINT)) + 50) / 100) / 100.0) AS revenue
         FROM region, nation, customer, orders, lineitem, supplier
         WHERE r_name = 'ASIA' AND n_regionkey = r_regionkey
           AND c_nationkey = n_nationkey AND o_custkey = c_custkey
@@ -797,7 +855,7 @@ ORACLES = {
     "outer_join_agg": """
         SELECT c_custkey, c_name,
                count(o_orderkey) AS n_orders,
-               round(coalesce(sum(o_totalprice), 0.0), 2) AS total_spent
+               (coalesce(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)), 0) / 100.0) AS total_spent
         FROM customer LEFT JOIN orders ON c_custkey = o_custkey
         GROUP BY c_custkey, c_name
     """,
@@ -806,20 +864,22 @@ ORACLES = {
             (0, 0.0, 50000.0, 'low'),
             (1, 50000.0, 150000.0, 'mid'),
             (2, 150000.0, 1e18, 'high'))
-        SELECT band, count(*) AS n_orders, round(avg(o_totalprice), 2) AS avg_price
+        SELECT band, count(*) AS n_orders,
+               floor(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                     / (count(*) * 100.0) * 100.0 + 0.5) / 100.0 AS avg_price
         FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
         GROUP BY band
     """,
     "rollup_agg": """
         SELECT l_returnflag, l_linestatus,
-               round(sum(l_quantity), 2) AS sum_qty,
+               CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS DOUBLE) AS sum_qty,
                count(*) AS n,
                grouping(l_returnflag) * 2 + grouping(l_linestatus) AS gid
         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
     "cube_agg": """
         SELECT l_returnflag, l_linestatus,
-               round(sum(l_extendedprice), 2) AS sum_price,
+               (sum(CAST(floor((l_extendedprice) * 100.0 + 0.5) AS BIGINT)) / 100.0) AS sum_price,
                grouping(l_returnflag) * 2 + grouping(l_linestatus) AS gid
         FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
     """,
@@ -832,8 +892,8 @@ ORACLES = {
     """,
     "pivot_conditional": """
         SELECT l_returnflag,
-               round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE 0.0 END), 2) AS qty_open,
-               round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0.0 END), 2) AS qty_fulfilled
+               CAST(sum(CAST(floor((CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE 0.0 END) + 0.5) AS BIGINT)) AS DOUBLE) AS qty_open,
+               CAST(sum(CAST(floor((CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0.0 END) + 0.5) AS BIGINT)) AS DOUBLE) AS qty_fulfilled
         FROM lineitem GROUP BY l_returnflag
     """,
     "set_ops": """

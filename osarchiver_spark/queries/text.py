@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from osarchiver_spark.functions.precision import exact_round
+from osarchiver_spark.functions.precision import exact_round, quantize
 from osarchiver_spark.functions.text import (
     ENGLISH_STOPWORDS,
     LANG_MARKERS,
@@ -493,7 +493,17 @@ def q_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(corpus_total))
         .groupBy("source")
         .agg(
-            F.round(F.sum(p_s * F.log(p_s / p_c)), 6).alias("kl_divergence"),
+            # psi_drift discipline: ln pre-rounded to the coarse 1e-6
+            # grid (libm last-ulp), term quantized to a 1e-9 bigint
+            # grid before the sum (accumulation order), 6-dp output
+            # derived in exact integer arithmetic.
+            (
+                F.floor(
+                    (F.sum(quantize(p_s * exact_round(F.log(p_s / p_c), 6), 9)) + F.lit(500))
+                    / F.lit(1000)
+                )
+                / F.lit(1000000.0)
+            ).alias("kl_divergence"),
             F.count("*").alias("n_terms"),
         )
     )
@@ -751,8 +761,11 @@ ORACLES = {
         cc AS (SELECT token, count(*) AS cc FROM tok GROUP BY 1),
         ctot AS (SELECT count(*) AS c_total FROM tok)
         SELECT source,
-               round(sum((sc / s_total) * ln((sc / s_total) / (cc / CAST(c_total AS DOUBLE)))), 6)
-                   AS kl_divergence,
+               floor((sum(CAST(floor((sc / s_total)
+                                     * (floor(ln((sc / s_total) / (cc / CAST(c_total AS DOUBLE)))
+                                              * 1000000.0 + 0.5) / 1000000.0)
+                                     * 1000000000.0 + 0.5) AS BIGINT)) + 500) / 1000)
+                   / 1000000.0 AS kl_divergence,
                count(*) AS n_terms
         FROM sc JOIN cc USING (token) JOIN stot USING (source) CROSS JOIN ctot
         GROUP BY source

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from osarchiver_spark.functions.precision import quantize
+from osarchiver_spark.functions.precision import exact_round, money_sum, quantize
 from osarchiver_spark.sources.parquet import load_table
 
 def _rev():
@@ -54,7 +54,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(n2, F.col("c_nationkey") == F.col("n2_key"))
         .filter(pair)
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
-        .agg(F.round(F.sum(_rev()), 2).alias("revenue"))
+        .agg(money_sum(_rev(), 4, 2).alias("revenue"))
     )
 
 
@@ -80,9 +80,9 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(region.filter(F.col("r_name") == "AMERICA"), F.col("n2_region") == F.col("r_regionkey"))
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
-            F.round(
-                F.sum(F.when(F.col("supp_nation") == "NATION_3", _rev()).otherwise(F.lit(0.0)))
-                / F.sum(_rev()),
+            exact_round(
+                F.sum(quantize(F.when(F.col("supp_nation") == "NATION_3", _rev()).otherwise(F.lit(0.0)), 4))
+                / F.sum(quantize(_rev(), 4)),
                 4,
             ).alias("mkt_share")
         )
@@ -135,7 +135,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(li.filter(F.col("l_returnflag") == "R"), F.col("o_orderkey") == F.col("l_orderkey"))
         .join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(F.round(F.sum(_rev()), 2).alias("revenue"))
+        .agg(money_sum(_rev(), 4, 2).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(20)
     )
@@ -169,7 +169,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_shipdate") >= F.lit("1997-01-01")) & (F.col("l_shipdate") < F.lit("1997-04-01"))
         )
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
-        .agg(F.round(F.sum(_rev()), 2).alias("total_revenue"))
+        .agg(money_sum(_rev(), 4, 2).alias("total_revenue"))
     )
     w = W.orderBy(F.col("total_revenue").desc())
     top = revenue.withColumn("rk", F.rank().over(w)).filter(F.col("rk") == 1).drop("rk")
@@ -188,7 +188,7 @@ def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     big = (
         li.groupBy("l_orderkey")
-        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .agg(F.sum(quantize(F.col("l_quantity"), 0)).cast("double").alias("total_qty"))
         .filter(F.col("total_qty") > 250)
     )
     return (
@@ -264,7 +264,9 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     nations = [3, 8, 12, 13, 15, 18, 19]
     pool = cust.filter(F.col("c_nationkey").isin(nations))
     avg_bal = pool.filter(F.col("c_acctbal") > 0).agg(
-        F.round(F.avg("c_acctbal"), 2).alias("avg_bal")
+        exact_round(
+            F.sum(quantize(F.col("c_acctbal"), 2)) / (F.count(F.lit(1)) * F.lit(100.0)), 2
+        ).alias("avg_bal")
     )
     recent = orders.filter(F.col("o_orderdate") >= F.lit("2000-08-01")).select("o_custkey")
     return (
@@ -274,7 +276,7 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_nationkey")
         .agg(
             F.count("*").alias("numcust"),
-            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+            money_sum(F.col("c_acctbal"), 2, 2).alias("totacctbal"),
         )
     )
 
@@ -287,7 +289,7 @@ def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
     is bit-stable across engines before rounding."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_partkey", "l_suppkey").agg(
-        F.round(F.min(F.col("l_extendedprice") / F.col("l_quantity")), 2).alias("supplycost")
+        exact_round(F.min(F.col("l_extendedprice") / F.col("l_quantity")), 2).alias("supplycost")
     )
 
 
@@ -333,13 +335,15 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("l_partkey")
-        .agg(F.round(F.sum("l_extendedprice"), 2).alias("value"))
+        .agg(F.sum(quantize(F.col("l_extendedprice"), 2)).alias("c"))
     )
-    threshold = values.agg(F.round(F.avg("value") * 2.0, 2).alias("thr"))
+    threshold = values.agg(
+        exact_round(F.sum("c") * 2.0 / (F.count(F.lit(1)) * F.lit(100.0)), 2).alias("thr")
+    )
     return (
         values.crossJoin(F.broadcast(threshold))
-        .filter(F.col("value") > F.col("thr"))
-        .select("l_partkey", "value")
+        .filter(F.col("c") / F.lit(100.0) > F.col("thr"))
+        .select("l_partkey", (F.col("c") / F.lit(100.0)).alias("value"))
     )
 
 
@@ -384,14 +388,14 @@ def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_ps = (
         li.join(parts, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("l_partkey", "l_suppkey")
-        .agg(F.sum("l_quantity").alias("qty_raw"))
+        .agg(F.sum(quantize(F.col("l_quantity"), 0)).alias("qty_raw"))
     )
     per_part = per_ps.groupBy(F.col("l_partkey").alias("pk")).agg(
-        F.round(F.sum("qty_raw") * 0.5, 2).alias("half_qty")
+        F.sum("qty_raw").alias("total_qty")
     )
     dominant = (
         per_ps.join(per_part, F.col("l_partkey") == F.col("pk"))
-        .filter(F.round(F.col("qty_raw"), 2) > F.col("half_qty"))
+        .filter(2 * F.col("qty_raw") > F.col("total_qty"))
         .select("l_suppkey")
     )
     return (
@@ -420,7 +424,7 @@ ORACLES = {
     "q2_min_cost_supplier": """
         WITH ps AS (
             SELECT l_partkey, l_suppkey,
-                   round(min(l_extendedprice / l_quantity), 2) AS supplycost
+                   floor(min(l_extendedprice / l_quantity) * 100.0 + 0.5) / 100.0 AS supplycost
             FROM lineitem GROUP BY 1, 2
         ), ranked AS (
             SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, supplycost,
@@ -439,15 +443,17 @@ ORACLES = {
     """,
     "q11_important_stock": """
         WITH v AS (
-            SELECT l_partkey, round(sum(l_extendedprice), 2) AS value
+            SELECT l_partkey,
+                   sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS c
             FROM lineitem
             JOIN supplier ON l_suppkey = s_suppkey
             JOIN nation ON s_nationkey = n_nationkey
             WHERE n_name = 'NATION_3'
             GROUP BY 1
         )
-        SELECT l_partkey, value FROM v
-        WHERE value > (SELECT round(avg(value) * 2.0, 2) FROM v)
+        SELECT l_partkey, c / 100.0 AS value FROM v
+        WHERE c / 100.0 > (SELECT floor(sum(c) * 2.0 / (count(*) * 100.0) * 100.0 + 0.5) / 100.0
+                           FROM v)
     """,
     "q16_parts_supplier_relationship": """
         SELECT p_brand, p_type, p_size,
@@ -461,7 +467,8 @@ ORACLES = {
     """,
     "q20_potential_promotion": """
         WITH ps AS (
-            SELECT l_partkey, l_suppkey, sum(l_quantity) AS qty_raw
+            SELECT l_partkey, l_suppkey,
+                   sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS qty_raw
             FROM lineitem
             JOIN part ON l_partkey = p_partkey
             WHERE p_name LIKE 'small%' AND year(l_shipdate) = 1997
@@ -472,16 +479,16 @@ ORACLES = {
         WHERE s_suppkey IN (
             SELECT ps.l_suppkey
             FROM ps
-            JOIN (SELECT l_partkey AS pk, round(sum(qty_raw) * 0.5, 2) AS half_qty
+            JOIN (SELECT l_partkey AS pk, sum(qty_raw) AS total_qty
                   FROM ps GROUP BY 1) tot
               ON ps.l_partkey = tot.pk
-            WHERE round(qty_raw, 2) > half_qty
+            WHERE 2 * qty_raw > total_qty
         )
     """,
     "q7_volume_shipping": """
         SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                CAST(year(l_shipdate) AS INT) AS l_year,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+               (floor((sum(CAST(floor((l_extendedprice * (1 - l_discount)) * 10000.0 + 0.5) AS BIGINT)) + 50) / 100) / 100.0) AS revenue
         FROM lineitem
         JOIN supplier ON l_suppkey = s_suppkey
         JOIN nation n1 ON s_nationkey = n1.n_nationkey
@@ -494,9 +501,8 @@ ORACLES = {
     """,
     "q8_market_share": """
         SELECT CAST(year(o_orderdate) AS INT) AS o_year,
-               round(sum(CASE WHEN n1.n_name = 'NATION_3'
-                              THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
-                     / sum(l_extendedprice * (1 - l_discount)), 4) AS mkt_share
+               floor(sum(CAST(floor((CASE WHEN n1.n_name = 'NATION_3' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END) * 10000.0 + 0.5) AS BIGINT))
+                     / sum(CAST(floor((l_extendedprice * (1 - l_discount)) * 10000.0 + 0.5) AS BIGINT)) * 10000.0 + 0.5) / 10000.0 AS mkt_share
         FROM lineitem
         JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY'
         JOIN supplier ON l_suppkey = s_suppkey
@@ -525,7 +531,7 @@ ORACLES = {
     """,
     "q10_returned_items": """
         SELECT c_custkey, c_name, c_acctbal, n_name,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+               (floor((sum(CAST(floor((l_extendedprice * (1 - l_discount)) * 10000.0 + 0.5) AS BIGINT)) + 50) / 100) / 100.0) AS revenue
         FROM customer
         JOIN orders ON c_custkey = o_custkey
         JOIN lineitem ON o_orderkey = l_orderkey
@@ -551,7 +557,7 @@ ORACLES = {
     "q15_top_supplier": """
         WITH revenue AS (
             SELECT l_suppkey AS supplier_no,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+                   (floor((sum(CAST(floor((l_extendedprice * (1 - l_discount)) * 10000.0 + 0.5) AS BIGINT)) + 50) / 100) / 100.0) AS total_revenue
             FROM lineitem
             WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
               AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
@@ -566,8 +572,10 @@ ORACLES = {
         FROM customer
         JOIN orders ON c_custkey = o_custkey
         JOIN (
-            SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
-            FROM lineitem GROUP BY 1 HAVING round(sum(l_quantity), 2) > 250
+            SELECT l_orderkey,
+                   CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS DOUBLE) AS total_qty
+            FROM lineitem GROUP BY 1
+            HAVING sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) > 250
         ) big ON o_orderkey = big.l_orderkey
         ORDER BY o_totalprice DESC, o_orderkey
         LIMIT 100
@@ -590,10 +598,13 @@ ORACLES = {
         LIMIT 20
     """,
     "q22_global_sales_opportunity": """
-        SELECT c_nationkey, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
+        SELECT c_nationkey, count(*) AS numcust,
+               (sum(CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT)) / 100.0) AS totacctbal
         FROM customer c
         WHERE c_nationkey IN (3, 8, 12, 13, 15, 18, 19)
-          AND c_acctbal > (SELECT round(avg(c_acctbal), 2) FROM customer
+          AND c_acctbal > (SELECT floor(sum(CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT))
+                                         / (count(*) * 100.0) * 100.0 + 0.5) / 100.0
+                           FROM customer
                            WHERE c_acctbal > 0
                              AND c_nationkey IN (3, 8, 12, 13, 15, 18, 19))
           AND NOT EXISTS (SELECT 1 FROM orders o
