@@ -64,10 +64,20 @@ def export_training_set(
     from osarchiver_spark.sources.parquet import load_table
 
     docs = load_table(spark, sf_dir, "documents")
+    # The pair graph feeds TWO consumers (the dedup anti-join's losers
+    # and the split keys' connected components). Without pinning it,
+    # each consumer re-runs the whole MinHash pipeline — the sf10
+    # chained rehearsal measured the unshared form at 607 s vs 333 s
+    # of per-stage work (BENCH_SF10_CAPSTONE.json / SCALE.md). persist
+    # + count materializes it exactly once; xxhash64 is the production
+    # sketch mode (~1.6x over md5; recall is full at this threshold —
+    # the verify stage is exact Jaccard either way, so membership is
+    # hash-mode-independent).
     pairs = minhash_lsh_pairs(
         docs, "doc_id", "text",
         shingle_n=3, num_hashes=NUM_HASHES, bands=BANDS, threshold=MINHASH_THRESHOLD,
-    )
+        hash_fn="xxhash64",
+    ).persist()
     losers = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
     comps = connected_components(pairs)
 
@@ -87,6 +97,8 @@ def export_training_set(
         .persist()
     )
     try:
+        tagged.count()  # materialize while the pair graph is pinned
+        pairs.unpersist()
         for s in SPLITS:
             writer = (
                 tagged.filter(F.col("split") == s)

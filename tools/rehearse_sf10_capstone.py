@@ -11,7 +11,10 @@ What the per-query sweeps can't see and this run does:
   + the packing layout),
 - end-to-end wall and the on-disk artifact sizes a trainer would pay.
 
-Usage: python tools/rehearse_sf10_capstone.py [SF_DIR] [OUT_DIR]
+Usage: SPARK_GRAFT_DRIVER_MEM=64g python tools/rehearse_sf10_capstone.py [SF_DIR] [OUT_DIR]
+(64g = the 2 GB/core sf10 rehearsal heap convention, SCALE.md; the 8g
+default OOMs in the label-init aggregate while the 49.5M-edge
+localCheckpoint blocks are pinned)
 Defaults: .scale/sf10, a temp dir. Writes BENCH_SF10_CAPSTONE.json.
 """
 
