@@ -71,10 +71,20 @@ def money_sum(col: Column, in_digits: int, out_digits: int) -> Column:
     row onto its INTRINSIC decimal grid (2 dp for a price, 4 dp for
     price*(1-disc), 6 dp for price*(1-disc)*(1+tax) — exact, because
     the fixture's money columns are generated at 2 dp), sum the
-    bigints (order-proof), then rescale to ``out_digits`` with pure
-    integer arithmetic and one final division. The replacement for
-    ``round(sum(money_double), out_digits)`` — the exact shape that
-    flipped Q9's cents boundary between engines at sf0.1 (288b3fa)."""
+    bigints (order-proof), then rescale to ``out_digits``. The
+    replacement for ``round(sum(money_double), out_digits)`` — the
+    exact shape that flipped Q9's cents boundary between engines at
+    sf0.1 (288b3fa).
+
+    The rescale divisions are IEEE double ops, not integer ops — past
+    2^53 they round — but both engines divide the SAME exact integer
+    by the same power of ten, so the result stays engine-identical at
+    any magnitude; what the bigint sum buys is independence from
+    accumulation order. Requires ``in_digits >= out_digits`` (coarser
+    output only — refining a sum's grid after the fact is
+    meaningless and the half-offset arithmetic assumes it)."""
+    if in_digits < out_digits:
+        raise ValueError("money_sum requires in_digits >= out_digits")
     q = quantize(col, in_digits)
     out_scale = float(10**out_digits)
     if in_digits == out_digits:
@@ -85,6 +95,8 @@ def money_sum(col: Column, in_digits: int, out_digits: int) -> Column:
 
 def sql_money_sum(expr: str, in_digits: int, out_digits: int) -> str:
     """DuckDB twin of :func:`money_sum`."""
+    if in_digits < out_digits:
+        raise ValueError("sql_money_sum requires in_digits >= out_digits")
     in_scale = float(10**in_digits)
     out_scale = float(10**out_digits)
     q = f"CAST(floor(({expr}) * {in_scale} + 0.5) AS BIGINT)"

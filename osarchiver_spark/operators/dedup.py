@@ -266,7 +266,11 @@ def minhash_lsh_incremental_indexed(
     """
     sh_new = transient(_with_shingles(new, id_col, text_col, shingle_n))
     rows = num_hashes // bands
-    nb = (
+    # transient: nb is consumed TWICE (the pushdown-key collect below
+    # and the broadcast build of the candidate join) — without the
+    # cache the batch would pay its minhash/banding cost twice, for
+    # the operator whose whole point is cheap per-batch probes
+    nb = transient(
         sh_new.select(
             "doc_id",
             minhash_signature(F.col("shingles"), num_hashes, hash_fn).alias("sig"),

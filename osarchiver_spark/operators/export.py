@@ -70,9 +70,15 @@ def export_training_set(
     # chained rehearsal measured the unshared form at 607 s vs 333 s
     # of per-stage work (BENCH_SF10_CAPSTONE.json / SCALE.md). persist
     # + count materializes it exactly once; xxhash64 is the production
-    # sketch mode (~1.6x over md5; recall is full at this threshold —
-    # the verify stage is exact Jaccard either way, so membership is
-    # hash-mode-independent).
+    # sketch mode (~1.6x over md5). NOTE the hash-family caveat:
+    # banding is probabilistic for threshold-ADJACENT pairs in any
+    # hash family, so md5 and xxhash64 runs are not guaranteed the
+    # same candidate set — the exact-Jaccard verify gives surviving
+    # pairs exact precision, and both consumers (the loser set AND
+    # the split keys) derive from this ONE graph, so the pipeline is
+    # internally consistent either way. On the shipped fixtures the
+    # two modes produce identical membership (pinned in
+    # tests/test_similarity.py and observed byte-identical at sf10).
     pairs = minhash_lsh_pairs(
         docs, "doc_id", "text",
         shingle_n=3, num_hashes=NUM_HASHES, bands=BANDS, threshold=MINHASH_THRESHOLD,

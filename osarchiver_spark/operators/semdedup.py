@@ -43,7 +43,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
-from osarchiver_spark.functions.precision import quantize as quantize_grid
+from osarchiver_spark.functions.precision import money_sum
 from pyspark.sql import types as T
 
 from osarchiver_spark.functions.vectors import as_double
@@ -280,9 +280,6 @@ def semantic_cluster_profile(
             # arithmetic, then rescale to the 3-dp output in integer
             # space (the psi_drift discipline; a double sum here is
             # accumulation-order-sensitive across engines).
-            (
-                F.floor((F.sum(quantize_grid(F.col("d2"), 6)) + F.lit(500)) / F.lit(1000))
-                / F.lit(1000.0)
-            ).alias("inertia"),
+            money_sum(F.col("d2"), 6, 3).alias("inertia"),
         )
     )

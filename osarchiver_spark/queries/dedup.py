@@ -92,6 +92,8 @@ def q_dedup_incremental_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     write to a temp dir, read back, probe. Same semantics — and the
     same oracle — as dedup_incremental: at 100 TB this replaces the
     per-batch corpus re-sketch with an indexed lookup."""
+    import hashlib
+    import os
     import tempfile
 
     from osarchiver_spark.operators.dedup import (
@@ -102,7 +104,12 @@ def q_dedup_incremental_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     new = docs.filter(F.col("doc_id") % 10 == 3)
     corpus = docs.filter(F.col("doc_id") % 10 != 3)
-    idx_dir = tempfile.mkdtemp(prefix="lsh_index_")
+    # stable per-fixture path + overwrite: repeated adjudication runs
+    # reuse ONE directory instead of leaking a fresh mkdtemp each call
+    idx_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"lsh_index_{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}",
+    )
     minhash_lsh_index(
         corpus, "doc_id", "text",
         shingle_n=3, num_hashes=NUM_HASHES, bands=BANDS, num_files=8,

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from osarchiver_spark.functions.precision import exact_round, quantize
+from osarchiver_spark.functions.precision import cent_sum, exact_round, quantize
 from osarchiver_spark.functions.text import token_count
 from osarchiver_spark.sources.parquet import load_table
 
@@ -508,7 +508,7 @@ def q_hour_of_day_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").alias("n"),
-            (F.sum(quantize(F.col("value"), 2)) / F.lit(100.0)).alias("sum_value"),
+            cent_sum(F.col("value")).alias("sum_value"),
         )
     )
 
@@ -576,7 +576,7 @@ def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return attributed.groupBy(F.col("asof_campaign").alias("campaign")).agg(
         F.count("*").alias("n_purchases"),
-        (F.sum(quantize(F.col("value"), 2)) / F.lit(100.0)).alias("revenue"),
+        cent_sum(F.col("value")).alias("revenue"),
     )
 
 

@@ -112,3 +112,26 @@ def test_known_spark_duckdb_round_divergence_is_fixed(spark):
         .collect()[0]
     )
     assert s_round != d_round  # Spark HALF_UP-on-repr vs DuckDB exact expansion
+
+
+def test_sql_helpers_pin_the_inlined_oracle_spelling():
+    """The oracle SQL strings inline the exact-sum expressions by hand
+    (static literals); these assertions pin the canonical spelling so
+    a future change to the Python helpers cannot silently diverge
+    from the ~20 oracles that pasted their output."""
+    from osarchiver_spark.functions.precision import sql_cent_sum, sql_money_sum
+
+    assert sql_cent_sum("value") == (
+        "(sum(CAST(floor((value) * 100.0 + 0.5) AS BIGINT)) / 100.0)"
+    )
+    assert sql_money_sum("l_extendedprice * (1 - l_discount)", 4, 2) == (
+        "(floor((sum(CAST(floor((l_extendedprice * (1 - l_discount))"
+        " * 10000.0 + 0.5) AS BIGINT)) + 50) / 100) / 100.0)"
+    )
+    assert sql_money_sum("x", 4, 4) == (
+        "(sum(CAST(floor((x) * 10000.0 + 0.5) AS BIGINT)) / 10000.0)"
+    )
+    import pytest
+
+    with pytest.raises(ValueError):
+        sql_money_sum("x", 2, 4)

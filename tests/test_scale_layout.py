@@ -168,8 +168,17 @@ def test_lsh_index_probe_skips_rowgroups(spark, sf_small, tmp_path):
     # sorted layout: 4 keys can overlap at most ~4 ranges (plus range
     # boundaries); an unsorted layout would overlap nearly all of them
     assert skip_frac >= 0.7, f"only {skip_frac:.0%} of row groups skippable"
-    # correctness: the pruned probe returns exactly the keyed rows
-    assert probed.count() == index.filter(F.col("band_key").isin(keys)).count()
+    # correctness: the PRUNED scan returns exactly what a scan with
+    # parquet pushdown disabled returns (pruning never drops a match)
+    got = probed.count()
+    spark.conf.set("spark.sql.parquet.filterPushdown", "false")
+    try:
+        want = (
+            spark.read.parquet(idx_dir).filter(F.col("band_key").isin(keys)).count()
+        )
+    finally:
+        spark.conf.set("spark.sql.parquet.filterPushdown", "true")
+    assert got == want and want > 0
 
 
 def test_restore_lookup_skips_rowgroups(spark, sf_small, tmp_path):

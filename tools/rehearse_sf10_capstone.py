@@ -49,8 +49,6 @@ def main() -> None:
         "overwrite"
     ).save()
 
-    ckpt = spark.sparkContext.getCheckpointDir()
-
     t0 = time.perf_counter()
     manifest = export_training_set(spark, sf_dir, out_dir)
     rows = sorted(
@@ -63,7 +61,12 @@ def main() -> None:
         for name in ("train", "val", "test", "train_layout", "manifest")
         if os.path.isdir(os.path.join(out_dir, name))
     }
-    ckpt_bytes = _du(ckpt) if ckpt and os.path.isdir(ckpt) else None
+    # pinned storage still live at end of run (localCheckpoint blocks
+    # + surviving persists) straight from the block manager — the
+    # lifetimes question the per-query sweeps can't see
+    infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    pinned_mem = sum(i.memSize() for i in infos)
+    pinned_disk = sum(i.diskSize() for i in infos)
 
     result = {
         "metric": "osarchiver_spark sf10 chained capstone (gate->dedup->split->export)",
@@ -74,7 +77,8 @@ def main() -> None:
             {"split": s, "n_docs": d, "n_tokens": t} for s, d, t in rows
         ],
         "artifact_bytes": sizes,
-        "checkpoint_bytes": ckpt_bytes,
+        "pinned_mem_bytes": pinned_mem,
+        "pinned_disk_bytes": pinned_disk,
         "out_dir": out_dir,
     }
     line = json.dumps(result)
