@@ -135,3 +135,39 @@ def test_sql_helpers_pin_the_inlined_oracle_spelling():
 
     with pytest.raises(ValueError):
         sql_money_sum("x", 2, 4)
+
+
+def test_money_sum_guards_and_exactness(spark):
+    """money_sum: (a) rejects grid refinement (in < out) like its SQL
+    twin; (b) over exact 2-dp data its sums equal exact Fraction
+    arithmetic at every in>=out grid combination, independent of
+    partitioning (the order-proofness it exists for)."""
+    import random
+    from fractions import Fraction
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from osarchiver_spark.functions.precision import money_sum
+
+    with pytest.raises(ValueError):
+        money_sum(F.col("x"), 2, 4)
+
+    rng = random.Random(17)
+    cents = [rng.randrange(0, 10_000_000) for _ in range(500)]
+    rows = [(c / 100.0,) for c in cents]
+    exact = sum(Fraction(c, 100) for c in cents)
+    for parts in (1, 7):
+        df = spark.createDataFrame(rows, "x double").repartition(parts)
+        for in_d, out_d in ((2, 2), (4, 2), (6, 2), (4, 4)):
+            got = df.agg(money_sum(F.col("x"), in_d, out_d).alias("s")).first()["s"]
+            # rescale exact to the out grid with the same half-up rule
+            scaled = exact * 10**out_d
+            want = float(
+                Fraction(
+                    (scaled.numerator * 2 + scaled.denominator)
+                    // (2 * scaled.denominator)
+                )
+                / 10**out_d
+            )
+            assert got == want, (in_d, out_d, parts, got, want)

@@ -396,3 +396,55 @@ def test_incremental_probe_equals_batch_restriction(spark):
     }
     assert inc == cross
     assert inc, "fixture must plant at least one cross near-dup pair"
+
+
+def test_indexed_probe_equals_direct_probe_both_branches(spark, tmp_path, monkeypatch):
+    """minhash_lsh_incremental_indexed must return EXACTLY what the
+    recompute-everything probe returns, through BOTH probe branches:
+    the band_key IN (...) pushdown path (few keys) and the plain
+    broadcast-join fallback (keys above PROBE_PUSHDOWN_MAX_KEYS —
+    never reached at fixture scale, so it needs an explicit test)."""
+    import osarchiver_spark.operators.dedup as dd
+
+    base = "quick brown fox jumps over the lazy dog near the river bank today"
+    texts = {}
+    for i in range(8):
+        texts[i] = base + f" corpus variant {i % 2}"
+    for i in range(100, 104):
+        texts[i] = base + f" corpus variant {i % 2}"
+    texts[104] = "completely different content with no overlap whatsoever at all"
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    corpus = docs.filter(F.col("doc_id") < 100)
+    new = docs.filter(F.col("doc_id") >= 100)
+
+    idx_dir = str(tmp_path / "idx")
+    dd.minhash_lsh_index(corpus, "doc_id", "text", num_files=4).write.mode(
+        "overwrite"
+    ).parquet(idx_dir)
+    index = spark.read.parquet(idx_dir)
+
+    want = {
+        (r.new_id, r.corpus_id): r.jaccard
+        for r in dd.minhash_lsh_incremental(corpus, new, "doc_id", "text").collect()
+    }
+    assert want, "fixture must plant cross near-dup pairs"
+
+    got_pushdown = {
+        (r.new_id, r.corpus_id): r.jaccard
+        for r in dd.minhash_lsh_incremental_indexed(
+            index, corpus, new, "doc_id", "text"
+        ).collect()
+    }
+    assert got_pushdown == want
+
+    # force the fallback: every batch exceeds the pushdown key cap
+    monkeypatch.setattr(dd, "PROBE_PUSHDOWN_MAX_KEYS", 0)
+    got_fallback = {
+        (r.new_id, r.corpus_id): r.jaccard
+        for r in dd.minhash_lsh_incremental_indexed(
+            index, corpus, new, "doc_id", "text"
+        ).collect()
+    }
+    assert got_fallback == want
