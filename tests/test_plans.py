@@ -540,3 +540,14 @@ def test_transient_reuses_one_materialization(spark):
     plan = t.groupBy("k").count()._jdf.queryExecution().optimizedPlan().toString()
     assert "LogicalRDD" in plan or "ExistingRDD" in plan, plan
     assert t.count() == 1000  # served from the checkpoint
+
+
+def test_indexed_incremental_probe_plan(spark):
+    """dedup_incremental_indexed's probe scan must carry the pushed
+    band_key IN predicate (what lets the sorted index's row groups
+    prune by min/max) and join the broadcast new-batch bands — never
+    shuffle the index side."""
+    plan = _formatted(spark, "dedup_incremental_indexed")
+    assert "PushedFilters: [In(band_key" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
