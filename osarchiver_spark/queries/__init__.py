@@ -70,9 +70,13 @@ def _load():
 #      it alphabetically past the cap,
 #   3. hash-green queries, oldest green round first (fair round-robin).
 #
-# This is a scheduling policy, not a result filter: every query cycles
-# back under the cap within two rounds, so a regression anywhere is
-# caught with bounded staleness, and nothing is parked permanently.
+# This is a scheduling policy, not a result filter: with ~219 entries
+# and a ~50-row cap the full re-verification cadence is ~4.4 rounds
+# (r06 measured cohorts last driver-checked in r02/r03), so a
+# regression is caught with bounded — not two-round — staleness, and
+# nothing is parked permanently. Registration discipline matters: each
+# new entry displaces a stale-green recheck, so add entries only when
+# they pay for the slot.
 # Local oracle parity for ALL registered oracles additionally runs in
 # every pytest (tests/test_oracle_parity.py), independent of the cap.
 # REGISTRY_EPOCHS.json is committed and append-only; a registry entry

@@ -23,7 +23,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from osarchiver_spark.functions.precision import cent_sum, exact_round, quantize
+from osarchiver_spark.functions.precision import (
+    cent_sum,
+    exact_round,
+    pinned_ln,
+    quantize,
+    sql_double,
+    sql_exact_round,
+    sql_pinned_ln,
+    sql_quantize,
+)
 from osarchiver_spark.functions.text import token_count
 from osarchiver_spark.sources.parquet import load_table
 
@@ -659,25 +668,12 @@ def q_streaming_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
 PSI_BINS = 20
 
 
-def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Population-stability-index drift monitor: per event type,
-    compare the value distribution of the SECOND half of the time
-    range against the first (reference) half over the type's
-    equi-width bins — the ingest-monitoring check that catches a
-    upstream change before it poisons a training snapshot. One-row
-    global time span + per-type moments broadcast into the scan,
-    conditional counts per (type, bin), Laplace-smoothed shares over
-    the occupied bins, one map-combinable PSI sum. Nothing leaves
-    codegen.
-
-    Cross-engine hash discipline (driver-r04 hash-fail fix): each
-    per-bin PSI term is quantized onto a 1e-9 bigint grid BEFORE the
-    per-type sum, so the sum is exact integer arithmetic and immune
-    to accumulation order (Spark partial aggregation vs DuckDB
-    single-threaded); the 6-dp output is then derived from the
-    integer sum with pure integer/IEEE ops — no decimal ``round`` on
-    a double anywhere, which is the HALF_UP-vs-exact-expansion
-    boundary where the engines disagree (functions/precision.py)."""
+def psi_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared first four stages of the PSI pipeline — (event_type,
+    bin, n_ref, n_cur, r_tot, c_tot, n_bins, p_ref, p_cur) per
+    occupied cell. Factored out so the r07 decomposition probes
+    (queries/probes.py: probe_psi_cells / probe_psi_ln_terms) bisect
+    the EXACT stages q_psi_drift runs, not a reimplementation."""
     ev = load_table(spark, sf_dir, "events").select(
         "event_type", "value", F.unix_micros(F.col("ts")).alias("us")
     )
@@ -717,19 +713,50 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = cells.join(F.broadcast(totals), "event_type")
     p_ref = (F.col("n_ref") + 0.5) / (F.col("r_tot") + 0.5 * F.col("n_bins"))
     p_cur = (F.col("n_cur") + 0.5) / (F.col("c_tot") + 0.5 * F.col("n_bins"))
+    return j.withColumn("p_ref", p_ref).withColumn("p_cur", p_cur)
+
+
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift monitor: per event type,
+    compare the value distribution of the SECOND half of the time
+    range against the first (reference) half over the type's
+    equi-width bins — the ingest-monitoring check that catches a
+    upstream change before it poisons a training snapshot. One-row
+    global time span + per-type moments broadcast into the scan,
+    conditional counts per (type, bin), Laplace-smoothed shares over
+    the occupied bins, one map-combinable PSI sum. Nothing leaves
+    codegen.
+
+    Cross-engine hash discipline (driver-r04 hash-fail fix): each
+    per-bin PSI term is quantized onto a 1e-9 bigint grid BEFORE the
+    per-type sum, so the sum is exact integer arithmetic and immune
+    to accumulation order (Spark partial aggregation vs DuckDB
+    single-threaded); the 6-dp output is then derived from the
+    integer sum with pure integer/IEEE ops — no decimal ``round`` on
+    a double anywhere, which is the HALF_UP-vs-exact-expansion
+    boundary where the engines disagree (functions/precision.py)."""
+    j = psi_probs(spark, sf_dir)
+    p_ref, p_cur = F.col("p_ref"), F.col("p_cur")
     # Driver-r05 hash-fail fix (2nd round): the output is now BIGINT
     # micro-units end-to-end — integers hash identically under ANY
     # engine build or float canonicalization, which two rounds of
     # locally-bit-exact float discipline could not guarantee for the
-    # driver's (unobservable) oracle stack. Additionally the ln — a
-    # transcendental whose last ulp is NOT IEEE-pinned across Java
-    # Math.log and DuckDB's libm — is pre-rounded onto a coarse 1e-6
-    # grid BEFORE the product (the bm25-idf discipline), so a 1-ulp
-    # libm disagreement can no longer straddle the quantize boundary.
-    # PSI terms are >= 0 (factors share sign), so floor(x*1e9+0.5) is
-    # plain half-up; the bigint sum is order-proof; (sum+500) div 1000
-    # rescales to micro-units in exact integer arithmetic.
-    ln_g = exact_round(F.log(p_cur / p_ref), 6)
+    # driver's (unobservable) oracle stack. PSI terms are >= 0
+    # (factors share sign), so floor(x*1e9+0.5) is plain half-up; the
+    # bigint sum is order-proof; (sum+500) div 1000 rescales to
+    # micro-units in exact integer arithmetic.
+    #
+    # Driver-r06 hash-fail fix (3rd round): the libm ln is GONE.
+    # Rounds 4-6 pre-rounded F.log onto a 1e-6 grid, but a 1-ulp
+    # Java-Math.log-vs-driver-libm disagreement can still straddle
+    # the grid boundary deterministically at data-dependent
+    # arguments (probe_ln2 pinned only ln(2)). pinned_ln computes
+    # ln from sqrt/+/-/×/÷ only — every op correctly rounded per
+    # IEEE-754 in both engines, so query and oracle are bit-identical
+    # BY CONSTRUCTION; the 1e-6 exact_round is kept so psi terms sit
+    # on the same grid as before (~1e-11 worst-case accuracy loss vs
+    # libm, 5 orders below the grid).
+    ln_g = exact_round(pinned_ln(p_cur / p_ref), 6)
     term_q = quantize((p_cur - p_ref) * ln_g, 9)
     return j.groupBy("event_type").agg(
         F.max("r_tot").alias("n_ref"),
@@ -1081,8 +1108,26 @@ ORACLES = {
 }
 
 
-ORACLES["psi_drift"] = f"""
-    WITH ev AS (
+# Driver-r06 chronic-hash-fail rewrite (three failing rounds: r04-r06).
+# Root cause found in r07 by auditing every oracle's DuckDB OUTPUT
+# types: of 213 oracles, EXACTLY the two chronic hash-failers emitted
+# HUGEINT columns (here: max(sum(...)) = HUGEINT). DuckDB's pandas
+# fetch renders HUGEINT as float64 (123 -> 123.0) and its Arrow fetch
+# as decimal128 — either way the driver hashes a different carrier
+# type than Spark's int64 while rows and name-based schema still
+# match. Fix: CAST every output column AS BIGINT. Defense-in-depth per
+# the r06 verdict: (a) every decimal literal is spelled
+# CAST('x' AS DOUBLE) so no BIGINT-op-DECIMAL arithmetic remains
+# (version-mobile class the probes never covered), and (b) ln is the
+# engine-pinned sqrt/atanh composition (sql_pinned_ln — bit-identical
+# to the Spark side by construction), staged through named columns so
+# the sqrt tower evaluates once.
+_D05 = sql_double("0.5")
+
+# Shared CTE prefix of the PSI oracle — the SQL twin of psi_probs();
+# also the base of the r07 decomposition probes (queries/probes.py).
+PSI_PROBS_SQL_CTES = f"""
+    ev AS (
         SELECT event_type, value, epoch_us(ts) AS us FROM events),
     span AS (SELECT min(us) AS t0, max(us) AS t1 FROM ev),
     tagged AS (
@@ -1094,7 +1139,8 @@ ORACLES["psi_drift"] = f"""
     cells AS (
         SELECT t.event_type,
                CAST(CASE WHEN s.mx = s.mn THEN 0
-                    ELSE least(floor((t.value - s.mn) / ((s.mx - s.mn) / {PSI_BINS})),
+                    ELSE least(floor((t.value - s.mn)
+                                     / ((s.mx - s.mn) / {sql_double(str(PSI_BINS))})),
                                {PSI_BINS - 1}) END AS INT) AS bin,
                sum(CASE WHEN is_cur THEN 0 ELSE 1 END) AS n_ref,
                sum(CASE WHEN is_cur THEN 1 ELSE 0 END) AS n_cur
@@ -1103,19 +1149,30 @@ ORACLES["psi_drift"] = f"""
     totals AS (
         SELECT event_type, sum(n_ref) AS r_tot, sum(n_cur) AS c_tot,
                count(*) AS n_bins
-        FROM cells GROUP BY 1)
+        FROM cells GROUP BY 1),
+    probs AS (
+        SELECT c.event_type, c.bin, c.n_ref, c.n_cur,
+               t.r_tot, t.c_tot, t.n_bins,
+               (c.n_cur + {_D05}) / (t.c_tot + {_D05} * t.n_bins) AS p_cur,
+               (c.n_ref + {_D05}) / (t.r_tot + {_D05} * t.n_bins) AS p_ref
+        FROM cells c JOIN totals t USING (event_type))"""
+
+ORACLES["psi_drift"] = f"""
+    WITH {PSI_PROBS_SQL_CTES},
+    lng AS (
+        SELECT *, {sql_exact_round(sql_pinned_ln("(p_cur / p_ref)"), 6)} AS ln_g
+        FROM probs),
+    terms AS (
+        SELECT event_type, r_tot, c_tot, n_bins,
+               {sql_quantize("((p_cur - p_ref) * ln_g)", 9)} AS term_q
+        FROM lng)
     SELECT event_type,
-           max(r_tot) AS n_ref, max(c_tot) AS n_cur,
+           CAST(max(r_tot) AS BIGINT) AS n_ref,
+           CAST(max(c_tot) AS BIGINT) AS n_cur,
            CAST(max(n_bins) AS INT) AS n_bins,
-           CAST(floor((sum(CAST(floor((((n_cur + 0.5) / (c_tot + 0.5 * n_bins)
-                                   - (n_ref + 0.5) / (r_tot + 0.5 * n_bins))
-                                  * (floor(ln(((n_cur + 0.5) / (c_tot + 0.5 * n_bins))
-                                       / ((n_ref + 0.5) / (r_tot + 0.5 * n_bins)))
-                                           * 1000000.0 + 0.5) / 1000000.0))
-                                 * 1000000000.0 + 0.5) AS BIGINT))
-                  + 500) / 1000) AS BIGINT) AS psi_micro
-    FROM cells JOIN totals USING (event_type)
-    GROUP BY event_type
+           CAST(floor(CAST(sum(term_q) + 500 AS DOUBLE)
+                      / {sql_double('1000')}) AS BIGINT) AS psi_micro
+    FROM terms GROUP BY event_type
 """
 
 

@@ -47,6 +47,60 @@ trivially; the per-probe ``hash_match`` bit in CORRECTNESS_r06 then
 The probes are honest registry entries (real Spark plans, real
 oracles); they cost one row each and ride the tier-1 never-checked
 slot of the adjudication order right behind the two re-fixed queries.
+
+R06 VERDICT (driver-adjudicated, CORRECTNESS_r06 — the instrument's
+outcome, recorded here so it is self-contained): ALL SEVEN probes came
+back hash-GREEN while psi_drift + token_budget_sample hash-failed a
+third time with BIGINT-only schemas. Decision table readout:
+- double canonicalization, 17-digit literal parsing, ln(2), HALF_UP
+  rounding on shortest-repr, portable exact_round, and whitespace
+  regexp splitting are all IDENTICAL in the driver's two engines;
+- probe_round_half5 green CLEARS the ~35 deferred decimal-round gate
+  sites repo-wide — do NOT convert them (a prior round nearly did);
+- therefore the chronic divergence had to be data- or type-dependent:
+  something the one-row constant probes structurally cannot carry.
+
+R07 ROOT CAUSE (found by auditing every oracle's DuckDB OUTPUT types,
+not its arithmetic): of 213 oracles, exactly the two chronic failers
+emitted HUGEINT columns (un-cast sum()/windowed sum() over BIGINT).
+DuckDB's pandas fetch renders HUGEINT as float64 and its Arrow fetch
+as decimal128 — so the driver hashed 123.0 / Decimal(123) against
+Spark's int64 123: rows match, name-based schema matches, value hash
+fails, and every arithmetic fix is powerless because the VALUES were
+always equal. fetchall() (this sandbox's path) yields Python ints,
+which is why three rounds of local sweeps were bit-exact. Fixes:
+CAST ... AS BIGINT on those columns; a carrier-type guard in
+tests/oracle_harness.py now bans HUGEINT/UHUGEINT/DECIMAL oracle
+outputs registry-wide.
+
+R07 DECOMPOSITION PROBES (registered below, per the r06 verdict's
+item 2 — cheap insurance should the carrier-type fix not adjudicate
+green, and a bisection instrument either way). All are one-row BIGINT
+aggregates over the REAL fixtures (data-dependent, unlike the r06
+constants):
+- ``probe_decimal_literal_div``/``..._div15`` bare DECIMAL literals on
+  the oracle side (the one arithmetic class the r06 probes never
+  covered: DuckDB types bigint+0.5 as DECIMAL(21,1) and its
+  DECIMAL division/widening rules are version-mobile). Fails =>
+  every oracle must spell literals CAST('x' AS DOUBLE)
+  (sql_double); the chronic oracles already do as of r07.
+- ``probe_psi_cells``      cell-keyed checksum of psi's (event_type,
+  bin, n_ref, n_cur) histogram. Fails => the binning floor/least
+  arithmetic diverges on real doubles.
+- ``probe_psi_ln_terms``   cell-keyed sum of 1e-6-quantized LIBM
+  ln(p_cur/p_ref) — the only remaining transcendental class
+  (probe_ln2 pinned only ln(2)). Fails => every data-dependent
+  F.log feeding a registry hash must use precision.pinned_ln
+  (psi_drift already does as of r07; bm25/source_divergence/
+  survival_curve would need the same).
+- ``probe_token_total``    doc-keyed sum of whitespace-token counts
+  over the real corpus. Fails => regexp tokenization diverges on
+  real text (fixture is printable-ASCII-only, so this would be an
+  engine regexp change, not a char-class edge).
+- ``probe_quality_ppm_sum`` doc-keyed sum of the exact quality_ppm
+  expression token_budget_sample ranks by, without the window.
+  Fails while probe_token_total passes => the quality arithmetic;
+  passes while token_budget_sample fails => the window/filter stage.
 """
 
 from __future__ import annotations
@@ -91,6 +145,107 @@ def q_probe_regexp_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- r07 data-dependent decomposition probes --------------------------
+#
+# Shared cell/doc "key" trick: multiplying each partial by a small
+# md5-derived key (mod 9973, so products stay far inside int64 at
+# every fixture SF) makes the one-row sum sensitive to WHICH cell/doc
+# carried a value, not just the total — compensating errors across
+# rows can't cancel. md5 is the one hash both engines share; the
+# UBIGINT hex cast twin below is the registry-wide established
+# pattern (queries/sampling.py).
+
+_KEY_MOD = 9973
+
+
+def _md5_key(col) -> "F.Column":
+    return (
+        F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long") % _KEY_MOD
+    )
+
+
+def _sql_md5_key(expr: str) -> str:
+    return (
+        f"(CAST(CAST(('0x' || substr(md5({expr}), 1, 8)) AS UBIGINT)"
+        f" AS BIGINT) % {_KEY_MOD})"
+    )
+
+
+def q_probe_decimal_literal_div(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _one_row(
+        spark,
+        F.floor(
+            ((F.lit(5) + F.lit(0.5)) / (F.lit(7) + F.lit(0.5) * F.lit(3)))
+            * F.lit(1000000000.0)
+            + F.lit(0.5)
+        ).cast("long"),
+    )
+
+
+def q_probe_decimal_literal_div15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _one_row(
+        spark,
+        F.floor(
+            ((F.lit(5) + F.lit(0.5)) / (F.lit(7) + F.lit(0.5) * F.lit(3)))
+            * F.lit(1000000000000000.0)
+            + F.lit(0.5)
+        ).cast("long"),
+    )
+
+
+def q_probe_psi_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osarchiver_spark.queries.events_analytics import psi_probs
+
+    cells = psi_probs(spark, sf_dir)
+    key = _md5_key(
+        F.concat_ws(":", F.col("event_type"), F.col("bin").cast("string"))
+    )
+    return cells.agg(
+        F.sum(key * (F.col("n_ref") * F.lit(1000003) + F.col("n_cur")))
+        .cast("long")
+        .alias("v")
+    )
+
+
+def q_probe_psi_ln_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # DELIBERATELY F.log (libm), not precision.pinned_ln: this probe
+    # measures whether Java Math.log and the driver's libm agree at
+    # the psi pipeline's real data-dependent arguments after the
+    # 1e-6 quantize — the class that stays in play for bm25 idf,
+    # source_divergence and survival_curve (all currently green).
+    from osarchiver_spark.functions.precision import quantize
+    from osarchiver_spark.queries.events_analytics import psi_probs
+
+    cells = psi_probs(spark, sf_dir)
+    key = _md5_key(
+        F.concat_ws(":", F.col("event_type"), F.col("bin").cast("string"))
+    )
+    lnq = quantize(F.log(F.col("p_cur") / F.col("p_ref")), 6)
+    return cells.agg(F.sum(key * lnq).cast("long").alias("v"))
+
+
+def q_probe_token_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osarchiver_spark.functions.text import token_count
+    from osarchiver_spark.sources.parquet import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.col("doc_id") % _KEY_MOD + F.lit(1)
+    return docs.agg(
+        F.sum(key * token_count(F.col("text")).cast("long"))
+        .cast("long")
+        .alias("v")
+    )
+
+
+def q_probe_quality_ppm_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osarchiver_spark.queries.sampling import quality_ppm_col
+    from osarchiver_spark.sources.parquet import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.col("doc_id") % _KEY_MOD + F.lit(1)
+    return docs.agg(F.sum(key * quality_ppm_col()).cast("long").alias("v"))
+
+
 QUERIES = {
     "probe_bigint_control": q_probe_bigint_control,
     "probe_double_canon": q_probe_double_canon,
@@ -99,6 +254,12 @@ QUERIES = {
     "probe_round_half5": q_probe_round_half5,
     "probe_exact_round_half5": q_probe_exact_round_half5,
     "probe_regexp_split": q_probe_regexp_split,
+    "probe_decimal_literal_div": q_probe_decimal_literal_div,
+    "probe_decimal_literal_div15": q_probe_decimal_literal_div15,
+    "probe_psi_cells": q_probe_psi_cells,
+    "probe_psi_ln_terms": q_probe_psi_ln_terms,
+    "probe_token_total": q_probe_token_total,
+    "probe_quality_ppm_sum": q_probe_quality_ppm_sum,
 }
 
 ORACLES = {
@@ -117,3 +278,56 @@ ORACLES = {
         "trim(' a  b' || chr(9) || 'c '), '\\s+')) AS INT) AS v"
     ),
 }
+
+
+def _decomposition_oracles() -> dict[str, str]:
+    # local import: events_analytics/sampling are earlier in the
+    # registry load order, so this is cycle-free and keeps the probe
+    # SQL textually identical to the chronic queries' own stages.
+    from osarchiver_spark.functions.precision import sql_quantize
+    from osarchiver_spark.queries.events_analytics import PSI_PROBS_SQL_CTES
+    from osarchiver_spark.queries.sampling import (
+        _SQL_TOKS_RAW,
+        SQL_DOCS_TOKENIZED,
+        SQL_QUALITY_PPM,
+    )
+
+    cell_key = _sql_md5_key("(event_type || ':' || CAST(bin AS VARCHAR))")
+    doc_key = f"(doc_id % {_KEY_MOD} + 1)"
+    return {
+        # bare DECIMAL literals on purpose — the class under test
+        "probe_decimal_literal_div": (
+            "SELECT CAST(floor(((5 + 0.5) / (7 + 0.5 * 3))"
+            " * 1000000000.0 + 0.5) AS BIGINT) AS v"
+        ),
+        "probe_decimal_literal_div15": (
+            "SELECT CAST(floor(((5 + 0.5) / (7 + 0.5 * 3))"
+            " * 1000000000000000.0 + 0.5) AS BIGINT) AS v"
+        ),
+        "probe_psi_cells": f"""
+            WITH {PSI_PROBS_SQL_CTES}
+            SELECT CAST(sum({cell_key} * (n_ref * 1000003 + n_cur))
+                        AS BIGINT) AS v
+            FROM probs
+        """,
+        "probe_psi_ln_terms": f"""
+            WITH {PSI_PROBS_SQL_CTES}
+            SELECT CAST(sum({cell_key}
+                            * {sql_quantize('ln(p_cur / p_ref)', 6)})
+                        AS BIGINT) AS v
+            FROM probs
+        """,
+        "probe_token_total": f"""
+            SELECT CAST(sum((doc_id % {_KEY_MOD} + 1)
+                            * CAST(len({_SQL_TOKS_RAW}) AS BIGINT))
+                        AS BIGINT) AS v
+            FROM documents
+        """,
+        "probe_quality_ppm_sum": f"""
+            SELECT CAST(sum({doc_key} * {SQL_QUALITY_PPM}) AS BIGINT) AS v
+            FROM {SQL_DOCS_TOKENIZED}
+        """,
+    }
+
+
+ORACLES.update(_decomposition_oracles())

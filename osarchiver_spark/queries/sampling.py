@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from osarchiver_spark.functions.precision import exact_round, quantize
+from osarchiver_spark.functions.precision import exact_round, quantize, sql_double
 from osarchiver_spark.functions.text import token_count, tokens
 from osarchiver_spark.sources.parquet import load_table
 
@@ -277,6 +277,23 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 TOKEN_BUDGET_PER_SOURCE = 2000
 
 
+def quality_ppm_col() -> "F.Column":
+    """The shared document-quality score in integer ppm —
+    floor((0.5·stopword_ratio + 0.3·min(n_tokens/100, 1)
+    + 0.2·(1 − punct_ratio))·1e6 + 0.5) as a long. Factored out of
+    q_token_budget_sample so the r07 decomposition probe
+    (probes.probe_quality_ppm_sum) exercises the EXACT expression the
+    chronic query runs."""
+    from osarchiver_spark.functions.text import punct_ratio, stopword_ratio, token_count
+
+    n_toks = token_count(F.col("text"))
+    stop_r = stopword_ratio(F.col("text"))
+    len_score = F.least(n_toks.cast("double") / 100.0, F.lit(1.0))
+    return quantize(
+        0.5 * stop_r + 0.3 * len_score + 0.2 * (1.0 - punct_ratio(F.col("text"))), 6
+    )
+
+
 def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budgeted curation: per source, admit documents in
     (quality desc, doc_id) order until the source's token budget is
@@ -296,20 +313,14 @@ def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     integers hash identically under any canonicalization. The window
     orders by quality_ppm (monotone with the old rounded quality, so
     admission membership is unchanged)."""
-    from osarchiver_spark.functions.text import punct_ratio, stopword_ratio, token_count
+    from osarchiver_spark.functions.text import token_count
 
     docs = load_table(spark, sf_dir, "documents")
-    n_toks = token_count(F.col("text"))
-    stop_r = stopword_ratio(F.col("text"))
-    len_score = F.least(n_toks.cast("double") / 100.0, F.lit(1.0))
-    quality_ppm = quantize(
-        0.5 * stop_r + 0.3 * len_score + 0.2 * (1.0 - punct_ratio(F.col("text"))), 6
-    )
     base = docs.select(
         "doc_id",
         "source",
-        quality_ppm.alias("quality_ppm"),
-        n_toks.cast("long").alias("n_tokens"),
+        quality_ppm_col().alias("quality_ppm"),
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
     )
     w = W.partitionBy("source").orderBy(F.desc("quality_ppm"), "doc_id")
     cum = F.sum("n_tokens").over(w)
@@ -515,25 +526,47 @@ ORACLES["vocab_coverage"] = f"""
 
 _SQL_TOKS_RAW = "list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '')"
 
+# Driver-r06 chronic-hash-fail rewrite (r04-r06; root cause found in
+# r07): the un-cast window sum made cum_tokens HUGEINT — the one
+# output type DuckDB's pandas fetch renders as float64 and its Arrow
+# fetch as decimal128, so the driver hashed 123.0/Decimal(123) against
+# Spark's int64 123 while rows and name-based schema matched. Of 213
+# oracles only this one and psi_drift emitted HUGEINT, and both were
+# the only chronic hash-fails. Fix: CAST(... AS BIGINT) on the window
+# sum. Defense-in-depth per the r06 verdict: every bare decimal
+# literal is spelled CAST('x' AS DOUBLE) so no BIGINT-op-DECIMAL
+# arithmetic remains (DuckDB types bigint/100.0 DECIMAL-side in some
+# releases — version-mobile, never probed).
+# The DuckDB twin of quality_ppm_col(), over the columns of
+# SQL_DOCS_TOKENIZED (text, toks, ltoks). Shared with the r07
+# decomposition probes so the probe bisects the exact expression.
+SQL_QUALITY_PPM = f"""CAST(floor(({sql_double('0.5')} * (CASE WHEN len(ltoks) > 0
+                       THEN CAST(len(list_filter(ltoks,
+                            t -> list_contains(['the','and','of','to','a','in','is','it'], t))) AS DOUBLE)
+                            / len(ltoks) ELSE {sql_double('0')} END)
+                     + {sql_double('0.3')} * least(CAST(len(toks) AS DOUBLE)
+                                                   / {sql_double('100')},
+                                                   {sql_double('1')})
+                     + {sql_double('0.2')} * ({sql_double('1')}
+                       - CASE WHEN length(text) > 0
+                       THEN CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+                            / length(text) ELSE {sql_double('0')} END))
+                     * {sql_double('1000000')} + {sql_double('0.5')}) AS BIGINT)"""
+
+SQL_DOCS_TOKENIZED = f"""(SELECT doc_id, source, text, {_SQL_TOKS_RAW} AS toks,
+                     {_SQL_TOKS_LOWER} AS ltoks
+              FROM documents)"""
+
 ORACLES["token_budget_sample"] = f"""
     WITH base AS (
         SELECT doc_id, source,
-               CAST(floor((0.5 * (CASE WHEN len(ltoks) > 0
-                       THEN CAST(len(list_filter(ltoks,
-                            t -> list_contains(['the','and','of','to','a','in','is','it'], t))) AS DOUBLE)
-                            / len(ltoks) ELSE 0.0 END)
-                     + 0.3 * least(len(toks) / 100.0, 1.0)
-                     + 0.2 * (1.0 - CASE WHEN length(text) > 0
-                       THEN CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS DOUBLE)
-                            / length(text) ELSE 0.0 END)) * 1000000.0 + 0.5) AS BIGINT)
-                   AS quality_ppm,
+               {SQL_QUALITY_PPM} AS quality_ppm,
                CAST(len(toks) AS BIGINT) AS n_tokens
-        FROM (SELECT doc_id, source, text, {_SQL_TOKS_RAW} AS toks,
-                     {_SQL_TOKS_LOWER} AS ltoks
-              FROM documents)),
+        FROM {SQL_DOCS_TOKENIZED}),
     cum AS (
-        SELECT *, sum(n_tokens) OVER (PARTITION BY source
-                                      ORDER BY quality_ppm DESC, doc_id) AS cum_tokens
+        SELECT *, CAST(sum(n_tokens) OVER (PARTITION BY source
+                                           ORDER BY quality_ppm DESC, doc_id)
+                       AS BIGINT) AS cum_tokens
         FROM base)
     SELECT doc_id, source, quality_ppm, n_tokens, cum_tokens
     FROM cum WHERE cum_tokens - n_tokens < {TOKEN_BUDGET_PER_SOURCE}

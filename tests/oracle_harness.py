@@ -82,14 +82,36 @@ def compare_query(
 
     con = duckdb_connection(sf_dir)
     try:
-        res = con.execute(oracle)
-        duck_cols = [d[0] for d in res.description]
-        duck_rows = res.fetchall()
+        rel = con.sql(oracle)
+        duck_cols = list(rel.columns)
+        duck_types = [str(t) for t in rel.types]
+        duck_rows = rel.fetchall()
     finally:
         con.close()
 
     assert sorted(spark_cols) == sorted(duck_cols), (
         f"{name}: column mismatch spark={sorted(spark_cols)} duckdb={sorted(duck_cols)}"
+    )
+
+    # Carrier-type guard (driver-r07 root-cause of the r04-r06 chronic
+    # hash-fails): fetchall() gives Python ints for HUGEINT so the
+    # Fraction canonicalization above is blind to it, but the DRIVER's
+    # fetch renders HUGEINT as float64 (pandas) or decimal128 (Arrow)
+    # and hashes a different carrier than Spark's int64 — rows and
+    # name-based schema still match, only the value hash fails. Of 213
+    # oracles exactly the two chronic failers emitted HUGEINT. Ban the
+    # class outright: an oracle output column must never be
+    # HUGEINT/UHUGEINT/DECIMAL — CAST it (AS BIGINT / AS DOUBLE).
+    bad_types = {
+        c: t
+        for c, t in zip(duck_cols, duck_types)
+        if str(t).upper().startswith(("HUGEINT", "UHUGEINT", "DECIMAL"))
+    }
+    assert not bad_types, (
+        f"{name}: oracle output columns with fetch-unstable carrier types "
+        f"{bad_types} — the driver's pandas/Arrow fetch renders these as "
+        f"float64/decimal128 and the value hash diverges from Spark's "
+        f"int64 even when every value is equal; CAST them in the oracle"
     )
     assert len(spark_rows) == len(duck_rows), (
         f"{name}: row count spark={len(spark_rows)} duckdb={len(duck_rows)}"

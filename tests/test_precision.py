@@ -115,21 +115,31 @@ def test_known_spark_duckdb_round_divergence_is_fixed(spark):
 
 
 def test_sql_helpers_pin_the_inlined_oracle_spelling():
-    """The oracle SQL strings inline the exact-sum expressions by hand
-    (static literals); these assertions pin the canonical spelling so
-    a future change to the Python helpers cannot silently diverge
-    from the ~20 oracles that pasted their output."""
+    """Pin the canonical helper spelling so a future change cannot
+    silently drift. NOTE the ~20 oracles that hand-pasted the
+    pre-r07 spelling (bare ``100.0`` literals, un-cast HUGEINT
+    division) deliberately KEEP it: they are driver-green with it,
+    every value is identical under either typing in DuckDB 1.0.0,
+    and rewriting 100 green sites would put churn ahead of evidence
+    (the r07 root cause was HUGEINT at OUTPUT, not internal HUGEINT
+    arithmetic). New oracles should call these helpers and get the
+    version-pinned CAST('…' AS DOUBLE) spelling."""
     from osarchiver_spark.functions.precision import sql_cent_sum, sql_money_sum
 
     assert sql_cent_sum("value") == (
-        "(sum(CAST(floor((value) * 100.0 + 0.5) AS BIGINT)) / 100.0)"
+        "(CAST(sum(CAST(floor((value) * CAST('100' AS DOUBLE)"
+        " + CAST('0.5' AS DOUBLE)) AS BIGINT)) AS DOUBLE)"
+        " / CAST('100' AS DOUBLE))"
     )
     assert sql_money_sum("l_extendedprice * (1 - l_discount)", 4, 2) == (
-        "(floor((sum(CAST(floor((l_extendedprice * (1 - l_discount))"
-        " * 10000.0 + 0.5) AS BIGINT)) + 50) / 100) / 100.0)"
+        "(floor(CAST(sum(CAST(floor((l_extendedprice * (1 - l_discount))"
+        " * CAST('10000' AS DOUBLE) + CAST('0.5' AS DOUBLE)) AS BIGINT))"
+        " + 50 AS DOUBLE) / CAST('100' AS DOUBLE)) / CAST('100' AS DOUBLE))"
     )
     assert sql_money_sum("x", 4, 4) == (
-        "(sum(CAST(floor((x) * 10000.0 + 0.5) AS BIGINT)) / 10000.0)"
+        "(CAST(sum(CAST(floor((x) * CAST('10000' AS DOUBLE)"
+        " + CAST('0.5' AS DOUBLE)) AS BIGINT)) AS DOUBLE)"
+        " / CAST('10000' AS DOUBLE))"
     )
     import pytest
 
