@@ -104,11 +104,20 @@ def q_dedup_incremental_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     new = docs.filter(F.col("doc_id") % 10 == 3)
     corpus = docs.filter(F.col("doc_id") % 10 != 3)
-    # stable per-fixture path + overwrite: repeated adjudication runs
-    # reuse ONE directory instead of leaking a fresh mkdtemp each call
+    # stable per-(fixture, SparkSession) path + overwrite: repeated
+    # adjudication runs in one session reuse ONE directory instead of
+    # leaking a fresh mkdtemp each call, while the applicationId
+    # component makes the path private to this Spark app — two
+    # concurrent runs over the same fixture (e.g. a same-fixture A/B
+    # control) can no longer overwrite a directory the other's
+    # returned DataFrame still reads, and on multi-user hosts the
+    # name can't collide with another user's dir (r06 ADVICE item 1)
     idx_dir = os.path.join(
         tempfile.gettempdir(),
-        f"lsh_index_{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}",
+        "lsh_index_{}_{}".format(
+            hashlib.md5(sf_dir.encode()).hexdigest()[:12],
+            spark.sparkContext.applicationId,
+        ),
     )
     minhash_lsh_index(
         corpus, "doc_id", "text",

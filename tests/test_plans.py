@@ -391,6 +391,8 @@ def test_registry_wide_plan_audit(spark):
         "fuzzy_match": "distinct event-type vocabulary (|types|² pairs)",
         "key_skew_report": "one-row global count aggregate",
         "psi_drift": "one-row time-span aggregate",
+        "probe_psi_cells": "one-row time-span aggregate (shared psi_probs stage)",
+        "probe_psi_ln_terms": "one-row time-span aggregate (shared psi_probs stage)",
         "dedup_lsh_eval": "three one-row count aggregates",
         "source_mix_shift": "one-row token-total aggregate",
         "q11_important_stock": "one-row HAVING threshold aggregate",
@@ -546,8 +548,33 @@ def test_indexed_incremental_probe_plan(spark):
     """dedup_incremental_indexed's probe scan must carry the pushed
     band_key IN predicate (what lets the sorted index's row groups
     prune by min/max) and join the broadcast new-batch bands — never
-    shuffle the index side."""
+    shuffle the index side. The VERIFY side (r06 judge finding) must
+    prune the corpus to the candidate ids BEFORE shingling: a pushed
+    doc_id IN on the corpus scan (or a broadcast left-semi above the
+    cap) — never a full-corpus text pass per probe batch."""
     plan = _formatted(spark, "dedup_incremental_indexed")
     assert "PushedFilters: [In(band_key" in plan
+    assert "In(doc_id" in plan
     assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_indexed_incremental_verify_fallback_plan(spark, tmp_path):
+    """Above the id-pushdown cap the verify side must still prune via
+    a broadcast left-semi before _with_shingles (never re-shingle the
+    full corpus)."""
+    import contextlib
+    import io
+    from unittest import mock
+
+    from osarchiver_spark.operators import dedup as dedup_ops
+    from osarchiver_spark.queries.dedup import q_dedup_incremental_indexed
+
+    with mock.patch.object(dedup_ops, "PROBE_PUSHDOWN_MAX_KEYS", 0):
+        df = q_dedup_incremental_indexed(spark, SF)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+    assert "LeftSemi" in plan
     assert "CartesianProduct" not in plan
