@@ -67,7 +67,9 @@ def cent_sum(col: Column, exact: bool = False) -> Column:
     as decimal(38,0) (no wrap; ~3× slower agg, measured 0.55 s vs
     1.74 s over 60M cached rows on local[16]) and converts once to
     double — both engines' integer→double casts are correctly
-    rounded, so the result stays engine-identical at any magnitude.
+    rounded, so the result stays engine-identical (past 2^53 cents
+    the cast rounds, identically on both sides; no floor follows, so
+    no further ceiling applies).
     """
     q = quantize(col, 2)
     if exact:
@@ -112,9 +114,17 @@ def money_sum(
     in_digits=6 and ~1e5-magnitude money values that is ~10^8 rows
     per group; the TPC-H fixtures sit orders below it, but a 100 TB
     deployment aggregating to few groups should pass ``exact=True``
-    (decimal(38,0) accumulator, ~3× slower agg, engine-identical at
-    any magnitude: the final int→double casts are correctly rounded
-    in both engines and both divide the same exact integer)."""
+    (decimal(38,0) accumulator, ~3× slower agg). What exact buys is
+    freedom from the accumulator's silent int64 WRAP; the rescale
+    path has its own (much higher) ceilings: past 2^53 the
+    int→double cast rounds — identically in both engines, so
+    cross-engine identity holds but the floor boundary is the
+    double's, not the integer's — and Spark's floor-of-double
+    returns LongType, which saturates at 2^63 where DuckDB's floor
+    stays DOUBLE, so engine identity holds only while the FLOORED
+    quotient < 2^63 (sum < 2^63 × 10^(in-out); at in=6/out=2 that is
+    money totals below ~9.2e16 — far past any physical ledger, but a
+    bound, not "any magnitude")."""
     if in_digits < out_digits:
         raise ValueError("money_sum requires in_digits >= out_digits")
     q = quantize(col, in_digits)
@@ -127,8 +137,11 @@ def money_sum(
         return s.cast("double") / F.lit(out_scale)
     div = 10 ** (in_digits - out_digits)
     # the half-offset add stays in the exact integer domain (long or
-    # decimal) so the floor boundary is exact; only the final
-    # rescale rounds, identically in both engines
+    # decimal); the division is double, so past 2^53 the floor
+    # boundary is the double's — approximate vs the true integer
+    # quotient but IDENTICAL in both engines (same correctly-rounded
+    # cast, same IEEE divide); see the docstring for the 2^63
+    # floor-saturation ceiling on engine identity
     return (
         F.floor((s + F.lit(div // 2)).cast("double") / F.lit(float(div)))
         / F.lit(out_scale)

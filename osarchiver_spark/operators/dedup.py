@@ -292,14 +292,18 @@ def minhash_lsh_incremental_indexed(
     probe_src = index
     if len(keys) <= PROBE_PUSHDOWN_MAX_KEYS:
         probe_src = index.filter(F.col("band_key").isin(keys))
-    # cand is consumed twice (the corpus-pruning id collect below and
-    # the final verify join) and deliberately NOT checkpointed: the
-    # id collect reads a column-pruned twin of the probe (corpus_id
-    # only), so the duplicated work is one extra pushed sliver scan of
-    # the index — cheaper at every scale than materializing the pair
-    # set, and it keeps both pushed predicates visible in the final
-    # plan (test_indexed_incremental_probe_plan pins them; a
+    # In the common (pushed) branch cand is consumed twice — the
+    # corpus-pruning id collect below and the final verify join — and
+    # deliberately NOT checkpointed: the id collect reads a
+    # column-pruned twin of the probe (corpus_id only), so the
+    # duplicated work is one extra pushed sliver scan of the index —
+    # cheaper at every scale than materializing the pair set, and it
+    # keeps both pushed predicates visible in the final plan
+    # (test_indexed_incremental_probe_plan pins them; a
     # localCheckpoint would truncate the lineage to a LogicalRDD).
+    # The overflow branch below DOES checkpoint: there cand would
+    # otherwise evaluate three times (collect, semi-join build, pair
+    # join) over a candidate set already known to be large.
     cand = (
         probe_src.join(F.broadcast(nb), ["band_idx", "band_key"])
         .select("new_id", "corpus_id")
@@ -326,8 +330,16 @@ def minhash_lsh_incremental_indexed(
     if len(cand_ids) <= PROBE_PUSHDOWN_MAX_KEYS:
         pruned = corpus.filter(F.col(id_col).isin(cand_ids))
     else:
+        # deliberately NO broadcast hint: a boilerplate-heavy batch
+        # can make the candidate id set corpus-proportional, and an
+        # unconditional broadcast of it would hit the driver/executor
+        # broadcast ceiling at exactly the scale this operator is
+        # for. Left to itself, AQE broadcasts when the set measures
+        # small and shuffles a plain semi-join when it doesn't —
+        # either completes at any candidate cardinality.
+        cand = transient(cand)
         pruned = corpus.join(
-            F.broadcast(cand.select(F.col("corpus_id").alias(id_col)).distinct()),
+            cand.select(F.col("corpus_id").alias(id_col)).distinct(),
             id_col,
             "left_semi",
         )

@@ -83,6 +83,25 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_REAPED_INDEX_DIRS: set[str] = set()
+
+
+def _reap_index_dir_at_exit(idx_dir: str) -> None:
+    """Per-application index dirs would otherwise accumulate in /tmp
+    forever (each Spark app gets a fresh applicationId — the component
+    that makes concurrent runs collision-free also defeats the old
+    stable-path reuse). Register a process-exit rmtree once per dir:
+    within the app's lifetime repeated calls still reuse ONE
+    directory, and the host is clean after the process ends."""
+    if idx_dir in _REAPED_INDEX_DIRS:
+        return
+    import atexit
+    import shutil
+
+    _REAPED_INDEX_DIRS.add(idx_dir)
+    atexit.register(shutil.rmtree, idx_dir, ignore_errors=True)
+
+
 def q_dedup_incremental_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The indexed variant of dedup_incremental: the corpus's band
     index is BUILT ONCE, persisted band_key-sorted, and the new batch
@@ -119,6 +138,7 @@ def q_dedup_incremental_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.sparkContext.applicationId,
         ),
     )
+    _reap_index_dir_at_exit(idx_dir)
     minhash_lsh_index(
         corpus, "doc_id", "text",
         shingle_n=3, num_hashes=NUM_HASHES, bands=BANDS, num_files=8,

@@ -292,7 +292,11 @@ def _decomposition_oracles() -> dict[str, str]:
         SQL_QUALITY_PPM,
     )
 
-    cell_key = _sql_md5_key("(event_type || ':' || CAST(bin AS VARCHAR))")
+    # concat_ws on BOTH sides: Spark's concat_ws skips NULL args while
+    # SQL || propagates NULL through md5 and silently drops the cell
+    # from the sum — a latent cross-engine key divergence should a
+    # future fixture carry a NULL event_type (none do today)
+    cell_key = _sql_md5_key("concat_ws(':', event_type, CAST(bin AS VARCHAR))")
     doc_key = f"(doc_id % {_KEY_MOD} + 1)"
     return {
         # bare DECIMAL literals on purpose — the class under test
