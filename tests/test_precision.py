@@ -181,3 +181,42 @@ def test_money_sum_guards_and_exactness(spark):
                 / 10**out_d
             )
             assert got == want, (in_d, out_d, parts, got, want)
+
+
+def test_pinned_ln_accuracy_and_cross_engine_bit_identity(spark):
+    """pinned_ln's two contracts, property-style: (a) accuracy — within
+    2e-10 absolute of libm over the argument range psi-like consumers
+    produce (e^-18..e^18); (b) the load-bearing one — BIT identity
+    between the Spark expression and sql_pinned_ln in DuckDB on the
+    same inputs, which holds by construction (sqrt,+,−,×,÷ are all
+    correctly rounded per IEEE-754) and is what lets a registry hash
+    depend on a data-dependent logarithm at all."""
+    import math
+    import random
+    import struct
+
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from osarchiver_spark.functions.precision import pinned_ln, sql_pinned_ln
+
+    rng = random.Random(43)
+    xs = [math.exp(rng.uniform(-18.0, 18.0)) for _ in range(200)]
+    xs += [1.0, 0.5, 2.0, 1e-9, 1e9, 1.0000001, 0.9999999]
+
+    df = spark.createDataFrame([(x,) for x in xs], "x double")
+    got = [
+        r["y"]
+        for r in df.select(pinned_ln(F.col("x")).alias("y")).collect()
+    ]
+    for x, y in zip(xs, got):
+        assert abs(y - math.log(x)) < 2e-10, (x, y, math.log(x))
+
+    con = duckdb.connect()
+    # bind x once via a subquery: sql_pinned_ln textually duplicates
+    # its argument, so a bare '?' would demand one bind per copy
+    sql = f"SELECT {sql_pinned_ln('x')} FROM (SELECT CAST(? AS DOUBLE) AS x)"
+    duck = [con.execute(sql, [x]).fetchone()[0] for x in xs]
+    bits = lambda v: struct.pack("<d", v)  # noqa: E731
+    for x, s, d in zip(xs, got, duck):
+        assert bits(s) == bits(d), (x, s.hex(), d.hex())
