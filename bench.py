@@ -54,6 +54,7 @@ HEADLINE = [
     "dedup_containment",
     "dedup_substring_spans",
     "dedup_incremental",
+    "dedup_incremental_indexed",
     "entity_resolution",
     "dedup_embedding",
     "dedup_embedding_incremental",

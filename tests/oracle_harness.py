@@ -26,9 +26,20 @@ FLOAT_ABS_TOL = 1e-9
 
 
 def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    import os
+
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{table_path(sf_dir, t)}'")
+        path = table_path(sf_dir, t)
+        # driver fixtures are single files; self-built scale fixtures
+        # (tools/make_scale_fixture.py) are Spark-written DIRECTORIES
+        # of part files — glob those so sf1/sf10 parity sweeps run
+        # through the same harness
+        if os.path.isdir(path):
+            path = os.path.join(path, "*.parquet")
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
+        )
     return con
 
 
