@@ -106,6 +106,15 @@ def run_streaming_dedup(
     batch DataFrame. ``transform`` (stream → stream, stateless
     columns/filters only) runs BEFORE the stateful dedup — the hook
     that fuses ingest gates into the same micro-batch pass."""
+    import os
+
+    # directory-per-table fixtures (self-built scale dirs): the glob
+    # names a DIRECTORY, which the file source would silently match
+    # zero files against — watch the directory itself instead (see
+    # streaming/pipeline.py::fixture_table_watch)
+    if path_glob and os.path.isdir(os.path.join(watch_dir, path_glob)):
+        watch_dir = os.path.join(watch_dir, path_glob)
+        path_glob = None
     reader = spark.readStream.format("parquet").schema(schema)
     if path_glob:
         reader = reader.option("pathGlobFilter", path_glob)

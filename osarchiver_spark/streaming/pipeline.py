@@ -78,20 +78,34 @@ EVENTS_RAW_SCHEMA = T.StructType(
 )
 
 
+def fixture_table_watch(sf_dir: str, table: str) -> tuple[str, str | None]:
+    """(watch_dir, path_glob) for streaming over one fixture table.
+
+    The file stream source watches a DIRECTORY (a real deployment
+    watches a landing dir of arriving files). Driver fixtures store
+    each table as a single FILE, so the stream watches the fixture dir
+    with a pathGlobFilter; self-built scale fixtures
+    (tools/make_scale_fixture.py) store the table as a Spark-written
+    DIRECTORY of part files — there the glob-over-parent shape matches
+    no file and the stream silently reads ZERO rows (found by the r07
+    sf1 parity sweep: every stream-over-fixture query returned empty),
+    so the table directory itself is watched instead."""
+    table_dir = os.path.join(sf_dir, f"{table}.parquet")
+    if os.path.isdir(table_dir):
+        return table_dir, None
+    return sf_dir, f"{table}.parquet"
+
+
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the events fixture with event-time column."""
     from osarchiver_spark.sources.parquet import ensure_session_defaults
 
     ensure_session_defaults(spark)
-    # The file stream source watches a DIRECTORY; pathGlobFilter picks
-    # the events table out of the fixture dir (a real deployment
-    # watches a landing dir of arriving parquet files).
-    return (
-        spark.readStream.format("parquet")
-        .schema(EVENTS_RAW_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir)
-    )
+    watch_dir, glob = fixture_table_watch(sf_dir, "events")
+    reader = spark.readStream.format("parquet").schema(EVENTS_RAW_SCHEMA)
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(watch_dir)
 
 
 def streaming_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
