@@ -205,3 +205,30 @@ try:
         assert got == want, (events, range_h, v_delay, p_delay, join_type)
 except ImportError:  # hypothesis not installed: property test is optional
     pass
+
+
+def test_streaming_reads_directory_layout_fixtures(spark, sf_small, tmp_path):
+    """r07 regression pin: a fixture whose events.parquet is a
+    Spark-written DIRECTORY of part files (the self-built sf1/sf10
+    scale layout) must stream the same rows as the single-file driver
+    layout — the glob-over-parent source silently read ZERO rows from
+    directory tables until the sf1 parity sweep caught it."""
+    import os
+
+    from osarchiver_spark.streaming.pipeline import fixture_table_watch
+
+    # dir-layout twin of the sf_small fixture
+    dir_fixture = str(tmp_path / "dirsf")
+    os.makedirs(dir_fixture)
+    load_table(spark, sf_small, "events").write.parquet(
+        os.path.join(dir_fixture, "events.parquet")
+    )
+
+    wd, glob = fixture_table_watch(sf_small, "events")
+    assert (wd, glob) == (sf_small, "events.parquet")  # file layout: unchanged
+    wd2, glob2 = fixture_table_watch(dir_fixture, "events")
+    assert wd2.endswith("events.parquet") and glob2 is None  # dir layout
+
+    want = streaming_tumbling_agg(spark, sf_small).count()
+    got = streaming_tumbling_agg(spark, dir_fixture).count()
+    assert want > 0 and got == want
