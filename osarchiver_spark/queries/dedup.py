@@ -55,9 +55,20 @@ def q_dedup_minhash_xxhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PRODUCTION MinHash mode: xxhash64 signatures (one JVM
     intrinsic per shingle instead of an md5 string round-trip, ~1.6×
     at sf0.1). Banding differs from the md5 twin but the verify stage
-    is exact Jaccard in both, and recall is full on the fixtures
-    (pinned in tests/test_similarity.py), so the md5 oracle's exact
-    pair set is also this query's oracle."""
+    is exact Jaccard in both, and recall is full at the adjudication
+    scales (≤ sf0.1, pinned in tests/test_similarity.py), so the md5
+    oracle's exact pair set is also this query's oracle THERE.
+
+    Scale honesty (r07 sf1 sweep finding): oracle equality is an
+    adjudication-scale instrument, not an LSH property. At sf1
+    (100k docs) the corpus holds enough borderline pairs that each
+    banding family drops a different sliver below LSH's probabilistic
+    recall curve 1-(1-s^r)^b — measured: md5 misses 833 true pairs
+    xxhash64 catches, xxhash64 misses 774 md5 catches, 99.7% overlap,
+    union 250,582. Every emitted pair is exact-verified (precision 1
+    at any scale); recall at production scale is the banded LSH
+    guarantee, tuned via num_hashes/bands, NOT equality with another
+    hash family. See SCALE.md 'Known scale caveats'."""
     docs = load_table(spark, sf_dir, "documents")
     return minhash_lsh_pairs(
         docs, "doc_id", "text",
