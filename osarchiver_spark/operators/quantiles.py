@@ -1,0 +1,146 @@
+"""Exact distributed quantiles over integer-grid columns — engine-
+identical by construction.
+
+Why this exists (r07 sf1 parity sweep): ``percentile(col, q)`` /
+``quantile_cont`` interpolate between two order statistics with
+DOUBLE arithmetic whose operation order is engine-specific, so the
+band they return can differ between Spark and another engine in the
+last ulp. A query that COMPARES values against such a band
+(winsorization clip flags, curriculum bucket edges) flips a boolean
+for any value within an ulp of it — invisible at small fixtures,
+demonstrated at sf1 (``winsorize_events``: one event sat exactly on
+the p95 interpolation and the two engines disagreed on
+``was_clipped``). The deeper issue is the same class as libm ``ln``
+(functions/precision.py::pinned_ln): data-dependent engine arithmetic
+feeding a hash.
+
+The fix is to compute the SAME mathematical definition — linear
+interpolation between order statistics, exactly what
+``quantile_cont`` specifies — in EXACT INTEGER arithmetic, which is
+possible whenever the column lives on an integer grid (cents-valued
+money, token counts, any quantized measure):
+
+  for q = a/b over n rows (0-indexed ranks):
+      pos = (n-1)·a / b,   idx = ⌊pos⌋,   rem = (n-1)·a mod b
+      quantile = v[idx] + (v[idx+1] − v[idx]) · rem/b
+  ⇒  NUM = b·v[idx] + (v[idx+1] − v[idx])·rem          (exact bigint)
+      quantile = NUM / b                                 (exact rational)
+
+Comparisons against the band become pure integer comparisons
+(``x <= NUM/b  ⇔  x·b <= NUM``), and the band's decimal-rounded value
+is derivable as one exact-int → double cast plus one IEEE division —
+both correctly rounded and identical on every IEEE-754 engine.
+
+Scale shape: one map-combinable ``groupBy(group, value).count()``
+(the value histogram — tiny for any realistically-gridded column), a
+window cumsum over the HISTOGRAM (not the fact table), and a one-row-
+per-group aggregate. This is also cheaper at 100 TB than
+``percentile``'s per-group sorted buffer: the shuffle carries one row
+per DISTINCT value, not per row.
+
+Reference semantics: linear interpolation per Hyndman & Fan type 7 —
+the definition shared by Spark ``percentile``, DuckDB
+``quantile_cont``, NumPy default, and PostgreSQL ``percentile_cont``.
+"""
+
+from __future__ import annotations
+
+from fractions import Fraction
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+
+def _as_ratio(q) -> tuple[int, int]:
+    """Quantile as an exact (numerator, denominator) pair."""
+    if isinstance(q, tuple):
+        a, b = q
+    else:
+        fr = Fraction(str(q))  # str() so 0.05 means 1/20, not its float
+        a, b = fr.numerator, fr.denominator
+    if not (0 <= a <= b) or b <= 0:
+        raise ValueError(f"quantile must be in [0,1]: {q}")
+    return int(a), int(b)
+
+
+def exact_quantile_nums(
+    df: DataFrame,
+    group_col: str,
+    int_col: str,
+    quantiles: dict[str, object],
+) -> DataFrame:
+    """Per-group exact quantile NUMERATORS for an integer column.
+
+    Returns one row per group with ``n`` (bigint group row count) and,
+    for each ``name -> q`` in ``quantiles``: ``{name}_num`` (bigint,
+    the quantile times ``{name}_den``) and a literal column
+    ``{name}_den`` (the ratio denominator b). ``quantile = num / den``
+    exactly; compare ``x <= quantile`` as ``x * den <= num``.
+    """
+    hist = df.groupBy(group_col, int_col).agg(F.count(F.lit(1)).alias("cnt"))
+    w = W.partitionBy(group_col).orderBy(int_col)
+    cums = hist.withColumn("cum", F.sum("cnt").over(w))
+    totals = cums.groupBy(group_col).agg(F.max("cum").alias("n"))
+    j = cums.join(F.broadcast(totals), group_col)
+
+    aggs: list[Column] = [F.max("n").cast("long").alias("n")]
+    for name, q in quantiles.items():
+        a, b = _as_ratio(q)
+        pos = (F.col("n") - 1) * F.lit(a)
+        rem = pos % F.lit(b)
+        # (pos - rem)/b is an exact integer, so the double division is
+        # exact and the cast is the true floor — no float-boundary risk
+        idx = ((pos - rem) / F.lit(b)).cast("long")
+        v_lo = F.min(F.when(F.col("cum") >= idx + 1, F.col(int_col)))
+        v_hi = F.min(F.when(F.col("cum") >= idx + 2, F.col(int_col)))
+        num = (
+            F.lit(b) * v_lo
+            + (F.coalesce(v_hi, v_lo) - v_lo) * F.max(rem)
+        )
+        aggs.append(num.cast("long").alias(f"{name}_num"))
+        aggs.append(F.lit(b).cast("long").alias(f"{name}_den"))
+    return j.groupBy(group_col).agg(*aggs)
+
+
+def sql_exact_quantile_nums(
+    table_sql: str,
+    group_col: str,
+    int_col: str,
+    quantiles: dict[str, object],
+) -> str:
+    """DuckDB twin of :func:`exact_quantile_nums` — same integer ops.
+
+    Returns a complete SELECT (wrap as a CTE). ``table_sql`` is a
+    table name or parenthesized subquery providing ``group_col`` and
+    ``int_col``.
+    """
+    cols = ["CAST(max(n) AS BIGINT) AS n"]
+    for name, q in quantiles.items():
+        a, b = _as_ratio(q)
+        pos = f"((n - 1) * {a})"
+        rem = f"({pos} % {b})"
+        idx = f"CAST(({pos} - {rem}) / {b} AS BIGINT)"
+        v_lo = f"min(CASE WHEN cum >= {idx} + 1 THEN v END)"
+        v_hi = f"min(CASE WHEN cum >= {idx} + 2 THEN v END)"
+        cols.append(
+            f"CAST({b} * {v_lo} + (coalesce({v_hi}, {v_lo}) - {v_lo})"
+            f" * max({rem}) AS BIGINT) AS {name}_num,"
+            f" CAST({b} AS BIGINT) AS {name}_den"
+        )
+    cols_sql = ",\n           ".join(cols)
+    return f"""
+        SELECT {group_col}, {cols_sql}
+        FROM (
+            SELECT h.{group_col}, h.v, h.cum, t.n
+            FROM (
+                SELECT {group_col}, v,
+                       sum(cnt) OVER (PARTITION BY {group_col}
+                                      ORDER BY v) AS cum
+                FROM (SELECT {group_col}, {int_col} AS v, count(*) AS cnt
+                      FROM {table_sql} GROUP BY 1, 2)) h
+            JOIN (
+                SELECT {group_col}, count(*) AS n
+                FROM {table_sql} GROUP BY 1) t USING ({group_col}))
+        GROUP BY {group_col}
+    """

@@ -19,6 +19,10 @@ from osarchiver_spark.operators.retention import (
     retention_cutoff,
     retention_filter,
 )
+from osarchiver_spark.functions.precision import sql_double as _SQLD
+from osarchiver_spark.operators.quantiles import (
+    sql_exact_quantile_nums as _SQL_QN,
+)
 from osarchiver_spark.sources.parquet import load_table
 
 FROZEN_NOW = datetime(2001, 12, 1)
@@ -424,21 +428,35 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_grouped_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust dispersion per event type: median absolute deviation
-    around the exact median. Two grouped exact-percentile aggregates
-    (median, then median of |x - median| after a broadcast join of
-    the per-type medians) — the robust twin of stddev that heavy
-    tails can't inflate."""
+    around the exact median — the robust twin of stddev that heavy
+    tails can't inflate.
+
+    r07 hardening: both medians are EXACT integer-rational order
+    statistics over the value's cent grid (operators/quantiles.py —
+    engine percentile interpolation is last-ulp-divergent, the class
+    the sf1 sweep demonstrated on winsorize_events). The median lives
+    on the half-cent grid (med_num/200 dollars), deviations
+    |c·2 − med_num| are exact half-cent integers, and the MAD on
+    their half-grid is mad_num/400 dollars — each emitted as one
+    exact-int→double cast + one IEEE division."""
+    from osarchiver_spark.functions.precision import quantize
+    from osarchiver_spark.operators.quantiles import exact_quantile_nums
+
     ev = load_table(spark, sf_dir, "events")
-    med = ev.groupBy("event_type").agg(
-        F.expr("percentile(value, 0.5)").alias("med")
-    )
-    return (
-        ev.join(F.broadcast(med), "event_type")
-        .groupBy("event_type")
-        .agg(
-            F.round(F.first("med"), 6).alias("median_value"),
-            F.round(F.expr("percentile(abs(value - med), 0.5)"), 6).alias("mad"),
-        )
+    evc = ev.select("event_type", quantize(F.col("value"), 2).alias("c"))
+    med = exact_quantile_nums(evc, "event_type", "c", {"med": (1, 2)})
+    dev = evc.join(
+        F.broadcast(med.select("event_type", "med_num")), "event_type"
+    ).select("event_type", F.abs(F.col("c") * 2 - F.col("med_num")).alias("d"))
+    mad = exact_quantile_nums(dev, "event_type", "d", {"mad": (1, 2)})
+    return med.join(mad.select("event_type", "mad_num"), "event_type").select(
+        "event_type",
+        ((F.col("med_num") * F.lit(5000)).cast("double") / F.lit(1000000.0)).alias(
+            "median_value"
+        ),
+        ((F.col("mad_num") * F.lit(2500)).cast("double") / F.lit(1000000.0)).alias(
+            "mad"
+        ),
     )
 
 
@@ -549,15 +567,25 @@ ORACLES = {
                     WHEN a.price_a IS NULL THEN 'added'
                     WHEN a.price_a <> b.price_b THEN 'changed' END) IS NOT NULL
     """,
-    "grouped_mad": """
-        WITH med AS (
-            SELECT event_type, quantile_cont(value, 0.5) AS med
-            FROM events GROUP BY 1)
-        SELECT e.event_type,
-               round(any_value(m.med), 6) AS median_value,
-               round(quantile_cont(abs(e.value - m.med), 0.5), 6) AS mad
-        FROM events e JOIN med m USING (event_type)
-        GROUP BY e.event_type
+    # exact integer-rational medians (operators/quantiles.py) — see
+    # q_grouped_mad docstring
+    "grouped_mad": f"""
+        WITH cents AS (
+            SELECT event_type,
+                   CAST(floor(value * {_SQLD('100')}
+                              + {_SQLD('0.5')}) AS BIGINT) AS c
+            FROM events),
+        med AS ({_SQL_QN("cents", "event_type", "c", {"med": (1, 2)})}),
+        dev AS (
+            SELECT e.event_type, abs(e.c * 2 - m.med_num) AS d
+            FROM cents e JOIN med m USING (event_type)),
+        mad AS ({_SQL_QN("dev", "event_type", "d", {"mad": (1, 2)})})
+        SELECT event_type,
+               CAST(med.med_num * 5000 AS DOUBLE)
+                   / {_SQLD('1000000')} AS median_value,
+               CAST(mad.mad_num * 2500 AS DOUBLE)
+                   / {_SQLD('1000000')} AS mad
+        FROM med JOIN mad USING (event_type)
     """,
     "cdc_apply": """
         WITH changelog AS (

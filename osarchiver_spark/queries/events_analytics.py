@@ -33,6 +33,7 @@ from osarchiver_spark.functions.precision import (
     sql_pinned_ln,
     sql_quantize,
 )
+from osarchiver_spark.operators.quantiles import sql_exact_quantile_nums
 from osarchiver_spark.functions.text import token_count
 from osarchiver_spark.sources.parquet import load_table
 
@@ -126,23 +127,36 @@ def q_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_quality_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curriculum binning: documents assigned to 4 length buckets by
     exact token-count quartiles. Boundaries come from a one-row
-    percentile aggregate broadcast into the CASE — not a global
-    ntile() window."""
+    quantile aggregate broadcast into the CASE — not a global
+    ntile() window.
+
+    r07 hardening: the quartile boundaries are EXACT integer-rational
+    order statistics (operators/quantiles.py), not interpolated
+    doubles — a bucket-edge comparison against a float quantile flips
+    for any count within an ulp of the band, the engine-arithmetic
+    class the sf1 sweep demonstrated on winsorize_events. The
+    comparison ``t <= q`` becomes the integer ``t*den <= num``."""
+    from osarchiver_spark.operators.quantiles import exact_quantile_nums
+
     docs = load_table(spark, sf_dir, "documents")
-    sized = docs.select("doc_id", token_count(F.col("text")).alias("n_tokens"))
-    bounds = sized.agg(
-        F.expr("percentile(n_tokens, array(0.25, 0.5, 0.75))").alias("q")
-    ).select(
-        F.col("q")[0].alias("q1"), F.col("q")[1].alias("q2"), F.col("q")[2].alias("q3")
+    sized = docs.select(
+        "doc_id", token_count(F.col("text")).cast("long").alias("n_tokens")
     )
+    bounds = exact_quantile_nums(
+        sized.select(F.lit(1).alias("g"), "n_tokens"),
+        "g",
+        "n_tokens",
+        {"q1": (1, 4), "q2": (2, 4), "q3": (3, 4)},
+    )
+    t4 = F.col("n_tokens") * F.lit(4)
     bucket = (
-        F.when(F.col("n_tokens") <= F.col("q1"), 1)
-        .when(F.col("n_tokens") <= F.col("q2"), 2)
-        .when(F.col("n_tokens") <= F.col("q3"), 3)
+        F.when(t4 <= F.col("q1_num"), 1)
+        .when(t4 <= F.col("q2_num"), 2)
+        .when(t4 <= F.col("q3_num"), 3)
         .otherwise(4)
     )
     return (
-        sized.crossJoin(F.broadcast(bounds))
+        sized.crossJoin(F.broadcast(bounds.drop("g")))
         .select("doc_id", "n_tokens", bucket.cast("int").alias("bucket"))
     )
 
@@ -150,24 +164,47 @@ def q_quality_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_winsorize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped outlier clipping (winsorization): event values clipped
     to their event_type's exact [p05, p95] band — the robust-stats
-    pre-step before numeric feature extraction. Per-group exact
-    percentiles are one map-combinable aggregate over a low-cardinality
-    key, broadcast back into the scan-side clip; no window, no sort of
-    the fact table."""
+    pre-step before numeric feature extraction.
+
+    r07 hardening (found by the sf1 parity sweep): the band was
+    ``percentile(value, q)``, whose double interpolation is engine-
+    order-specific in the last ulp — at sf1 one event sat exactly on
+    the p95 interpolation and the engines disagreed on
+    ``was_clipped``. The band is now the EXACT rational order
+    statistic (operators/quantiles.py) over the value's intrinsic
+    cent grid: clip flags are pure integer comparisons
+    (``c·20 < p05_num``), and the winsorized value is one exact-int →
+    double cast + one IEEE division (the 1/20-cent band grid IS the
+    4-dp grid: num·5 is the value in 1e-4 dollars). Same linear-
+    interpolation definition (Hyndman-Fan 7 — what quantile_cont
+    computes), now bit-identical across engines by construction.
+    Scale shape: the quantile pass is a map-combinable histogram agg
+    (one row per DISTINCT cent value) + a window over the histogram —
+    cheaper at 100 TB than percentile's per-group sorted buffer."""
+    from osarchiver_spark.operators.quantiles import exact_quantile_nums
+
     ev = load_table(spark, sf_dir, "events")
-    bands = ev.groupBy("event_type").agg(
-        F.expr("percentile(value, 0.05)").alias("p05"),
-        F.expr("percentile(value, 0.95)").alias("p95"),
+    evc = ev.select(
+        "event_id", "event_type", "value", quantize(F.col("value"), 2).alias("c")
     )
-    clipped = F.least(F.greatest(F.col("value"), F.col("p05")), F.col("p95"))
+    bands = exact_quantile_nums(
+        evc.select("event_type", "c"),
+        "event_type",
+        "c",
+        {"p05": (1, 20), "p95": (19, 20)},
+    )
+    c20 = F.col("c") * F.lit(20)
+    clipped20 = F.least(F.greatest(c20, F.col("p05_num")), F.col("p95_num"))
     return (
-        ev.join(F.broadcast(bands), "event_type")
+        evc.join(F.broadcast(bands), "event_type")
         .select(
             "event_id",
             "event_type",
             F.round("value", 4).alias("value"),
-            F.round(clipped, 4).alias("value_winsorized"),
-            ((F.col("value") < F.col("p05")) | (F.col("value") > F.col("p95"))).alias(
+            ((clipped20 * F.lit(5)).cast("double") / F.lit(10000.0)).alias(
+                "value_winsorized"
+            ),
+            ((c20 < F.col("p05_num")) | (c20 > F.col("p95_num"))).alias(
                 "was_clipped"
             ),
         )
@@ -1078,30 +1115,39 @@ ORACLES = {
         FROM events
         GROUP BY 1, 2
     """,
-    "winsorize_events": """
-        WITH bands AS (
-            SELECT event_type,
-                   quantile_cont(value, 0.05) AS p05,
-                   quantile_cont(value, 0.95) AS p95
-            FROM events GROUP BY 1)
+    # exact integer-rational band (operators/quantiles.py) — see
+    # q_winsorize_events docstring; quantile_cont's double interp
+    # diverged from Spark's at sf1 on a value exactly on the band
+    "winsorize_events": f"""
+        WITH cents AS (
+            SELECT event_id, event_type, value,
+                   CAST(floor(value * {sql_double('100')}
+                              + {sql_double('0.5')}) AS BIGINT) AS c
+            FROM events),
+        bands AS ({sql_exact_quantile_nums(
+            "(SELECT event_type, c FROM cents)",
+            "event_type", "c", {"p05": (1, 20), "p95": (19, 20)})})
         SELECT e.event_id, e.event_type,
                round(e.value, 4) AS value,
-               round(least(greatest(e.value, b.p05), b.p95), 4) AS value_winsorized,
-               (e.value < b.p05 OR e.value > b.p95) AS was_clipped
-        FROM events e JOIN bands b USING (event_type)
+               CAST(least(greatest(e.c * 20, b.p05_num), b.p95_num) * 5
+                    AS DOUBLE) / {sql_double('10000')} AS value_winsorized,
+               (e.c * 20 < b.p05_num OR e.c * 20 > b.p95_num) AS was_clipped
+        FROM cents e JOIN bands b USING (event_type)
     """,
+    # exact integer-rational quartile edges — same hardening as
+    # winsorize_events (bucket-edge comparisons must not depend on an
+    # engine's quantile interpolation order); t <= q becomes t*4 <= num
     "quality_curriculum": f"""
         WITH sized AS (
-            SELECT doc_id, {_SQL_N_TOKENS} AS n_tokens FROM documents),
-        bounds AS (
-            SELECT quantile_cont(n_tokens, 0.25) AS q1,
-                   quantile_cont(n_tokens, 0.5) AS q2,
-                   quantile_cont(n_tokens, 0.75) AS q3
-            FROM sized)
+            SELECT doc_id, CAST({_SQL_N_TOKENS} AS BIGINT) AS n_tokens
+            FROM documents),
+        bounds AS ({sql_exact_quantile_nums(
+            "(SELECT 1 AS g, n_tokens FROM sized)",
+            "g", "n_tokens", {"q1": (1, 4), "q2": (2, 4), "q3": (3, 4)})})
         SELECT doc_id, n_tokens,
-               CAST(CASE WHEN n_tokens <= q1 THEN 1
-                         WHEN n_tokens <= q2 THEN 2
-                         WHEN n_tokens <= q3 THEN 3
+               CAST(CASE WHEN n_tokens * 4 <= q1_num THEN 1
+                         WHEN n_tokens * 4 <= q2_num THEN 2
+                         WHEN n_tokens * 4 <= q3_num THEN 3
                          ELSE 4 END AS INT) AS bucket
         FROM sized CROSS JOIN bounds
     """,

@@ -12,7 +12,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from osarchiver_spark.functions.precision import exact_round, money_sum, quantize
+from osarchiver_spark.functions.precision import (
+    exact_round,
+    money_sum,
+    quantize,
+    sql_double,
+)
+from osarchiver_spark.operators.quantiles import sql_exact_quantile_nums
 from osarchiver_spark.sources.parquet import load_table
 
 
@@ -212,14 +218,31 @@ def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact percentiles (linear interpolation — Spark `percentile`
-    matches ANSI/DuckDB quantile_cont)."""
+    """Exact percentiles, same linear-interpolation definition as ANSI
+    quantile_cont / Spark `percentile` (Hyndman-Fan 7) — but computed
+    as exact integer-rational order statistics over the money column's
+    intrinsic cent grid (operators/quantiles.py, r07 hardening: the
+    engines' double interpolation differs in the last ulp at scale and
+    can straddle the 4-dp emission grid). num/(b·100) dollars emits as
+    one exact-int→double cast + one IEEE division: num·(100/b) is the
+    value in 1e-4 dollars exactly, for b ∈ {2, 10, 100}."""
+    from osarchiver_spark.operators.quantiles import exact_quantile_nums
+
     orders = load_table(spark, sf_dir, "orders")
-    return orders.groupBy("o_orderpriority").agg(
-        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
-        F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
-        F.round(F.expr("percentile(o_totalprice, 0.99)"), 4).alias("p99"),
-        F.count("*").alias("n"),
+    src = orders.select("o_orderpriority", quantize(F.col("o_totalprice"), 2).alias("c"))
+    qn = exact_quantile_nums(
+        src, "o_orderpriority", "c",
+        {"p50": (1, 2), "p90": (9, 10), "p99": (99, 100)},
+    )
+    def dollars4(num_col: str, b: int):
+        return (F.col(num_col) * F.lit(100 // b)).cast("double") / F.lit(10000.0)
+
+    return qn.select(
+        "o_orderpriority",
+        dollars4("p50_num", 2).alias("p50"),
+        dollars4("p90_num", 10).alias("p90"),
+        dollars4("p99_num", 100).alias("p99"),
+        F.col("n"),
     )
 
 
@@ -237,16 +260,31 @@ def q_sampled_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     survives), then the exact interpolated percentile on the sample;
     error vs the full-data exact value is bounded by the usual
     order-statistic bounds and reported side-by-side."""
+    from osarchiver_spark.operators.quantiles import exact_quantile_nums
+
     li = load_table(spark, sf_dir, "lineitem")
     keep = F.substring(F.md5(F.col("l_orderkey").cast("string")), 1, 8) < SAMPLE_RATE_HEX
-    samp = li.filter(keep).groupBy("l_returnflag").agg(
-        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("sample_p50"),
-        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias("sample_p95"),
-        F.count("*").alias("n_sample"),
+    src = li.select(
+        "l_returnflag", quantize(F.col("l_extendedprice"), 2).alias("c"), keep.alias("k")
     )
-    full = li.groupBy("l_returnflag").agg(
-        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("exact_p50"),
-        F.count("*").alias("n_rows"),
+    # exact integer-rational order statistics (r07 hardening — see
+    # q_percentiles): sample_p50/p95 at b=2/b=20, exact_p50 at b=2;
+    # num·(100/b) is the value in 1e-4 dollars exactly
+    samp = exact_quantile_nums(
+        src.filter(F.col("k")).select("l_returnflag", "c"),
+        "l_returnflag", "c", {"sample_p50": (1, 2), "sample_p95": (19, 20)},
+    ).select(
+        "l_returnflag",
+        F.col("n").alias("n_sample"),
+        ((F.col("sample_p50_num") * F.lit(50)).cast("double") / F.lit(10000.0)).alias("sample_p50"),
+        ((F.col("sample_p95_num") * F.lit(5)).cast("double") / F.lit(10000.0)).alias("sample_p95"),
+    )
+    full = exact_quantile_nums(
+        src.select("l_returnflag", "c"), "l_returnflag", "c", {"exact_p50": (1, 2)}
+    ).select(
+        "l_returnflag",
+        F.col("n").alias("n_rows"),
+        ((F.col("exact_p50_num") * F.lit(50)).cast("double") / F.lit(10000.0)).alias("exact_p50"),
     )
     return samp.join(full, "l_returnflag").select(
         "l_returnflag", "n_rows", "n_sample", "sample_p50", "sample_p95", "exact_p50"
@@ -771,21 +809,29 @@ ORACLES = {
         UNION ALL
         SELECT l_orderkey, l_linenumber, 'tax', round(l_tax, 4) FROM lineitem
     """,
+    # exact integer-rational order statistics on both the sample and
+    # the full data (operators/quantiles.py; see "percentiles")
     "sampled_percentiles": f"""
-        WITH samp AS (
+        WITH cents AS (
             SELECT l_returnflag,
-                   round(quantile_cont(l_extendedprice, 0.5), 4) AS sample_p50,
-                   round(quantile_cont(l_extendedprice, 0.95), 4) AS sample_p95,
-                   count(*) AS n_sample
-            FROM lineitem
-            WHERE substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 8) < '{SAMPLE_RATE_HEX}'
-            GROUP BY 1),
-        whole AS (
-            SELECT l_returnflag,
-                   round(quantile_cont(l_extendedprice, 0.5), 4) AS exact_p50,
-                   count(*) AS n_rows
-            FROM lineitem GROUP BY 1)
-        SELECT l_returnflag, n_rows, n_sample, sample_p50, sample_p95, exact_p50
+                   CAST(floor(l_extendedprice * {sql_double('100')}
+                              + {sql_double('0.5')}) AS BIGINT) AS c,
+                   substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 8)
+                       < '{SAMPLE_RATE_HEX}' AS k
+            FROM lineitem),
+        samp AS ({sql_exact_quantile_nums(
+            "(SELECT l_returnflag, c FROM cents WHERE k)",
+            "l_returnflag", "c",
+            {"sample_p50": (1, 2), "sample_p95": (19, 20)})}),
+        whole AS ({sql_exact_quantile_nums(
+            "(SELECT l_returnflag, c FROM cents)",
+            "l_returnflag", "c", {"exact_p50": (1, 2)})})
+        SELECT l_returnflag,
+               whole.n AS n_rows,
+               samp.n AS n_sample,
+               CAST(sample_p50_num * 50 AS DOUBLE) / {sql_double('10000')} AS sample_p50,
+               CAST(sample_p95_num * 5 AS DOUBLE) / {sql_double('10000')} AS sample_p95,
+               CAST(exact_p50_num * 50 AS DOUBLE) / {sql_double('10000')} AS exact_p50
         FROM samp JOIN whole USING (l_returnflag)
     """,
     # The oracle computes the exact side and asserts the bound holds
@@ -799,13 +845,20 @@ ORACLES = {
                TRUE AS p50_in_bound
         FROM lineitem GROUP BY l_returnflag
     """,
-    "percentiles": """
+    # exact integer-rational order statistics (operators/quantiles.py)
+    # — engine quantile interpolation is last-ulp-divergent at scale
+    "percentiles": f"""
+        WITH qn AS ({sql_exact_quantile_nums(
+            f"(SELECT o_orderpriority, CAST(floor(o_totalprice * {sql_double('100')}"
+            f" + {sql_double('0.5')}) AS BIGINT) AS c FROM orders)",
+            "o_orderpriority", "c",
+            {"p50": (1, 2), "p90": (9, 10), "p99": (99, 100)})})
         SELECT o_orderpriority,
-               round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
-               round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
-               round(quantile_cont(o_totalprice, 0.99), 4) AS p99,
-               count(*) AS n
-        FROM orders GROUP BY o_orderpriority
+               CAST(p50_num * 50 AS DOUBLE) / {sql_double('10000')} AS p50,
+               CAST(p90_num * 10 AS DOUBLE) / {sql_double('10000')} AS p90,
+               CAST(p99_num * 1 AS DOUBLE) / {sql_double('10000')} AS p99,
+               n
+        FROM qn
     """,
     "q1_pricing_summary": """
         SELECT l_returnflag, l_linestatus,

@@ -1,0 +1,102 @@
+"""operators/quantiles.py — exact integer-rational order statistics.
+
+Contracts pinned here:
+1. The numerator/denominator pair equals the EXACT Fraction value of
+   the Hyndman-Fan-7 linear interpolation (the definition Spark
+   ``percentile``, DuckDB ``quantile_cont`` and NumPy default all
+   document), computed independently in Python rationals.
+2. The Spark helper and its DuckDB SQL twin agree bit-for-bit on the
+   same input — the property the r07 winsorize_events sf1 hash-fail
+   proved float interpolation does NOT have.
+3. Partitioning independence (the helper is a histogram aggregate).
+"""
+
+from __future__ import annotations
+
+import random
+from fractions import Fraction
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from osarchiver_spark.operators.quantiles import (
+    exact_quantile_nums,
+    sql_exact_quantile_nums,
+)
+
+QS = {"q05": (1, 20), "q25": (1, 4), "q50": (1, 2), "q95": (19, 20)}
+
+
+def _reference(values: list[int], a: int, b: int) -> Fraction:
+    """Hyndman-Fan 7 in exact rationals."""
+    v = sorted(values)
+    n = len(v)
+    pos = Fraction((n - 1) * a, b)
+    idx = int(pos)
+    frac = pos - idx
+    hi = v[idx + 1] if idx + 1 < n else v[idx]
+    return v[idx] + (hi - v[idx]) * frac
+
+
+@pytest.mark.parametrize("seed", [3, 11])
+def test_exact_quantiles_match_rational_reference(spark, seed):
+    rng = random.Random(seed)
+    groups = {
+        "a": [rng.randrange(0, 1000) for _ in range(rng.randrange(1, 400))],
+        "b": [rng.randrange(-500, 500) for _ in range(rng.randrange(1, 400))],
+        "c": [7],  # single-row group: v_hi is NULL, coalesce path
+    }
+    rows = [(g, v) for g, vals in groups.items() for v in vals]
+    for parts in (1, 5):
+        df = spark.createDataFrame(rows, "g string, x long").repartition(parts)
+        got = {
+            r["g"]: r
+            for r in exact_quantile_nums(df, "g", "x", QS).collect()
+        }
+        for g, vals in groups.items():
+            assert got[g]["n"] == len(vals)
+            for name, (a, b) in QS.items():
+                num, den = got[g][f"{name}_num"], got[g][f"{name}_den"]
+                assert den == b
+                assert Fraction(num, den) == _reference(vals, a, b), (
+                    g, name, parts, num, den,
+                )
+
+
+def test_exact_quantiles_sql_twin_is_identical(spark):
+    rng = random.Random(29)
+    rows = [
+        (rng.choice("pqr"), rng.randrange(0, 10_000)) for _ in range(2_000)
+    ]
+    df = spark.createDataFrame(rows, "g string, x long")
+    got = sorted(
+        tuple(r) for r in exact_quantile_nums(df, "g", "x", QS).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (g VARCHAR, x BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    want = sorted(
+        con.execute(sql_exact_quantile_nums("t", "g", "x", QS)).fetchall()
+    )
+    assert got == want
+
+
+def test_exact_quantiles_match_spark_percentile_off_boundary(spark):
+    """Sanity vs the engine: wherever the float interpolation is NOT
+    at a representation edge, Spark's own percentile(x, q) must equal
+    num/den to double precision — the helper is the same definition,
+    just exact."""
+    rng = random.Random(41)
+    rows = [("g", rng.randrange(0, 100_000)) for _ in range(5_001)]
+    df = spark.createDataFrame(rows, "g string, x long")
+    qn = exact_quantile_nums(df, "g", "x", QS).collect()[0]
+    pct = df.agg(
+        *[
+            F.expr(f"percentile(x, {a}/{b})").alias(name)
+            for name, (a, b) in QS.items()
+        ]
+    ).collect()[0]
+    for name in QS:
+        exact = Fraction(qn[f"{name}_num"], qn[f"{name}_den"])
+        assert abs(float(exact) - pct[name]) < 1e-9 * max(1.0, pct[name])
