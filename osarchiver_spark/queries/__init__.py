@@ -68,7 +68,13 @@ def _load():
 #      first (REGISTRY_EPOCHS.json) — so a query added THIS round queues
 #      behind the existing never-checked backlog instead of displacing
 #      it alphabetically past the cap,
-#   3. hash-green queries, oldest green round first (fair round-robin).
+#   3. hash-green queries REVISED SINCE their stamp (REVISED_EPOCHS.json
+#      records the round of each material rewrite; revision epoch >
+#      last-green round means the green stamp certifies code that no
+#      longer exists — the r04–r07 HUGEINT lesson is that local sweeps
+#      cannot see driver-environment divergence, only a stamp can),
+#      stalest stamp first,
+#   4. hash-green queries, oldest green round first (fair round-robin).
 #
 # This is a scheduling policy, not a result filter: with ~219 entries
 # and a ~50-row cap the full re-verification cadence is ~4.4 rounds
@@ -83,18 +89,33 @@ def _load():
 # missing from it fails tests/test_registry_order.py.
 
 
-def _registration_epochs() -> dict[str, int]:
-    """query name -> round the query was first registered (committed,
-    append-only; only orders WITHIN the never-checked tier)."""
+def _epoch_map(filename: str) -> dict[str, int]:
     import json
     from pathlib import Path
 
-    path = Path(__file__).resolve().parents[2] / "REGISTRY_EPOCHS.json"
+    path = Path(__file__).resolve().parents[2] / filename
     try:
         data = json.loads(path.read_text())
     except (OSError, ValueError):
         return {}
     return {k: int(v) for k, v in data.items()} if isinstance(data, dict) else {}
+
+
+def _registration_epochs() -> dict[str, int]:
+    """query name -> round the query was first registered (committed,
+    append-only; only orders WITHIN the never-checked tier)."""
+    return _epoch_map("REGISTRY_EPOCHS.json")
+
+
+def _revision_epochs() -> dict[str, int]:
+    """query name -> round of the query's last MATERIAL revision (Spark
+    plan or oracle SQL changed in a way that could alter output values).
+    Committed and bumped by hand whenever an already-green query is
+    rewritten; entries with revision epoch > last-green round re-queue
+    ahead of the stale-green round-robin so the driver re-certifies the
+    code that actually ships. Discovered/audited mechanically with
+    tools/dump_query_fingerprints.py against the round snapshots."""
+    return _epoch_map("REVISED_EPOCHS.json")
 
 
 def _adjudication_history() -> dict[str, tuple[int, int]]:
@@ -126,6 +147,7 @@ def _adjudication_history() -> dict[str, tuple[int, int]]:
 def _prioritize(queries: dict[str, QueryFn]) -> dict[str, QueryFn]:
     hist = _adjudication_history()
     epochs = _registration_epochs()
+    revised = _revision_epochs()
 
     def key(n: str):
         last_green, last_checked = hist.get(n, (-1, -1))
@@ -135,8 +157,11 @@ def _prioritize(queries: dict[str, QueryFn]) -> dict[str, QueryFn]:
         elif last_checked < 0:
             tier = 1  # never seen by the driver: oldest registration first
             epoch = epochs.get(n, 10**9)  # unknown epoch = newest = last
+        elif revised.get(n, -1) > last_green:
+            tier = 2  # green stamp predates a material rewrite: re-certify
+            epoch = 0
         else:
-            tier = 2  # green: round-robin, stalest first
+            tier = 3  # green: round-robin, stalest first
             epoch = 0
         return (tier, epoch, last_green, last_checked, n)
 

@@ -15,10 +15,51 @@ def test_prioritize_tiers(monkeypatch):
         # "brand_new" absent -> tier 1
     }
     monkeypatch.setattr(reg, "_adjudication_history", lambda: hist)
+    monkeypatch.setattr(reg, "_revision_epochs", lambda: {})
     queries = {n: (lambda s, d: None) for n in
                ["green_new", "brand_new", "failed_once", "green_old"]}
     ordered = list(reg._prioritize(queries))
     assert ordered == ["failed_once", "brand_new", "green_old", "green_new"]
+
+
+def test_prioritize_revised_since_stamp_tier(monkeypatch):
+    """A green query materially rewritten AFTER its stamp must re-queue
+    ahead of the stale-green round-robin (but behind fixes and
+    never-checked entries) — its green stamp certifies code that no
+    longer exists. Within the tier, stalest stamp first."""
+    hist = {
+        "green_stale": (1, 1),     # green r1, untouched since
+        "green_fresh": (3, 3),     # green r3, untouched since
+        "revised_r1": (1, 1),      # green r1, rewritten r2 -> revised tier
+        "revised_r2": (2, 2),      # green r2, rewritten r3 -> revised tier
+        "revised_already_restamped": (4, 4),  # rewritten r3, re-stamped r4
+        "failed_once": (-1, 2),    # tier 0
+    }
+    revised = {"revised_r1": 2, "revised_r2": 3,
+               "revised_already_restamped": 3}
+    monkeypatch.setattr(reg, "_adjudication_history", lambda: hist)
+    monkeypatch.setattr(reg, "_revision_epochs", lambda: revised)
+    monkeypatch.setattr(reg, "_registration_epochs", lambda: {})
+    names = ["green_fresh", "revised_r2", "brand_new", "revised_r1",
+             "green_stale", "failed_once", "revised_already_restamped"]
+    queries = {n: (lambda s, d: None) for n in names}
+    ordered = list(reg._prioritize(queries))
+    assert ordered == [
+        "failed_once",            # tier 0
+        "brand_new",              # tier 1
+        "revised_r1",             # tier 2, stamp r1
+        "revised_r2",             # tier 2, stamp r2
+        "green_stale",            # tier 3, stamp r1
+        "green_fresh",            # tier 3, stamp r3
+        "revised_already_restamped",  # tier 3: stamp r4 > revision r3
+    ]
+
+
+def test_revised_epochs_entries_are_registered():
+    """Every REVISED_EPOCHS entry must name a live registry query —
+    a typo'd name would silently fail to re-queue the real one."""
+    unknown = sorted(set(reg._revision_epochs()) - set(reg.all_queries()))
+    assert not unknown, f"REVISED_EPOCHS names not in registry: {unknown}"
 
 
 def test_prioritize_epoch_orders_within_never_checked(monkeypatch):
