@@ -77,7 +77,14 @@ def exact_quantile_nums(
     the quantile times ``{name}_den``) and a literal column
     ``{name}_den`` (the ratio denominator b). ``quantile = num / den``
     exactly; compare ``x <= quantile`` as ``x * den <= num``.
+
+    NULL ``int_col`` rows are excluded (and excluded from ``n``) —
+    matching the aggregate-quantile convention AND keeping the two
+    engines identical: Spark's window ORDER BY sorts NULLS FIRST while
+    DuckDB's sorts NULLS LAST, so an unfiltered NULL bucket would shift
+    ``cum`` (hence rank selection) on one engine only.
     """
+    df = df.filter(F.col(int_col).isNotNull())
     hist = df.groupBy(group_col, int_col).agg(F.count(F.lit(1)).alias("cnt"))
     w = W.partitionBy(group_col).orderBy(int_col)
     cums = hist.withColumn("cum", F.sum("cnt").over(w))
@@ -113,7 +120,8 @@ def sql_exact_quantile_nums(
 
     Returns a complete SELECT (wrap as a CTE). ``table_sql`` is a
     table name or parenthesized subquery providing ``group_col`` and
-    ``int_col``.
+    ``int_col``. NULL ``int_col`` rows are excluded on both sides (see
+    :func:`exact_quantile_nums` — engines disagree on NULL sort order).
     """
     cols = ["CAST(max(n) AS BIGINT) AS n"]
     for name, q in quantiles.items():
@@ -138,9 +146,13 @@ def sql_exact_quantile_nums(
                        sum(cnt) OVER (PARTITION BY {group_col}
                                       ORDER BY v) AS cum
                 FROM (SELECT {group_col}, {int_col} AS v, count(*) AS cnt
-                      FROM {table_sql} GROUP BY 1, 2)) h
+                      FROM {table_sql}
+                      WHERE {int_col} IS NOT NULL
+                      GROUP BY 1, 2)) h
             JOIN (
                 SELECT {group_col}, count(*) AS n
-                FROM {table_sql} GROUP BY 1) t USING ({group_col}))
+                FROM {table_sql}
+                WHERE {int_col} IS NOT NULL
+                GROUP BY 1) t USING ({group_col}))
         GROUP BY {group_col}
     """

@@ -82,6 +82,31 @@ def test_exact_quantiles_sql_twin_is_identical(spark):
     assert got == want
 
 
+def test_exact_quantiles_ignore_nulls_on_both_engines(spark):
+    """NULL int_col rows must not shift rank selection on either side:
+    Spark windows sort NULLS FIRST, DuckDB NULLS LAST, so an unfiltered
+    NULL bucket would desynchronize cum on exactly one engine. Both
+    helpers drop NULLs (and exclude them from n)."""
+    rng = random.Random(59)
+    rows = [
+        ("g", rng.randrange(0, 1_000) if rng.random() < 0.8 else None)
+        for _ in range(1_000)
+    ]
+    non_null = [x for _, x in rows if x is not None]
+    df = spark.createDataFrame(rows, "g string, x long")
+    got = exact_quantile_nums(df, "g", "x", QS).collect()[0]
+    assert got["n"] == len(non_null)
+    for name, (a, b) in QS.items():
+        assert Fraction(got[f"{name}_num"], got[f"{name}_den"]) == _reference(
+            non_null, a, b
+        )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (g VARCHAR, x BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    want = con.execute(sql_exact_quantile_nums("t", "g", "x", QS)).fetchall()
+    assert sorted(tuple(r) for r in [got]) == sorted(want)
+
+
 def test_exact_quantiles_match_spark_percentile_off_boundary(spark):
     """Sanity vs the engine: wherever the float interpolation is NOT
     at a representation edge, Spark's own percentile(x, q) must equal
