@@ -254,21 +254,45 @@ def pinned_ln(col: Column) -> Column:
     return F.lit(_PINNED_LN_SCALE) * series
 
 
-def sql_pinned_ln(expr: str) -> str:
-    """DuckDB twin of :func:`pinned_ln` — same ops, same order.
+def sql_pinned_ln_tower(expr: str) -> str:
+    """The y stage of pinned-ln: the 16-deep nested-sqrt tower.
 
-    The caller should bind ``expr`` (and ideally y/z) to named columns
-    in staged subqueries so the nested-sqrt tower is evaluated once;
-    textual duplication here is value-safe (pure deterministic
-    expressions) but wasteful.
+    Bind the result to a named column (one CTE) and feed that name to
+    :func:`sql_pinned_ln_z`, then that to :func:`sql_pinned_ln_series`,
+    to evaluate the tower once instead of the ~10 textual copies the
+    one-shot :func:`sql_pinned_ln` expansion produces.
     """
     y = expr
     for _ in range(PINNED_LN_SQRTS):
         y = f"sqrt({y})"
+    return y
+
+
+def sql_pinned_ln_z(y: str) -> str:
+    """The z = (y-1)/(y+1) stage, given the (named) tower column."""
     one = sql_double("1")
-    z = f"((({y}) - {one}) / (({y}) + {one}))"
+    return f"((({y}) - {one}) / (({y}) + {one}))"
+
+
+def sql_pinned_ln_series(z: str) -> str:
+    """The final atanh-series stage, given the (named) z column."""
+    one = sql_double("1")
     series = (
         f"({z} * ({one} + ({z} * {z}) * ({sql_double(_LN_C3)}"
         f" + ({z} * {z}) * {sql_double(_LN_C5)})))"
     )
     return f"({sql_double(str(int(_PINNED_LN_SCALE)))} * {series})"
+
+
+def sql_pinned_ln(expr: str) -> str:
+    """DuckDB twin of :func:`pinned_ln` — same ops, same order.
+
+    One-shot textual expansion: value-safe (pure deterministic
+    expressions) but the sqrt tower is duplicated ~10x through z and
+    the series. Oracles embedding it should instead stage the three
+    parts (:func:`sql_pinned_ln_tower` / :func:`sql_pinned_ln_z` /
+    :func:`sql_pinned_ln_series`) through named CTE columns — same
+    ops on the same values, so bit-identical, and the SQL stays
+    readable (see the psi_drift oracle).
+    """
+    return sql_pinned_ln_series(sql_pinned_ln_z(sql_pinned_ln_tower(expr)))

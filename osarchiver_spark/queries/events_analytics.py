@@ -30,7 +30,9 @@ from osarchiver_spark.functions.precision import (
     quantize,
     sql_double,
     sql_exact_round,
-    sql_pinned_ln,
+    sql_pinned_ln_series,
+    sql_pinned_ln_tower,
+    sql_pinned_ln_z,
     sql_quantize,
 )
 from osarchiver_spark.operators.quantiles import sql_exact_quantile_nums
@@ -1165,9 +1167,10 @@ ORACLES = {
 # the r06 verdict: (a) every decimal literal is spelled
 # CAST('x' AS DOUBLE) so no BIGINT-op-DECIMAL arithmetic remains
 # (version-mobile class the probes never covered), and (b) ln is the
-# engine-pinned sqrt/atanh composition (sql_pinned_ln — bit-identical
-# to the Spark side by construction), staged through named columns so
-# the sqrt tower evaluates once.
+# engine-pinned sqrt/atanh composition — staged through the named CTE
+# columns pln_y (sqrt tower) and pln_z ((y-1)/(y+1)) so the 16-deep
+# tower appears exactly once in the SQL; bit-identical to the Spark
+# side's pinned_ln by construction (same ops, same order).
 _D05 = sql_double("0.5")
 
 # Shared CTE prefix of the PSI oracle — the SQL twin of psi_probs();
@@ -1205,9 +1208,15 @@ PSI_PROBS_SQL_CTES = f"""
 
 ORACLES["psi_drift"] = f"""
     WITH {PSI_PROBS_SQL_CTES},
-    lng AS (
-        SELECT *, {sql_exact_round(sql_pinned_ln("(p_cur / p_ref)"), 6)} AS ln_g
+    lny AS (
+        SELECT *, {sql_pinned_ln_tower("(p_cur / p_ref)")} AS pln_y
         FROM probs),
+    lnz AS (
+        SELECT *, {sql_pinned_ln_z("pln_y")} AS pln_z
+        FROM lny),
+    lng AS (
+        SELECT *, {sql_exact_round(sql_pinned_ln_series("pln_z"), 6)} AS ln_g
+        FROM lnz),
     terms AS (
         SELECT event_type, r_tot, c_tot, n_bins,
                {sql_quantize("((p_cur - p_ref) * ln_g)", 9)} AS term_q

@@ -220,3 +220,41 @@ def test_pinned_ln_accuracy_and_cross_engine_bit_identity(spark):
     bits = lambda v: struct.pack("<d", v)  # noqa: E731
     for x, s, d in zip(xs, got, duck):
         assert bits(s) == bits(d), (x, s.hex(), d.hex())
+
+
+def test_pinned_ln_staged_ctes_are_bit_identical_to_one_shot():
+    """The staged tower/z/series decomposition (what the psi_drift
+    oracle embeds, with pln_y/pln_z bound as named CTE columns) must
+    produce the SAME double, bit-for-bit, as the one-shot
+    sql_pinned_ln expansion — same ops on the same values, just
+    evaluated through named columns instead of ~10 textual copies."""
+    import math
+    import random
+    import struct
+
+    import duckdb
+
+    from osarchiver_spark.functions.precision import (
+        sql_pinned_ln,
+        sql_pinned_ln_series,
+        sql_pinned_ln_tower,
+        sql_pinned_ln_z,
+    )
+
+    rng = random.Random(47)
+    xs = [math.exp(rng.uniform(-18.0, 18.0)) for _ in range(100)]
+    xs += [1.0, 0.5, 2.0, 1e-9, 1e9, 1.0000001, 0.9999999]
+
+    con = duckdb.connect()
+    staged = f"""
+        WITH base AS (SELECT CAST(? AS DOUBLE) AS x),
+        lny AS (SELECT {sql_pinned_ln_tower('x')} AS pln_y FROM base),
+        lnz AS (SELECT {sql_pinned_ln_z('pln_y')} AS pln_z FROM lny)
+        SELECT {sql_pinned_ln_series('pln_z')} FROM lnz
+    """
+    one_shot = f"SELECT {sql_pinned_ln('x')} FROM (SELECT CAST(? AS DOUBLE) AS x)"
+    bits = lambda v: struct.pack("<d", v)  # noqa: E731
+    for x in xs:
+        s = con.execute(staged, [x]).fetchone()[0]
+        o = con.execute(one_shot, [x]).fetchone()[0]
+        assert bits(s) == bits(o), (x, s.hex(), o.hex())
