@@ -101,6 +101,31 @@ constants):
   expression token_budget_sample ranks by, without the window.
   Fails while probe_token_total passes => the quality arithmetic;
   passes while token_budget_sample fails => the window/filter stage.
+
+R07 ADJUDICATION (CORRECTNESS_r07 — the program's close-out): all SIX
+decomposition probes came back hash-GREEN on first stamp, alongside
+psi_drift and token_budget_sample themselves (green after three red
+rounds) — the HUGEINT carrier root cause is CONFIRMED, and the probe
+decision table settles the standing deferrals:
+- ``probe_decimal_literal_div``/``_div15`` GREEN => the ~20
+  hand-inlined bare-decimal-literal money oracles are safe AS-IS; the
+  100-site sql_double rewrite is cancelled.
+- ``probe_psi_ln_terms`` GREEN => libm ln agrees between the driver's
+  engines on real fixture arguments; bm25 / source_divergence /
+  survival_curve KEEP F.log (precision.pinned_ln stays in psi_drift
+  only, as defense-in-depth).
+- ``probe_psi_cells``/``probe_token_total``/``probe_quality_ppm_sum``
+  GREEN => binning, tokenization and quality arithmetic all match on
+  real data; no further decomposition needed.
+
+R08 RETIREMENT: with every class adjudicated green, the 7 CONSTANT r06
+probes moved out of the registry into RETIRED_QUERIES/RETIRED_ORACLES
+(pytest-only parity via tests/test_probes_retired.py) — 13 probe rows
+were consuming ~26% of the driver's ~50-slot round window. The 6
+data-dependent probes remain registered as canaries: they exercise the
+driver's engines on REAL fixture data every few rounds, which a local
+pytest cannot (the r04–r07 lesson is precisely that this sandbox's
+DuckDB fetch path can differ from the driver's).
 """
 
 from __future__ import annotations
@@ -154,6 +179,19 @@ def q_probe_regexp_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 # rows can't cancel. md5 is the one hash both engines share; the
 # UBIGINT hex cast twin below is the registry-wide established
 # pattern (queries/sampling.py).
+#
+# SCALE BOUND on the keyed checksums (same class as cent_sum /
+# money_sum's documented bound): the Spark side accumulates
+# key * weight in non-ANSI int64, which wraps silently, while the
+# DuckDB twin accumulates HUGEINT exactly before the final BIGINT
+# cast — so the probes are carrier-equal only while the TRUE sum fits
+# int64. Worst cell term is ~_KEY_MOD * 1000003 * n_cell ≈ 1e10 *
+# n_cell; the fixtures adjudicate at sf0.01 (n ≈ 1e4-1e5 rows,
+# sum ≈ 1e15-1e16) and stay safe through sf1 (~1e17) but NOT to
+# arbitrary SF (int64 max ≈ 9.2e18). These are adjudication-scale
+# diagnostic instruments, not data operators; if a probe is ever run
+# at a larger fixture, shrink the 1000003 multiplier or mod the
+# per-term product by a prime ON BOTH SIDES before summing.
 
 _KEY_MOD = 9973
 
@@ -246,14 +284,11 @@ def q_probe_quality_ppm_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.agg(F.sum(key * quality_ppm_col()).cast("long").alias("v"))
 
 
+# The 6 DATA-DEPENDENT r07 probes stay registered: they are live
+# canaries for the arithmetic classes (decimal literals, libm ln on
+# real arguments, regexp tokenization on the real corpus, the quality
+# arithmetic) that a driver-side engine upgrade could silently move.
 QUERIES = {
-    "probe_bigint_control": q_probe_bigint_control,
-    "probe_double_canon": q_probe_double_canon,
-    "probe_double_17sig": q_probe_double_17sig,
-    "probe_ln2": q_probe_ln2,
-    "probe_round_half5": q_probe_round_half5,
-    "probe_exact_round_half5": q_probe_exact_round_half5,
-    "probe_regexp_split": q_probe_regexp_split,
     "probe_decimal_literal_div": q_probe_decimal_literal_div,
     "probe_decimal_literal_div15": q_probe_decimal_literal_div15,
     "probe_psi_cells": q_probe_psi_cells,
@@ -262,7 +297,26 @@ QUERIES = {
     "probe_quality_ppm_sum": q_probe_quality_ppm_sum,
 }
 
-ORACLES = {
+# The 7 CONSTANT r06 probes are RETIRED from the registry (r08): their
+# question — does the driver's oracle stack canonicalize constants the
+# same way this sandbox's DuckDB does — was answered GREEN in r06 and
+# is a property of literals, not of fixture data, so a local pytest
+# re-asks it just as faithfully (tests/test_probes_retired.py) without
+# spending 7 of the ~50 per-round adjudication slots real operators
+# need. The functions and oracles stay here, text-identical to what
+# the driver stamped, so the instrument can be re-registered in one
+# line if a driver engine upgrade ever flips the local canary.
+RETIRED_QUERIES = {
+    "probe_bigint_control": q_probe_bigint_control,
+    "probe_double_canon": q_probe_double_canon,
+    "probe_double_17sig": q_probe_double_17sig,
+    "probe_ln2": q_probe_ln2,
+    "probe_round_half5": q_probe_round_half5,
+    "probe_exact_round_half5": q_probe_exact_round_half5,
+    "probe_regexp_split": q_probe_regexp_split,
+}
+
+RETIRED_ORACLES = {
     "probe_bigint_control": "SELECT CAST(1234567890123456789 AS BIGINT) AS v",
     "probe_double_canon": (
         "SELECT CAST('0.1' AS DOUBLE) + CAST('0.2' AS DOUBLE) AS v"
@@ -278,6 +332,8 @@ ORACLES = {
         "trim(' a  b' || chr(9) || 'c '), '\\s+')) AS INT) AS v"
     ),
 }
+
+ORACLES: dict[str, str] = {}
 
 
 def _decomposition_oracles() -> dict[str, str]:
