@@ -1096,6 +1096,7 @@ def embedding_lsh_incremental(
     planes_per_table: int = 6,
     dim: int = 64,
     seed: str = "emb",
+    max_batch_rows: int = 200_000,
 ) -> DataFrame:
     """Incremental embedding near-dup check: match NEW vectors against
     an EXISTING corpus without pairing the corpus with itself — the
@@ -1131,6 +1132,17 @@ def embedding_lsh_incremental(
     (one Spark job), not at the caller's first action — the price of
     the fused probe, worth stating since every other operator here
     builds plans lazily.
+
+    The "batch-sized by contract" collect is ENFORCED, not assumed:
+    more than ``max_batch_rows`` new vectors raises ValueError before
+    anything is pulled past the bound (the collect runs through
+    ``limit(max+1)``, so an oversized batch costs one truncated scan,
+    never a driver OOM). The default bound is the sf10 rehearsal scale
+    (200k × dim-64 ≈ 100 MB of vectors + ~200 MB of key index in the
+    broadcast); raise it deliberately if the driver has the headroom,
+    or split a TB-scale crawl drop into probe-shaped batches — at that
+    size the corpus-side batch dedup (minhash_lsh on the union) is the
+    right tool, not the incremental probe.
     """
     import numpy as np
     import pandas as pd
@@ -1158,9 +1170,23 @@ def embedding_lsh_incremental(
     )
     spark = corpus.sparkSession
 
-    new_rows = new.select(
-        F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("v")
-    ).collect()
+    if max_batch_rows <= 0:
+        raise ValueError(f"max_batch_rows must be positive: {max_batch_rows}")
+    new_rows = (
+        new.select(
+            F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("v")
+        )
+        .limit(max_batch_rows + 1)
+        .collect()
+    )
+    if len(new_rows) > max_batch_rows:
+        raise ValueError(
+            f"embedding_lsh_incremental: new batch exceeds max_batch_rows="
+            f"{max_batch_rows}; the fused probe collects and broadcasts the "
+            f"new side, so an unbounded batch would OOM the driver. Split "
+            f"the drop into smaller batches (results are independent per "
+            f"batch) or raise max_batch_rows deliberately."
+        )
     if not new_rows:
         return spark.createDataFrame([], out_schema)
     new_ids = np.array([r["vid"] for r in new_rows], dtype=object)

@@ -28,6 +28,7 @@ def brute_force_topk(
     id_col: str,
     vec_col: str,
     k: int = 5,
+    max_query_rows: int = 200_000,
 ) -> DataFrame:
     """Exact top-k cosine neighbors per query vector.
 
@@ -41,15 +42,29 @@ def brute_force_topk(
     same (rounded cosine desc, id asc) order, so batch-local
     pre-selection is exact). Ranking uses the ROUNDED similarity
     with id tie-break so results are engine-reproducible.
+
+    The model-sized contract is ENFORCED: more than ``max_query_rows``
+    query vectors raises ValueError (collected through limit(max+1),
+    so the failure costs one truncated scan, not a driver OOM).
     """
     import numpy as np
     import pandas as pd
 
     from osarchiver_spark.operators.blas import cosine_pair_schema
 
-    q_rows = queries.select(
-        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
-    ).collect()  # bounded query set — model-sized by contract
+    q_rows = (
+        queries.select(
+            F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+        )
+        .limit(max_query_rows + 1)
+        .collect()
+    )
+    if len(q_rows) > max_query_rows:
+        raise ValueError(
+            f"brute_force_topk: query set exceeds max_query_rows="
+            f"{max_query_rows}; the probe matrix ships in every task "
+            f"closure. Batch the queries or raise the bound deliberately."
+        )
     # object dtype keeps string/uuid ids intact through numpy ops
     qids = np.array([r.query_id for r in q_rows], dtype=object)
     Q = np.stack([np.asarray(r.qv, dtype="float64") for r in q_rows])

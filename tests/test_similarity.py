@@ -448,3 +448,46 @@ def test_indexed_probe_equals_direct_probe_both_branches(spark, tmp_path, monkey
         ).collect()
     }
     assert got_fallback == want
+
+
+def test_embedding_incremental_oversized_batch_fails_loudly(spark):
+    """The fused probe collects+broadcasts the NEW side; above the
+    configured bound it must raise a clear error, not OOM the driver
+    (the 100 TB failure mode is a TB-scale crawl drop fed as one
+    batch). The limit(max+1) collect means the check itself never
+    pulls more than bound+1 rows."""
+    import pytest
+
+    from osarchiver_spark.operators.dedup import embedding_lsh_incremental
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0])], "vid long, v array<double>"
+    )
+    new = spark.range(10).select(
+        (F.col("id") + 100).alias("vid"),
+        F.array(*[F.rand(7) for _ in range(4)]).alias("v"),
+    )
+    with pytest.raises(ValueError, match="max_batch_rows"):
+        embedding_lsh_incremental(
+            corpus, new, "vid", "v", dim=4, max_batch_rows=5
+        )
+    # at the bound (not above) it still runs
+    embedding_lsh_incremental(
+        corpus, new, "vid", "v", dim=4, max_batch_rows=10
+    ).collect()
+
+
+def test_brute_force_topk_oversized_query_set_fails_loudly(spark):
+    import pytest
+
+    from osarchiver_spark.operators.similarity import brute_force_topk
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "neighbor_id long, cv array<double>"
+    ).withColumnRenamed("neighbor_id", "vid").withColumnRenamed("cv", "v")
+    queries = spark.range(8).select(
+        F.col("id").alias("vid"),
+        F.array(F.lit(1.0), F.lit(0.0)).alias("v"),
+    )
+    with pytest.raises(ValueError, match="max_query_rows"):
+        brute_force_topk(corpus, queries, "vid", "v", k=1, max_query_rows=3)
