@@ -52,15 +52,12 @@ def export_training_set(
     PACK_SEQ_LEN-token training sequences (the sequence_pack
     assignment computed over the survivors, not the raw corpus), so a
     trainer can assemble fixed-length batches without re-planning."""
-    from osarchiver_spark.functions.text import token_count
-    from osarchiver_spark.operators.dedup import connected_components, minhash_lsh_pairs
+    from osarchiver_spark.operators.dedup import minhash_lsh_pairs
     from osarchiver_spark.queries.dedup import (
         BANDS,
         MINHASH_THRESHOLD,
         NUM_HASHES,
     )
-    from osarchiver_spark.queries.sampling import _TRAIN_UB, _VAL_UB
-    from osarchiver_spark.queries.text import corpus_gate
     from osarchiver_spark.sources.parquet import load_table
 
     docs = load_table(spark, sf_dir, "documents")
@@ -84,6 +81,136 @@ def export_training_set(
         shingle_n=3, num_hashes=NUM_HASHES, bands=BANDS, threshold=MINHASH_THRESHOLD,
         hash_fn="xxhash64",
     ).persist()
+    try:
+        return _finalize_export(
+            spark, docs, pairs, out_dir, compression, pack_train
+        )
+    finally:
+        pairs.unpersist()
+
+
+def export_training_set_indexed(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    index_dir: str,
+    n_batches: int = 4,
+    compression: str | None = "gzip",
+    pack_train: bool = True,
+) -> DataFrame:
+    """The INCREMENTAL-INDEX build of the same training set: the
+    corpus arrives as ``n_batches`` doc_id-ordered drops; each drop is
+    a PROBE of the persisted LSH band index (never a corpus re-sketch)
+    followed by an APPEND of the drop's bands — the maintenance loop
+    tools/rehearse_sf10_index_chain.py rehearses, here wired through
+    to the full gate → dedup → split → export chain.
+
+    Row-identical to :func:`export_training_set` BY CONSTRUCTION, not
+    by luck: with id-ordered batches, {intra-batch pairs} ∪
+    {cross-batch probe matches} is exactly the one-shot pair graph —
+    band-bucket sharing is symmetric and independent of batching, the
+    exact-Jaccard verify is the same rounded expression, and every
+    batch's bands go into the index (losers too: the one-shot loser
+    rule drops a doc that near-dups ANY earlier doc, surviving or
+    not, and loser-loser edges can change a component's min-id rep).
+    The accumulated graph then feeds the literally-shared
+    :func:`_finalize_export` tail. Pinned by
+    tests/test_export.py::test_indexed_export_is_row_identical and
+    rehearsed at sf10 (SCALE.md).
+
+    Scale shape per drop: one banded broadcast probe with pushed
+    band_key IN / doc_id IN predicates (row-group skipping on the
+    band_key-sorted index files), one intra-batch LSH pass sized to
+    the DROP, one band append — nothing rescans the standing corpus
+    text except the candidate rows the verify actually needs. Each
+    drop's edges are localCheckpointed before the index append so the
+    lazily-planned probe can never observe files appended after it.
+    """
+    from osarchiver_spark.operators.dedup import (
+        minhash_lsh_incremental_indexed,
+        minhash_lsh_index,
+        minhash_lsh_pairs,
+    )
+    from osarchiver_spark.queries.dedup import (
+        BANDS,
+        MINHASH_THRESHOLD,
+        NUM_HASHES,
+    )
+    from osarchiver_spark.sources.parquet import load_table
+
+    if n_batches < 1:
+        raise ValueError(f"n_batches must be >= 1: {n_batches}")
+    docs = load_table(spark, sf_dir, "documents")
+    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+    if lo is None:
+        raise ValueError(f"no documents under {sf_dir}")
+    # id-ordered range batches: every cross edge is (earlier, later),
+    # which is what makes the loser rule batch-order-independent
+    span = int(hi) - int(lo) + 1
+    step = max(1, -(-span // n_batches))  # ceil
+    bounds = [int(lo) + i * step for i in range(n_batches)] + [int(hi) + 1]
+    lsh_kw = dict(
+        shingle_n=3, num_hashes=NUM_HASHES, bands=BANDS, hash_fn="xxhash64"
+    )
+
+    batch0 = docs.filter(
+        (F.col("doc_id") >= bounds[0]) & (F.col("doc_id") < bounds[1])
+    )
+    minhash_lsh_index(batch0, "doc_id", "text", **lsh_kw).write.mode(
+        "overwrite"
+    ).parquet(index_dir)
+    edge_cols = ["doc_a", "doc_b"]
+    edges = [
+        minhash_lsh_pairs(
+            batch0, "doc_id", "text", threshold=MINHASH_THRESHOLD, **lsh_kw
+        )
+        .select(*edge_cols)
+        .localCheckpoint()
+    ]
+    corpus = batch0
+    for i in range(1, n_batches):
+        batch = docs.filter(
+            (F.col("doc_id") >= bounds[i]) & (F.col("doc_id") < bounds[i + 1])
+        )
+        cross = minhash_lsh_incremental_indexed(
+            spark.read.parquet(index_dir), corpus, batch, "doc_id", "text",
+            threshold=MINHASH_THRESHOLD, **lsh_kw,
+        ).select(
+            F.col("corpus_id").alias("doc_a"), F.col("new_id").alias("doc_b")
+        )
+        intra = minhash_lsh_pairs(
+            batch, "doc_id", "text", threshold=MINHASH_THRESHOLD, **lsh_kw
+        ).select(*edge_cols)
+        edges.append(cross.unionByName(intra).localCheckpoint())
+        minhash_lsh_index(batch, "doc_id", "text", **lsh_kw).write.mode(
+            "append"
+        ).parquet(index_dir)
+        corpus = corpus.unionByName(batch)
+
+    pairs = edges[0]
+    for e in edges[1:]:
+        pairs = pairs.unionByName(e)
+    return _finalize_export(spark, docs, pairs, out_dir, compression, pack_train)
+
+
+def _finalize_export(
+    spark: SparkSession,
+    docs: DataFrame,
+    pairs: DataFrame,
+    out_dir: str,
+    compression: str | None,
+    pack_train: bool,
+) -> DataFrame:
+    """Shared tail of both export paths: losers/components from the
+    pair graph (doc_a, doc_b), gate, split, write, pack, manifest.
+    Keeping this literally shared is what makes the one-shot and the
+    indexed-incremental builds row-identical BY CONSTRUCTION once
+    their pair graphs agree."""
+    from osarchiver_spark.functions.text import token_count
+    from osarchiver_spark.operators.dedup import connected_components
+    from osarchiver_spark.queries.sampling import _TRAIN_UB, _VAL_UB
+    from osarchiver_spark.queries.text import corpus_gate
+
     losers = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
     comps = connected_components(pairs)
 
@@ -104,7 +231,7 @@ def export_training_set(
     )
     try:
         tagged.count()  # materialize while the pair graph is pinned
-        pairs.unpersist()
+        pairs.unpersist()  # no-op when the caller didn't persist
         for s in SPLITS:
             writer = (
                 tagged.filter(F.col("split") == s)

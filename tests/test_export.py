@@ -73,3 +73,38 @@ def test_export_train_layout_packs_exactly_the_train_split(spark, sf_small, tmp_
             start = seq_id * PACK_SEQ_LEN + offset
             assert start > start_prev and 0 <= offset < PACK_SEQ_LEN and n_slots >= 1
             start_prev = start
+
+
+def test_indexed_export_is_row_identical(spark, sf_small, tmp_path):
+    """The incremental-index build (id-ordered drops probing and
+    appending a persisted band index) must produce the SAME training
+    set as the one-shot pair-graph build — every split's full row set,
+    the packing layout, and the manifest. This is the parity claim
+    that licenses the 100 TB maintenance story: a crawl pipeline can
+    switch from corpus-wide re-sketching to per-drop probes without
+    changing a single exported row."""
+    from osarchiver_spark.operators.export import export_training_set_indexed
+
+    out_a = str(tmp_path / "one_shot")
+    out_b = str(tmp_path / "indexed")
+    idx = str(tmp_path / "band_index")
+    export_training_set(spark, sf_small, out_a)
+    export_training_set_indexed(spark, sf_small, out_b, idx, n_batches=3)
+
+    def rows(path, reader):
+        try:
+            df = reader(path)
+        except Exception:
+            return None  # empty split: no files written
+        return sorted(tuple(r) for r in df.collect())
+
+    for split in ("train", "val", "test"):
+        a = rows(f"{out_a}/{split}", spark.read.json)
+        b = rows(f"{out_b}/{split}", spark.read.json)
+        assert a == b, f"split {split} diverged"
+    assert rows(f"{out_a}/train_layout", spark.read.parquet) == rows(
+        f"{out_b}/train_layout", spark.read.parquet
+    )
+    assert rows(f"{out_a}/manifest", spark.read.parquet) == rows(
+        f"{out_b}/manifest", spark.read.parquet
+    )
