@@ -11,6 +11,17 @@ Usage:
     python tools/driver_window_sim.py            # first 50 (the window)
     python tools/driver_window_sim.py --all      # every registry entry
     python tools/driver_window_sim.py --all SF_DIR
+    python tools/driver_window_sim.py --all SF_DIR --log L.jsonl --timeout 300
+    python tools/driver_window_sim.py --only q1_pricing_summary,psi_drift
+
+``--log FILE`` appends one JSON line per query ({name, status, secs})
+and on startup SKIPS names already recorded OK in FILE, so an
+interrupted full-registry sweep (the r07 sf1 sweep lost its 38-entry
+tail to one 20-minute query) resumes from the cut instead of
+restarting.  ``--timeout SECS`` caps each query's wall clock: the
+compare runs in a worker thread under a per-query Spark job group that
+is cancelled on expiry (skip-and-record beats stall; a timed-out entry
+is recorded as ``timeout``, not a value mismatch).
 
 Exit 0 iff every compared query matches. Queries without an oracle
 (rows-only at the driver) are reported and skipped.
@@ -18,8 +29,10 @@ Exit 0 iff every compared query matches. Queries without an oracle
 
 from __future__ import annotations
 
+import json
 import os
 import sys
+import threading
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -27,8 +40,42 @@ sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.join(REPO, "tests"))
 
 
+def _flag_value(flag: str) -> str | None:
+    if flag in sys.argv:
+        i = sys.argv.index(flag)
+        if i + 1 < len(sys.argv):
+            return sys.argv[i + 1]
+    return None
+
+
+def _done_names(log_path: str) -> set[str]:
+    done: set[str] = set()
+    if log_path and os.path.exists(log_path):
+        with open(log_path) as fh:
+            for line in fh:
+                try:
+                    row = json.loads(line)
+                except ValueError:
+                    continue
+                if row.get("status") == "ok":
+                    done.add(row["name"])
+    return done
+
+
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    log_path = _flag_value("--log")
+    timeout_s = float(_flag_value("--timeout") or 0) or None
+    only = _flag_value("--only")
+    consumed: set[int] = set()
+    for flag in ("--log", "--timeout", "--only"):
+        if flag in sys.argv:
+            i = sys.argv.index(flag)
+            consumed.update({i, i + 1})
+    args = [
+        a
+        for i, a in enumerate(sys.argv[1:], 1)
+        if not a.startswith("--") and i not in consumed
+    ]
     run_all = "--all" in sys.argv
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
 
@@ -45,21 +92,76 @@ def main() -> int:
     from osarchiver_spark.session import get_spark
 
     qs, oracles = entry.queries(), entry.oracle_sql()
-    names = list(qs) if run_all else list(qs)[:50]
+    if only:
+        wanted = [n.strip() for n in only.split(",") if n.strip()]
+        missing = [n for n in wanted if n not in qs]
+        if missing:
+            print(f"--only names not in registry: {missing}")
+            return 2
+        names = wanted
+    else:
+        names = list(qs) if run_all else list(qs)[:50]
+    done = _done_names(log_path) if log_path else set()
+    if done:
+        print(f"resume: skipping {len(done)} names already OK in {log_path}")
     spark = get_spark("driver-window-sim")
+    sc = spark.sparkContext
     fails: list[str] = []
     t0 = time.time()
+
+    def record(name: str, status: str, secs: float, err: str = "") -> None:
+        if not log_path:
+            return
+        with open(log_path, "a") as fh:
+            row = {"name": name, "status": status, "secs": round(secs, 1)}
+            if err:
+                row["err"] = err[:300]
+            fh.write(json.dumps(row) + "\n")
+
     for i, name in enumerate(names, 1):
+        if name in done:
+            continue
         if name not in oracles:
             print(f"{i:3d} {name}: no oracle (rows-only at driver) — skipped")
+            record(name, "no-oracle", 0.0)
             continue
         t = time.time()
-        try:
-            compare_query(spark, name, qs[name], oracles[name], sf_dir, exact=True)
-            print(f"{i:3d} {name}: OK ({time.time() - t:.1f}s)", flush=True)
-        except Exception as exc:  # report every failure, keep sweeping
+        outcome: dict[str, str] = {}
+
+        def run(name=name) -> None:
+            # Job group is thread-local in Spark: set it in the worker so
+            # a timeout can cancel exactly this query's jobs.
+            sc.setJobGroup(name, name, interruptOnCancel=True)
+            try:
+                compare_query(spark, name, qs[name], oracles[name], sf_dir, exact=True)
+                outcome["status"] = "ok"
+            except Exception as exc:  # report every failure, keep sweeping
+                outcome["status"] = "fail"
+                outcome["err"] = str(exc)[:300]
+
+        if timeout_s is None:
+            run()
+        else:
+            worker = threading.Thread(target=run, daemon=True)
+            worker.start()
+            worker.join(timeout_s)
+            if worker.is_alive():
+                sc.cancelJobGroup(name)
+                worker.join(30)  # grace for the cancel to unwind
+                outcome.setdefault("status", "timeout")
+                if worker.is_alive():
+                    print(f"{i:3d} {name}: TIMEOUT (worker still unwinding)")
+        secs = time.time() - t
+        status = outcome.get("status", "timeout")
+        if status == "ok":
+            print(f"{i:3d} {name}: OK ({secs:.1f}s)", flush=True)
+        elif status == "timeout":
             fails.append(name)
-            print(f"{i:3d} {name}: FAIL {str(exc)[:300]}", flush=True)
+            print(f"{i:3d} {name}: TIMEOUT after {secs:.0f}s — cancelled", flush=True)
+        else:
+            fails.append(name)
+            print(f"{i:3d} {name}: FAIL {outcome.get('err', '')}", flush=True)
+        record(name, status, secs, outcome.get("err", ""))
     print(f"\nTOTAL {len(names)} in {time.time() - t0:.0f}s; fails={fails}")
     spark.stop()
     return 1 if fails else 0
