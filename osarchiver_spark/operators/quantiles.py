@@ -34,9 +34,20 @@ both correctly rounded and identical on every IEEE-754 engine.
 Scale shape: one map-combinable ``groupBy(group, value).count()``
 (the value histogram — tiny for any realistically-gridded column), a
 window cumsum over the HISTOGRAM (not the fact table), and a one-row-
-per-group aggregate. This is also cheaper at 100 TB than
-``percentile``'s per-group sorted buffer: the shuffle carries one row
-per DISTINCT value, not per row.
+per-group aggregate. Measured vs engine ``percentile`` at sf10
+(BENCH_SF10_QUANTILES.json, 2M rows x ~10k distinct cents per group):
+the exact shape costs ~2-5x — Spark's ``percentile`` is itself
+histogram-based (a per-group value->count OpenHashMap in ONE
+aggregation buffer, sorted at eval), so there is no throughput
+crossover to win. What the exact shape buys instead: (1) cross-engine
+bit-identity, the reason it exists; (2) the histogram is DISTRIBUTED
+— partitioned by (group, value) across executors and spillable, while
+``percentile`` concentrates each group's whole distinct-value map in
+a single unspillable buffer, which at 100 TB with a pathological
+value grid (distinct-per-group approaching row count) is an executor
+OOM, not a slowdown. Cost bound either way: rows shuffled = distinct
+(group, value) pairs; on a dense grid that degrades toward a sort of
+the distinct values, never worse.
 
 Reference semantics: linear interpolation per Hyndman & Fan type 7 —
 the definition shared by Spark ``percentile``, DuckDB

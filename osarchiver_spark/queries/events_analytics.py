@@ -182,7 +182,10 @@ def q_winsorize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     computes), now bit-identical across engines by construction.
     Scale shape: the quantile pass is a map-combinable histogram agg
     (one row per DISTINCT cent value) + a window over the histogram —
-    cheaper at 100 TB than percentile's per-group sorted buffer."""
+    a measured ~1.8x constant-factor cost vs engine percentile at sf10
+    (BENCH_SF10_QUANTILES.json; percentile is count-map-based too),
+    paid for bit-identity plus a distributed, spillable histogram
+    instead of percentile's single per-group buffer."""
     from osarchiver_spark.operators.quantiles import exact_quantile_nums
 
     ev = load_table(spark, sf_dir, "events")
