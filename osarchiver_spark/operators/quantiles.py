@@ -99,8 +99,13 @@ def exact_quantile_nums(
     hist = df.groupBy(group_col, int_col).agg(F.count(F.lit(1)).alias("cnt"))
     w = W.partitionBy(group_col).orderBy(int_col)
     cums = hist.withColumn("cum", F.sum("cnt").over(w))
-    totals = cums.groupBy(group_col).agg(F.max("cum").alias("n"))
-    j = cums.join(F.broadcast(totals), group_col)
+    # Group total as a whole-partition window over the SAME key: the
+    # cumsum window already exchanged by group_col, so this adds zero
+    # shuffles, vs the former groupBy(totals) + broadcast-join round
+    # trip (same value: max over an unbounded frame == max(cum)).
+    j = cums.withColumn(
+        "n", F.max("cum").over(W.partitionBy(group_col))
+    )
 
     aggs: list[Column] = [F.max("n").cast("long").alias("n")]
     for name, q in quantiles.items():

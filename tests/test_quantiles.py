@@ -125,3 +125,23 @@ def test_exact_quantiles_match_spark_percentile_off_boundary(spark):
     for name in QS:
         exact = Fraction(qn[f"{name}_num"], qn[f"{name}_den"])
         assert abs(float(exact) - pct[name]) < 1e-9 * max(1.0, pct[name])
+
+
+def test_exact_quantiles_plan_is_single_shuffle_no_join(spark):
+    """Scale pin for the r08 shape change: the group total comes from
+    a whole-partition window over the SAME exchange as the cumsum
+    window — not a separate totals aggregate broadcast-joined back.
+    The plan must show exactly the histogram exchange (group, value)
+    + the window exchange (group), and no join of any kind."""
+    import contextlib
+    import io
+
+    df = spark.range(1000).selectExpr("id % 3 AS g", "id % 37 AS x")
+    out = exact_quantile_nums(df, "g", "x", QS)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "Join" not in plan, plan
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 2, plan
