@@ -143,5 +143,8 @@ def test_exact_quantiles_plan_is_single_shuffle_no_join(spark):
         out.explain("formatted")
     plan = buf.getvalue()
     assert "Join" not in plan, plan
-    n_exchanges = plan.count("Exchange hashpartitioning")
+    # formatted explain prints one "(N) Exchange" node header per
+    # shuffle; "hashpartitioning" appears on its Arguments line
+    n_exchanges = plan.count(") Exchange")
     assert n_exchanges == 2, plan
+    assert plan.count("hashpartitioning") == 2, plan
