@@ -80,18 +80,27 @@ def _values_close(a, b) -> bool:
 
 
 def compare_query(
-    spark, name: str, query_fn, oracle: str, sf_dir: str, exact: bool = True
+    spark, name: str, query_fn, oracle: str, sf_dir: str, exact: bool = True,
+    on_connection=None,
 ) -> None:
     """Raise AssertionError with a readable diff on any mismatch.
 
     ``exact=True`` (default) mirrors the driver's value hash: every
     number must agree to the bit. ``exact=False`` falls back to the
-    1e-9-tolerant float comparison."""
+    1e-9-tolerant float comparison.
+
+    ``on_connection`` (optional) receives the live DuckDB connection
+    before the oracle runs — a watchdog can ``con.interrupt()`` it,
+    which Spark job-group cancellation cannot reach (the sf1 sweep's
+    per-query wall cap needs BOTH: a timed-out oracle otherwise keeps
+    burning every core as a zombie)."""
     sdf = query_fn(spark, sf_dir)
     spark_cols = list(sdf.columns)
     spark_rows = [tuple(r) for r in sdf.collect()]
 
     con = duckdb_connection(sf_dir)
+    if on_connection is not None:
+        on_connection(con)
     try:
         rel = con.sql(oracle)
         duck_cols = list(rel.columns)

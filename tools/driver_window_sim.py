@@ -127,17 +127,24 @@ def main() -> int:
             continue
         t = time.time()
         outcome: dict[str, str] = {}
+        live_con: list = []
 
         def run(name=name) -> None:
             # Job group is thread-local in Spark: set it in the worker so
             # a timeout can cancel exactly this query's jobs.
             sc.setJobGroup(name, name, interruptOnCancel=True)
             try:
-                compare_query(spark, name, qs[name], oracles[name], sf_dir, exact=True)
+                compare_query(
+                    spark, name, qs[name], oracles[name], sf_dir, exact=True,
+                    on_connection=live_con.append,
+                )
                 outcome["status"] = "ok"
             except Exception as exc:  # report every failure, keep sweeping
-                outcome["status"] = "fail"
-                outcome["err"] = str(exc)[:300]
+                if "INTERRUPT" in str(exc).upper():
+                    outcome.setdefault("status", "timeout")
+                else:
+                    outcome["status"] = "fail"
+                    outcome["err"] = str(exc)[:300]
 
         if timeout_s is None:
             run()
@@ -146,8 +153,13 @@ def main() -> int:
             worker.start()
             worker.join(timeout_s)
             if worker.is_alive():
-                sc.cancelJobGroup(name)
-                worker.join(30)  # grace for the cancel to unwind
+                sc.cancelJobGroup(name)  # stops the Spark half
+                for con in live_con:  # stops the DuckDB half (zombie cores)
+                    try:
+                        con.interrupt()
+                    except Exception:
+                        pass
+                worker.join(30)  # grace for the cancels to unwind
                 outcome.setdefault("status", "timeout")
                 if worker.is_alive():
                     print(f"{i:3d} {name}: TIMEOUT (worker still unwinding)")
