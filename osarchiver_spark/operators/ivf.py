@@ -135,27 +135,16 @@ def kmeans_fit(
         base.unpersist()
 
 
-def ivf_topk(
-    corpus: DataFrame,
-    queries: DataFrame,
-    id_col: str,
-    vec_col: str,
-    k: int = 5,
-    n_clusters: int = 16,
-    nprobe: int = 4,
-    centroids: list[list[float]] | None = None,
+def _probe_pandas(
+    queries: DataFrame, id_col: str, vec_col: str,
+    centroids: list[list[float]], nprobe: int,
 ) -> DataFrame:
-    """Approximate top-k neighbors via IVF probing."""
-    if centroids is None:
-        centroids = kmeans_fit(corpus, id_col, vec_col, k=n_clusters)
+    """(query_id, qv, cid) — each query repeated once per probed
+    cluster: its ``nprobe`` nearest centroids (squared euclidean,
+    stable argsort so ties go to the lowest cid). One matmul per
+    Arrow batch against the model-sized centroid matrix."""
     C = np.asarray(centroids, dtype="float64")
     c_sq = (C * C).sum(axis=1)
-
-    c_assigned = _assign_pandas(
-        corpus.select(F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("v")),
-        centroids,
-    )
-
     probe_schema = T.StructType(
         [
             T.StructField("query_id", queries.schema[id_col].dataType),
@@ -163,7 +152,6 @@ def ivf_topk(
             T.StructField("cid", T.IntegerType()),
         ]
     )
-
     n_take = min(nprobe, len(centroids))  # nprobe > k just probes everything
 
     def probe(batches):
@@ -184,14 +172,94 @@ def ivf_topk(
     qbase = queries.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
     )
-    probed = qbase.mapInPandas(probe, schema=probe_schema)
+    return qbase.mapInPandas(probe, schema=probe_schema)
 
-    from osarchiver_spark.operators.blas import cogroup_topk_cosine
 
-    local = cogroup_topk_cosine(probed, c_assigned, "cid", k)
+def _global_topk(local: DataFrame, k: int) -> DataFrame:
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
         local.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "cosine")
     )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    n_clusters: int = 16,
+    nprobe: int = 4,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """Approximate top-k neighbors via IVF probing."""
+    if centroids is None:
+        centroids = kmeans_fit(corpus, id_col, vec_col, k=n_clusters)
+
+    c_assigned = _assign_pandas(
+        corpus.select(F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("v")),
+        centroids,
+    )
+    probed = _probe_pandas(queries, id_col, vec_col, centroids, nprobe)
+
+    from osarchiver_spark.operators.blas import cogroup_topk_cosine
+
+    return _global_topk(cogroup_topk_cosine(probed, c_assigned, "cid", k), k)
+
+
+def ivf_index(
+    corpus: DataFrame, id_col: str, vec_col: str, centroids: list[list[float]]
+) -> DataFrame:
+    """The PERSISTABLE inverted file: every corpus vector assigned to
+    its nearest centroid — columns (neighbor_id, v, cid). Write it
+    ``.write.partitionBy("cid").parquet(dir)`` so a later probe's
+    ``cid IN (...)`` prunes whole list DIRECTORIES at the source
+    (PartitionFilters, zero bytes read from unprobed lists — the
+    vector analog of the MinHash band index's band_key sorting).
+
+    Incremental maintenance is the same call on the new drop +
+    ``mode("append")``: IVF practice keeps centroids FROZEN between
+    retrains (a new vector joins its nearest existing list; FAISS
+    ``IndexIVF.add`` is exactly this), so an appended index is
+    row-identical to one built from the unioned corpus — pinned in
+    tests/test_ivf.py. Retrain centroids when drift matters, not per
+    drop."""
+    return _assign_pandas(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("v")
+        ),
+        centroids,
+    )
+
+
+def ivf_topk_indexed(
+    index: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[list[float]],
+    k: int = 5,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Probe an EXISTING inverted file (:func:`ivf_index` read back
+    from its cid-partitioned layout) — per-drop ANN cost that is
+    probe-shaped, not corpus-shaped: the standing corpus is never
+    re-assigned, and only the probed lists' partitions are read.
+
+    The probed cid set is collected to drive source-side partition
+    pruning — it is MODEL-sized (at most len(centroids) ints,
+    distinct() map-combines before the collect), never query- or
+    corpus-sized. The query side is traversed twice (once for the
+    cid set, once for scoring) — queries are drop/batch-sized by the
+    same contract as the other incremental probes."""
+    probed = _probe_pandas(queries, id_col, vec_col, centroids, nprobe)
+    cids = sorted(
+        r["cid"] for r in probed.select("cid").distinct().collect()
+    )
+    pruned = index.filter(F.col("cid").isin(cids))
+
+    from osarchiver_spark.operators.blas import cogroup_topk_cosine
+
+    return _global_topk(cogroup_topk_cosine(probed, pruned, "cid", k), k)

@@ -74,6 +74,60 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_knn_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PERSISTED-index IVF chain: train centroids once, build the
+    inverted file from the standing corpus, APPEND a later drop's
+    assignments (frozen centroids — FAISS IndexIVF.add semantics),
+    read the cid-partitioned index back, and probe it. Per-drop ANN
+    cost is probe-shaped (only probed cid partitions are read; the
+    cid IN pushdown is plan-pinned in tests/test_plans.py), the
+    vector analog of dedup_incremental_indexed's band index.
+
+    Runs at full-recall oracle depth (nprobe == n_clusters) like the
+    other ANN entries, so the exact brute-force ranking is its
+    oracle; production nprobe recall is pinned in tests/test_ivf.py.
+    The two-batch append is part of the REGISTERED query on purpose:
+    the oracle match certifies that append == one-shot build."""
+    import hashlib
+    import os
+    import tempfile
+
+    from osarchiver_spark.operators.ivf import (
+        ivf_index,
+        ivf_topk_indexed,
+        kmeans_fit,
+    )
+    from osarchiver_spark.queries.dedup import _reap_index_dir_at_exit
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % QUERY_MOD == 0)
+    centroids = kmeans_fit(emb, "vec_id", "embedding", k=16)
+
+    idx_dir = os.path.join(
+        tempfile.gettempdir(),
+        "ivf_index_{}_{}".format(
+            hashlib.md5(sf_dir.encode()).hexdigest()[:12],
+            spark.sparkContext.applicationId,
+        ),
+    )
+    _reap_index_dir_at_exit(idx_dir)
+    standing = emb.filter(F.col("vec_id") % 10 != 3)
+    drop = emb.filter(F.col("vec_id") % 10 == 3)
+    ivf_index(standing, "vec_id", "embedding", centroids).write.mode(
+        "overwrite"
+    ).partitionBy("cid").parquet(idx_dir)
+    ivf_index(drop, "vec_id", "embedding", centroids).write.mode(
+        "append"
+    ).partitionBy("cid").parquet(idx_dir)
+    index = spark.read.parquet(idx_dir).withColumn(
+        "cid", F.col("cid").cast("int")  # partition-dir inference type
+    )
+    return ivf_topk_indexed(
+        index, queries, "vec_id", "embedding", centroids,
+        k=TOP_K, nprobe=IVF_ORACLE_NPROBE,
+    )
+
+
 # PQ oracle mode: probe all cells AND shortlist everything => the
 # exact cosine re-rank sees every candidate, so the brute-force
 # ranking survives regardless of ADC noise — the same "disable the
@@ -258,6 +312,7 @@ QUERIES = {
     "knn_label_vote": q_knn_label_vote,
     "knn_lsh": q_knn_lsh,
     "knn_ivf": q_knn_ivf,
+    "knn_ivf_indexed": q_knn_ivf_indexed,
     "knn_ivf_pq": q_knn_ivf_pq,
     "vector_norms": q_vector_norms,
     "label_stats": q_label_stats,
@@ -315,6 +370,9 @@ ORACLES = {
     "knn_lsh": _TOPK_ORACLE,
     "knn_ivf": _TOPK_ORACLE,
     "knn_ivf_pq": _TOPK_ORACLE,
+    # persisted-index chain at full-recall depth: the append == one-shot
+    # identity plus exhaustive probing makes the exact ranking its oracle
+    "knn_ivf_indexed": _TOPK_ORACLE,
     "knn_label_vote": f"""
         WITH topk AS (SELECT * FROM ({_TOPK_ORACLE})),
         votes AS (

@@ -39,3 +39,56 @@ def test_ivf_exact_when_probing_everything(spark, sf_small):
     e = {(r.query_id, r.rank, r.neighbor_id) for r in exact.collect()}
     f = {(r.query_id, r.rank, r.neighbor_id) for r in full.collect()}
     assert e == f  # nprobe == n_clusters degenerates to exact search
+
+
+def test_ivf_index_append_equals_oneshot(spark, sf_small, tmp_path):
+    """Frozen-centroid append (FAISS IndexIVF.add semantics): an index
+    built as standing + appended drop is ROW-identical to one built
+    from the unioned corpus, and probing either gives the same top-k."""
+    from osarchiver_spark.operators.ivf import ivf_index, ivf_topk_indexed
+
+    emb = load_table(spark, sf_small, "embeddings")
+    cents = kmeans_fit(emb, "vec_id", "embedding", k=8, iters=2)
+    standing = emb.filter(F.col("vec_id") % 10 != 3)
+    drop = emb.filter(F.col("vec_id") % 10 == 3)
+
+    a_dir, b_dir = str(tmp_path / "a"), str(tmp_path / "b")
+    ivf_index(emb, "vec_id", "embedding", cents).write.partitionBy("cid").parquet(a_dir)
+    ivf_index(standing, "vec_id", "embedding", cents).write.partitionBy("cid").parquet(b_dir)
+    ivf_index(drop, "vec_id", "embedding", cents).write.mode("append").partitionBy(
+        "cid"
+    ).parquet(b_dir)
+
+    read = lambda d: spark.read.parquet(d).withColumn("cid", F.col("cid").cast("int"))
+    rows = lambda df: sorted(
+        (r.neighbor_id, r.cid, tuple(r.v)) for r in df.collect()
+    )
+    assert rows(read(a_dir)) == rows(read(b_dir))
+
+    queries = emb.filter(F.col("vec_id") % 250 == 0)
+    topk = lambda d: {
+        (r.query_id, r.rank, r.neighbor_id)
+        for r in ivf_topk_indexed(
+            read(d), queries, "vec_id", "embedding", cents, k=5, nprobe=3
+        ).collect()
+    }
+    assert topk(a_dir) == topk(b_dir)
+
+
+def test_ivf_indexed_matches_unindexed_at_same_nprobe(spark, sf_small, tmp_path):
+    """The persisted-index probe is the SAME algorithm as ivf_topk —
+    identical results at any nprobe, including production depth."""
+    from osarchiver_spark.operators.ivf import ivf_index, ivf_topk_indexed
+
+    emb = load_table(spark, sf_small, "embeddings")
+    cents = kmeans_fit(emb, "vec_id", "embedding", k=8, iters=2)
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    idx = str(tmp_path / "idx")
+    ivf_index(emb, "vec_id", "embedding", cents).write.partitionBy("cid").parquet(idx)
+    index = spark.read.parquet(idx).withColumn("cid", F.col("cid").cast("int"))
+
+    direct = ivf_topk(emb, queries, "vec_id", "embedding", k=5, nprobe=3, centroids=cents)
+    indexed = ivf_topk_indexed(index, queries, "vec_id", "embedding", cents, k=5, nprobe=3)
+    d = {(r.query_id, r.rank, r.neighbor_id) for r in direct.collect()}
+    i = {(r.query_id, r.rank, r.neighbor_id) for r in indexed.collect()}
+    assert d == i

@@ -578,3 +578,17 @@ def test_indexed_incremental_verify_fallback_plan(spark, tmp_path):
         plan = buf.getvalue()
     assert "LeftSemi" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_ivf_indexed_probe_prunes_partitions(spark):
+    """knn_ivf_indexed probes a cid-partitioned inverted file: the
+    index scan must carry the probed cid set as a PARTITION filter
+    (directory-level pruning — zero bytes read from unprobed lists),
+    and never a cartesian product."""
+    plan = _formatted(spark, "knn_ivf_indexed")
+    assert "PartitionFilters" in plan
+    import re
+
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert any(re.search(r"cid.*(IN|isin|EqualTo|= )", l, re.I) or "cid" in l for l in pf), pf
+    assert "CartesianProduct" not in plan
