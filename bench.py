@@ -136,6 +136,8 @@ HEADLINE = [
     "ab_test_report",
     "survival_curve",
     "lang_confusion",
+    # round-8 additions
+    "knn_ivf_indexed",
 ]
 
 
@@ -215,6 +217,48 @@ def _dedup_embedding_incremental_production(spark, sf_dir):
     )
 
 
+def _knn_ivf_indexed_production(spark, sf_dir):
+    """The persisted-index chain at production probe depth: build the
+    cid-partitioned inverted file once, append a 10% drop, probe at
+    nprobe=4/16 (partition-pruned read) — the serving path, vs the
+    registered query's full-recall oracle depth."""
+    import hashlib
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from osarchiver_spark.operators.ivf import ivf_index, ivf_topk_indexed, kmeans_fit
+    from osarchiver_spark.queries.similarity import TOP_K
+    from osarchiver_spark.sources.parquet import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    _, queries = _ann_queries(spark, sf_dir)
+    centroids = kmeans_fit(emb, "vec_id", "embedding", k=16)
+    idx_dir = os.path.join(
+        tempfile.gettempdir(),
+        "ivf_bench_{}_{}".format(
+            hashlib.md5(sf_dir.encode()).hexdigest()[:12],
+            spark.sparkContext.applicationId,
+        ),
+    )
+    from osarchiver_spark.queries.dedup import _reap_index_dir_at_exit
+
+    _reap_index_dir_at_exit(idx_dir)
+    standing = emb.filter(F.col("vec_id") % 10 != 3)
+    drop = emb.filter(F.col("vec_id") % 10 == 3)
+    ivf_index(standing, "vec_id", "embedding", centroids).write.mode(
+        "overwrite"
+    ).partitionBy("cid").parquet(idx_dir)
+    ivf_index(drop, "vec_id", "embedding", centroids).write.mode(
+        "append"
+    ).partitionBy("cid").parquet(idx_dir)
+    index = spark.read.parquet(idx_dir).withColumn("cid", F.col("cid").cast("int"))
+    return ivf_topk_indexed(
+        index, queries, "vec_id", "embedding", centroids, k=TOP_K, nprobe=4
+    )
+
+
 def _semdedup_production(spark, sf_dir):
     from osarchiver_spark.operators.semdedup import semdedup_losers
     from osarchiver_spark.sources.parquet import load_table
@@ -254,6 +298,7 @@ BENCH_OVERRIDES = {
     "knn_lsh": _knn_lsh_production,
     "knn_ivf": _knn_ivf_production,
     "knn_ivf_pq": _knn_ivf_pq_production,
+    "knn_ivf_indexed": _knn_ivf_indexed_production,
     "dedup_simhash_multiprobe": _simhash_multiprobe_production,
     # registered embedding-LSH queries run the swept full-recall
     # (b=6, L=64, thr=0.45) oracle parameters; b=6 = 64 buckets/table
