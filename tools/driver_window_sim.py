@@ -49,6 +49,12 @@ def _flag_value(flag: str) -> str | None:
 
 
 def _done_names(log_path: str) -> set[str]:
+    """Every name with ANY recorded outcome: a timeout/fail was
+    handled and re-running it under the same budget would just repeat
+    it (a timed-out DuckDB oracle can even survive interrupt() as a
+    zombie and starve the rest of the sweep — observed r08: the entry
+    AFTER a multiprobe timeout spuriously timed out too). Delete a
+    line from the log to re-queue that entry."""
     done: set[str] = set()
     if log_path and os.path.exists(log_path):
         with open(log_path) as fh:
@@ -57,7 +63,7 @@ def _done_names(log_path: str) -> set[str]:
                     row = json.loads(line)
                 except ValueError:
                     continue
-                if row.get("status") == "ok":
+                if row.get("status"):
                     done.add(row["name"])
     return done
 
