@@ -218,44 +218,15 @@ def _dedup_embedding_incremental_production(spark, sf_dir):
 
 
 def _knn_ivf_indexed_production(spark, sf_dir):
-    """The persisted-index chain at production probe depth: build the
-    cid-partitioned inverted file once, append a 10% drop, probe at
-    nprobe=4/16 (partition-pruned read) — the serving path, vs the
-    registered query's full-recall oracle depth."""
-    import hashlib
-    import os
-    import tempfile
+    """The persisted-index chain at production probe depth: the SAME
+    build_and_probe_ivf chain as the registered query (shared helper,
+    so the benched path cannot drift), probed at nprobe=4/16
+    (partition-pruned read) instead of full-recall oracle depth."""
+    from osarchiver_spark.queries.similarity import build_and_probe_ivf
 
-    from pyspark.sql import functions as F
-
-    from osarchiver_spark.operators.ivf import ivf_index, ivf_topk_indexed, kmeans_fit
-    from osarchiver_spark.queries.similarity import TOP_K
-    from osarchiver_spark.sources.parquet import load_table
-
-    emb = load_table(spark, sf_dir, "embeddings")
     _, queries = _ann_queries(spark, sf_dir)
-    centroids = kmeans_fit(emb, "vec_id", "embedding", k=16)
-    idx_dir = os.path.join(
-        tempfile.gettempdir(),
-        "ivf_bench_{}_{}".format(
-            hashlib.md5(sf_dir.encode()).hexdigest()[:12],
-            spark.sparkContext.applicationId,
-        ),
-    )
-    from osarchiver_spark.queries.dedup import _reap_index_dir_at_exit
-
-    _reap_index_dir_at_exit(idx_dir)
-    standing = emb.filter(F.col("vec_id") % 10 != 3)
-    drop = emb.filter(F.col("vec_id") % 10 == 3)
-    ivf_index(standing, "vec_id", "embedding", centroids).write.mode(
-        "overwrite"
-    ).partitionBy("cid").parquet(idx_dir)
-    ivf_index(drop, "vec_id", "embedding", centroids).write.mode(
-        "append"
-    ).partitionBy("cid").parquet(idx_dir)
-    index = spark.read.parquet(idx_dir).withColumn("cid", F.col("cid").cast("int"))
-    return ivf_topk_indexed(
-        index, queries, "vec_id", "embedding", centroids, k=TOP_K, nprobe=4
+    return build_and_probe_ivf(
+        spark, sf_dir, queries, nprobe=4, dir_prefix="ivf_bench_"
     )
 
 
@@ -350,7 +321,7 @@ def main() -> None:
         # query N+1 (each timing stands alone); the no-accumulation
         # pin in tests/test_plans.py keeps the registry honest
         spark.catalog.clearCache()
-    line = json.dumps(
+    full = json.dumps(
         {
             "metric": "osarchiver_spark headline suite wall time",
             "value": round(total, 3),
@@ -359,17 +330,33 @@ def main() -> None:
             "sf": sf,
         }
     )
-    print(line)
-    # The external driver captures only the stdout TAIL, which has
-    # truncated this JSON mid-line before (BENCH_r03). Persist the
-    # full line in-repo too so per-query history survives; set
-    # SPARK_GRAFT_BENCH_OUT to choose the file (e.g. BENCH_LOCAL_r4).
+    # The external driver captures only the stdout TAIL and parses the
+    # final JSON line. The full per-query map outgrew that window at
+    # 109 queries (BENCH_r08 recorded parsed:null), so the framing is:
+    # full line FIRST (history/humans), compact totals line LAST (the
+    # driver's record). Per-query history also persists in-repo; set
+    # SPARK_GRAFT_BENCH_OUT to choose the file (e.g. BENCH_LOCAL_r9).
+    print(full)
     out_path = os.environ.get("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
     try:
         with open(os.path.join(os.path.dirname(__file__) or ".", out_path), "w") as f:
-            f.write(line + "\n")
+            f.write(full + "\n")
     except OSError:
         pass  # read-only checkout: stdout still carries the line
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:5])
+    print(
+        json.dumps(
+            {
+                "metric": "osarchiver_spark headline suite wall time",
+                "value": round(total, 3),
+                "unit": "sec",
+                "sf": sf,
+                "n_queries": len(timings),
+                "queries": slowest,
+                "queries_file": out_path,
+            }
+        )
+    )
     spark.stop()
 
 

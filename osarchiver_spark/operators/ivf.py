@@ -234,6 +234,16 @@ def ivf_index(
     )
 
 
+#: Query-batch bound for :func:`ivf_topk_indexed`. The probed frame
+#: is materialized into executor-local storage (query rows × nprobe,
+#: each carrying a qv vector), so the query side must be drop/batch-
+#: sized — the same contract as the other incremental probes
+#: (operators/dedup.py::embedding_lsh_incremental). 1M queries × 64
+#: floats ≈ 512 MB spread across executors: a deliberate ceiling, not
+#: a tuning knob.
+INDEXED_PROBE_MAX_QUERIES = 1_000_000
+
+
 def ivf_topk_indexed(
     index: DataFrame,
     queries: DataFrame,
@@ -242,6 +252,7 @@ def ivf_topk_indexed(
     centroids: list[list[float]],
     k: int = 5,
     nprobe: int = 4,
+    max_batch_rows: int = INDEXED_PROBE_MAX_QUERIES,
 ) -> DataFrame:
     """Probe an EXISTING inverted file (:func:`ivf_index` read back
     from its cid-partitioned layout) — per-drop ANN cost that is
@@ -251,10 +262,29 @@ def ivf_topk_indexed(
     The probed cid set is collected to drive source-side partition
     pruning — it is MODEL-sized (at most len(centroids) ints,
     distinct() map-combines before the collect), never query- or
-    corpus-sized. The query side is traversed twice (once for the
-    cid set, once for scoring) — queries are drop/batch-sized by the
-    same contract as the other incremental probes."""
-    probed = _probe_pandas(queries, id_col, vec_col, centroids, nprobe)
+    corpus-sized. The probed frame is materialized ONCE
+    (executor-local, auto-released): the cid collect and the scoring
+    cogroup both read the checkpointed blocks, so the query-side
+    probe matmul runs a single time per call. The batch contract is
+    enforced up front via the ``limit(max+1)`` pattern — an oversized
+    query batch costs one truncated scan, not a full probe."""
+    if max_batch_rows is not None:
+        if max_batch_rows <= 0:
+            raise ValueError(f"max_batch_rows must be positive: {max_batch_rows}")
+        n = queries.limit(max_batch_rows + 1).count()
+        if n > max_batch_rows:
+            raise ValueError(
+                f"ivf_topk_indexed: query batch exceeds max_batch_rows="
+                f"{max_batch_rows}; the probed frame (queries × nprobe, "
+                f"vectors included) is materialized into executor storage, "
+                f"so the query side must be drop/batch-sized. Split the "
+                f"batch (results are independent per query) or raise "
+                f"max_batch_rows deliberately."
+            )
+
+    from osarchiver_spark.operators.cache import transient
+
+    probed = transient(_probe_pandas(queries, id_col, vec_col, centroids, nprobe))
     cids = sorted(
         r["cid"] for r in probed.select("cid").distinct().collect()
     )

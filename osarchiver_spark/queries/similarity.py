@@ -74,20 +74,22 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_knn_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The PERSISTED-index IVF chain: train centroids once, build the
-    inverted file from the standing corpus, APPEND a later drop's
-    assignments (frozen centroids — FAISS IndexIVF.add semantics),
-    read the cid-partitioned index back, and probe it. Per-drop ANN
-    cost is probe-shaped (only probed cid partitions are read; the
-    cid IN pushdown is plan-pinned in tests/test_plans.py), the
-    vector analog of dedup_incremental_indexed's band index.
-
-    Runs at full-recall oracle depth (nprobe == n_clusters) like the
-    other ANN entries, so the exact brute-force ranking is its
-    oracle; production nprobe recall is pinned in tests/test_ivf.py.
-    The two-batch append is part of the REGISTERED query on purpose:
-    the oracle match certifies that append == one-shot build."""
+def build_and_probe_ivf(
+    spark: SparkSession,
+    sf_dir: str,
+    queries: DataFrame,
+    nprobe: int,
+    dir_prefix: str,
+    n_clusters: int = 16,
+) -> DataFrame:
+    """Shared build+probe chain for the persisted IVF index (used by
+    both the registered ``knn_ivf_indexed`` query and bench.py's
+    production-depth override, so the benched path cannot drift from
+    the adjudicated one): train centroids on the full corpus, build
+    the cid-partitioned inverted file from the standing 90%, APPEND
+    the 10% drop's assignments under FROZEN centroids (FAISS
+    ``IndexIVF.add`` semantics), read the index back, probe at
+    ``nprobe``."""
     import hashlib
     import os
     import tempfile
@@ -100,12 +102,12 @@ def q_knn_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from osarchiver_spark.queries.dedup import _reap_index_dir_at_exit
 
     emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") % QUERY_MOD == 0)
-    centroids = kmeans_fit(emb, "vec_id", "embedding", k=16)
+    centroids = kmeans_fit(emb, "vec_id", "embedding", k=n_clusters)
 
     idx_dir = os.path.join(
         tempfile.gettempdir(),
-        "ivf_index_{}_{}".format(
+        "{}{}_{}".format(
+            dir_prefix,
             hashlib.md5(sf_dir.encode()).hexdigest()[:12],
             spark.sparkContext.applicationId,
         ),
@@ -123,8 +125,28 @@ def q_knn_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cid", F.col("cid").cast("int")  # partition-dir inference type
     )
     return ivf_topk_indexed(
-        index, queries, "vec_id", "embedding", centroids,
-        k=TOP_K, nprobe=IVF_ORACLE_NPROBE,
+        index, queries, "vec_id", "embedding", centroids, k=TOP_K, nprobe=nprobe
+    )
+
+
+def q_knn_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PERSISTED-index IVF chain: train centroids once, build the
+    inverted file from the standing corpus, APPEND a later drop's
+    assignments (frozen centroids — FAISS IndexIVF.add semantics),
+    read the cid-partitioned index back, and probe it. Per-drop ANN
+    cost is probe-shaped (only probed cid partitions are read; the
+    cid IN pushdown is plan-pinned in tests/test_plans.py), the
+    vector analog of dedup_incremental_indexed's band index.
+
+    Runs at full-recall oracle depth (nprobe == n_clusters) like the
+    other ANN entries, so the exact brute-force ranking is its
+    oracle; production nprobe recall is pinned in tests/test_ivf.py.
+    The two-batch append is part of the REGISTERED query on purpose:
+    the oracle match certifies that append == one-shot build."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % QUERY_MOD == 0)
+    return build_and_probe_ivf(
+        spark, sf_dir, queries, nprobe=IVF_ORACLE_NPROBE, dir_prefix="ivf_index_"
     )
 
 

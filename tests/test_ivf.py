@@ -92,3 +92,76 @@ def test_ivf_indexed_matches_unindexed_at_same_nprobe(spark, sf_small, tmp_path)
     d = {(r.query_id, r.rank, r.neighbor_id) for r in direct.collect()}
     i = {(r.query_id, r.rank, r.neighbor_id) for r in indexed.collect()}
     assert d == i
+
+
+def test_ivf_indexed_batch_guard(spark, sf_small, tmp_path):
+    """The query-side batch contract: an oversized batch fails fast
+    with one truncated scan (limit(max+1)), before any probe work."""
+    import pytest
+
+    from osarchiver_spark.operators.ivf import ivf_index, ivf_topk_indexed
+
+    emb = load_table(spark, sf_small, "embeddings")
+    cents = kmeans_fit(emb, "vec_id", "embedding", k=8, iters=2)
+    idx = str(tmp_path / "idx")
+    ivf_index(emb, "vec_id", "embedding", cents).write.partitionBy("cid").parquet(idx)
+    index = spark.read.parquet(idx).withColumn("cid", F.col("cid").cast("int"))
+    queries = emb.filter(F.col("vec_id") % 100 == 0)  # > 3 rows at sf0.001
+
+    with pytest.raises(ValueError, match="max_batch_rows"):
+        ivf_topk_indexed(
+            index, queries, "vec_id", "embedding", cents, k=5, nprobe=3,
+            max_batch_rows=3,
+        )
+    with pytest.raises(ValueError, match="positive"):
+        ivf_topk_indexed(
+            index, queries, "vec_id", "embedding", cents, max_batch_rows=0
+        )
+    # within the bound: identical results to an unguarded call
+    ok = ivf_topk_indexed(
+        index, queries, "vec_id", "embedding", cents, k=5, nprobe=3,
+        max_batch_rows=1_000_000,
+    )
+    off = ivf_topk_indexed(
+        index, queries, "vec_id", "embedding", cents, k=5, nprobe=3,
+        max_batch_rows=None,
+    )
+    assert sorted(map(tuple, ok.collect())) == sorted(map(tuple, off.collect()))
+
+
+def test_ivf_indexed_single_probe_traversal(spark, sf_small, tmp_path):
+    """The probed frame is materialized once: the scoring plan reads
+    the checkpointed RDD (Scan ExistingRDD), so the query-side probe
+    matmul does NOT run a second time inside the cogroup — exactly
+    one query-side mapInPandas (ADVICE r8 / verdict r8 item 6)."""
+    import contextlib
+    import io
+
+    from osarchiver_spark.operators.ivf import ivf_index, ivf_topk_indexed
+
+    emb = load_table(spark, sf_small, "embeddings")
+    cents = kmeans_fit(emb, "vec_id", "embedding", k=8, iters=2)
+    idx = str(tmp_path / "idx")
+    ivf_index(emb, "vec_id", "embedding", cents).write.partitionBy("cid").parquet(idx)
+    index = spark.read.parquet(idx).withColumn("cid", F.col("cid").cast("int"))
+    queries = emb.filter(F.col("vec_id") % 250 == 0)
+
+    result = ivf_topk_indexed(
+        index, queries, "vec_id", "embedding", cents, k=5, nprobe=3
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        result.explain("formatted")
+    plan = buf.getvalue()
+    # probe side arrives pre-materialized; only the index side runs
+    # Python (the scoring cogroup + the index scan)
+    assert "Scan ExistingRDD" in plan
+    # one FlatMapCoGroupsInPandas (scoring; "(" = the tree line —
+    # formatted explain prints every node twice, tree + detail); the
+    # probe's MapInPandas is NOT in this plan — it ran once, during
+    # the cid collect ("MapInPandas" standalone, not the "Flat..."
+    # cogroup substring)
+    import re
+
+    assert plan.count("FlatMapCoGroupsInPandas (") == 1
+    assert re.search(r"(?<![A-Za-z])MapInPandas", plan) is None
