@@ -138,6 +138,8 @@ HEADLINE = [
     "lang_confusion",
     # round-8 additions
     "knn_ivf_indexed",
+    # round-9 additions
+    "knn_ivf_pq_indexed",
 ]
 
 
@@ -186,6 +188,19 @@ def _knn_ivf_pq_production(spark, sf_dir):
         # codebooks train on a ~4k-vector hash sample (the at-scale
         # build path); the encode/search passes still cover everything
         train_sample=4096,
+    )
+
+
+def _knn_ivf_pq_indexed_production(spark, sf_dir):
+    """The persisted COMPRESSED-index chain at production depth: the
+    SAME build_and_probe_ivf_pq chain as the registered query (shared
+    helper, no drift), probed at nprobe=4/16 + shortlist=32 — the
+    partition-pruned byte-sized serving read."""
+    from osarchiver_spark.queries.similarity import build_and_probe_ivf_pq
+
+    _, queries = _ann_queries(spark, sf_dir)
+    return build_and_probe_ivf_pq(
+        spark, sf_dir, queries, nprobe=4, shortlist=32, dir_prefix="ivfpq_bench_"
     )
 
 
@@ -270,6 +285,7 @@ BENCH_OVERRIDES = {
     "knn_ivf": _knn_ivf_production,
     "knn_ivf_pq": _knn_ivf_pq_production,
     "knn_ivf_indexed": _knn_ivf_indexed_production,
+    "knn_ivf_pq_indexed": _knn_ivf_pq_indexed_production,
     "dedup_simhash_multiprobe": _simhash_multiprobe_production,
     # registered embedding-LSH queries run the swept full-recall
     # (b=6, L=64, thr=0.45) oracle parameters; b=6 = 64 buckets/table

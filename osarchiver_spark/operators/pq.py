@@ -43,6 +43,9 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from osarchiver_spark.functions.vectors import as_double
+from osarchiver_spark.operators.ivf import (
+    INDEXED_PROBE_MAX_QUERIES as _IVF_DEFAULT_MAX_QUERIES,
+)
 
 
 def pq_joint_fit(
@@ -221,83 +224,27 @@ def _encode_pandas(base: DataFrame, books: list[list[list[float]]]) -> DataFrame
     return base.mapInPandas(encode, schema=schema)
 
 
-def ivf_pq_topk(
-    corpus: DataFrame,
-    queries: DataFrame,
-    id_col: str,
-    vec_col: str,
-    k: int = 5,
-    n_clusters: int = 16,
-    nprobe: int = 4,
-    m: int = 16,
-    codes: int = 16,
-    shortlist: int = 32,
-    train_sample: int | None = None,
-) -> DataFrame:
-    """Top-k cosine neighbors via IVF cells + PQ-coded shortlisting +
-    exact re-rank. Output (query_id, rank, neighbor_id, cosine) —
-    identical shape and tie-break to brute_force_topk.
+def _unit_expr(vec_col: str):
+    """L2-normalization expression (zero vectors pass through).
+    On unit vectors |q-v|^2 = 2 - 2*cos, so euclidean ADC ordering IS
+    the cosine ordering — without this, PQ shortlists by euclidean
+    while the re-rank scores cosine and the two disagree on
+    unnormalized data."""
+    from osarchiver_spark.functions.vectors import norm
 
-    ``m`` must divide the vector dim; m=16 over 64 dims = 4-dim
-    subspaces, the granularity that keeps ADC informative even on
-    near-uniform data (the fixture's worst case — wider subspaces
-    collapse all codebook entries toward the mean there). Oracle-mode
-    callers disable the two lossy stages (``nprobe`` = n_clusters,
-    ``shortlist`` >= corpus) so the exact ranking survives and the
-    brute-force oracle applies — mirroring IVF's nprobe convention;
-    production parameters keep both cuts and are recall-tested.
-
-    ``train_sample``: cap codebook TRAINING at ~this many vectors via
-    a deterministic hash sample (xxhash64(id) mod ratio) — the
-    standard IVF/PQ practice at scale: Lloyd's fits a model-sized
-    sample (centroids converge on the sample distribution), then the
-    ENCODE pass still covers the full corpus, so index completeness
-    is unaffected; only training cost drops from iters × corpus
-    scans to iters × sample scans. None (default, and the registered
-    oracle-mode form) trains on everything. Production recall with
-    sampled training is pinned in tests/test_pq.py."""
-    from osarchiver_spark.functions.vectors import cosine, norm
-
-    # L2-normalize before quantizing: on unit vectors |q-v|^2 =
-    # 2 - 2*cos, so the euclidean ADC ordering IS the cosine ordering
-    # — without this, PQ shortlists by euclidean while the re-rank
-    # scores cosine and the two disagree on unnormalized data
     nrm = norm(as_double(F.col(vec_col)))
-    unit = F.when(nrm > 0, F.transform(as_double(F.col(vec_col)), lambda x: x / nrm)).otherwise(
-        as_double(F.col(vec_col))
-    )
-    corpus_n = corpus.select(F.col(id_col), unit.alias("_uv"))
-    queries_n = queries.select(F.col(id_col), unit.alias("_uv"))
+    return F.when(
+        nrm > 0, F.transform(as_double(F.col(vec_col)), lambda x: x / nrm)
+    ).otherwise(as_double(F.col(vec_col)))
 
-    train = corpus_n
-    if train_sample is not None:
-        ratio = max(1, corpus_n.count() // max(1, train_sample))
-        if ratio > 1:
-            train = corpus_n.filter(
-                F.pmod(F.xxhash64(F.col(id_col)), F.lit(ratio)) == 0
-            )
-    coarse, books = pq_joint_fit(
-        train, id_col, "_uv", n_clusters=n_clusters, m=m, codes=codes
-    )
+
+def _probe_coarse(
+    qbase: DataFrame, coarse: list[list[float]], nprobe: int, id_type
+) -> DataFrame:
+    """(query_id, qv, cid) — each (normalized) query repeated once per
+    probed coarse cell; stable argsort ties to the lowest cid."""
     C = np.asarray(coarse, dtype="float64")
     c_sq = (C * C).sum(axis=1)
-    B = [np.asarray(b, dtype="float64") for b in books]
-    b_sq = [(bb * bb).sum(axis=1) for bb in B]
-    sub = B[0].shape[1]
-
-    # the PQ index: ids + cell + m byte-sized codes; full vectors are
-    # NOT carried through the scoring pass
-    from osarchiver_spark.operators.ivf import _assign_pandas
-
-    encoded = _encode_pandas(
-        _assign_pandas(
-            corpus_n.select(F.col(id_col).alias("neighbor_id"), F.col("_uv").alias("v")),
-            coarse,
-        ).select("neighbor_id", "v", "cid"),
-        books,
-    ).select("neighbor_id", "cid", "code")
-
-    id_type = queries.schema[id_col].dataType
     probe_schema = T.StructType(
         [
             T.StructField("query_id", id_type),
@@ -322,8 +269,23 @@ def ivf_pq_topk(
                 }
             )
 
-    qbase = queries_n.select(F.col(id_col).alias("query_id"), F.col("_uv").alias("qv"))
-    probed = qbase.mapInPandas(probe, schema=probe_schema)
+    return qbase.mapInPandas(probe, schema=probe_schema)
+
+
+def _adc_shortlist(
+    probed: DataFrame,
+    encoded: DataFrame,
+    books: list[list[list[float]]],
+    shortlist: int,
+    id_type,
+) -> DataFrame:
+    """Per-query ADC shortlist over PQ codes: cogroup probes with the
+    encoded index per cell, score by per-query LUT gather (no vector
+    math touches candidates), keep the global ``shortlist`` best ids
+    per query. Output (query_id, neighbor_id)."""
+    B = [np.asarray(b, dtype="float64") for b in books]
+    b_sq = [(bb * bb).sum(axis=1) for bb in B]
+    sub = B[0].shape[1]
 
     adc_schema = T.StructType(
         [
@@ -379,18 +341,30 @@ def ivf_pq_topk(
         .filter(F.col("query_id") != F.col("neighbor_id"))
     )
     w_adc = W.partitionBy("query_id").orderBy(F.col("adc"), F.col("neighbor_id"))
-    short = (
+    return (
         local.withColumn("srank", F.row_number().over(w_adc))
         .filter(F.col("srank") <= shortlist)
         .select("query_id", "neighbor_id")
     )
 
-    # exact re-rank: only shortlist × (qv, v) pairs see full vectors
-    qvecs = qbase
+
+def _exact_rerank(
+    short: DataFrame,
+    qbase: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+) -> DataFrame:
+    """Exact cosine re-rank: only shortlist × (qv, v) pairs see full
+    vectors (cosine is scale-invariant, so the normalized qv against
+    the raw corpus vector is exact)."""
+    from osarchiver_spark.functions.vectors import cosine
+
     nvecs = corpus.select(
         F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("v")
     )
-    paired = short.join(qvecs, "query_id").join(nvecs, "neighbor_id")
+    paired = short.join(qbase, "query_id").join(nvecs, "neighbor_id")
     scored = paired.select(
         "query_id",
         "neighbor_id",
@@ -402,3 +376,153 @@ def ivf_pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "cosine")
     )
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    n_clusters: int = 16,
+    nprobe: int = 4,
+    m: int = 16,
+    codes: int = 16,
+    shortlist: int = 32,
+    train_sample: int | None = None,
+) -> DataFrame:
+    """Top-k cosine neighbors via IVF cells + PQ-coded shortlisting +
+    exact re-rank. Output (query_id, rank, neighbor_id, cosine) —
+    identical shape and tie-break to brute_force_topk.
+
+    ``m`` must divide the vector dim; m=16 over 64 dims = 4-dim
+    subspaces, the granularity that keeps ADC informative even on
+    near-uniform data (the fixture's worst case — wider subspaces
+    collapse all codebook entries toward the mean there). Oracle-mode
+    callers disable the two lossy stages (``nprobe`` = n_clusters,
+    ``shortlist`` >= corpus) so the exact ranking survives and the
+    brute-force oracle applies — mirroring IVF's nprobe convention;
+    production parameters keep both cuts and are recall-tested.
+
+    ``train_sample``: cap codebook TRAINING at ~this many vectors via
+    a deterministic hash sample (xxhash64(id) mod ratio) — the
+    standard IVF/PQ practice at scale: Lloyd's fits a model-sized
+    sample (centroids converge on the sample distribution), then the
+    ENCODE pass still covers the full corpus, so index completeness
+    is unaffected; only training cost drops from iters × corpus
+    scans to iters × sample scans. None (default, and the registered
+    oracle-mode form) trains on everything. Production recall with
+    sampled training is pinned in tests/test_pq.py."""
+    unit = _unit_expr(vec_col)
+    corpus_n = corpus.select(F.col(id_col), unit.alias("_uv"))
+    queries_n = queries.select(F.col(id_col), unit.alias("_uv"))
+
+    train = corpus_n
+    if train_sample is not None:
+        ratio = max(1, corpus_n.count() // max(1, train_sample))
+        if ratio > 1:
+            train = corpus_n.filter(
+                F.pmod(F.xxhash64(F.col(id_col)), F.lit(ratio)) == 0
+            )
+    coarse, books = pq_joint_fit(
+        train, id_col, "_uv", n_clusters=n_clusters, m=m, codes=codes
+    )
+
+    encoded = ivf_pq_index(corpus, id_col, vec_col, coarse, books)
+    id_type = queries.schema[id_col].dataType
+    qbase = queries_n.select(F.col(id_col).alias("query_id"), F.col("_uv").alias("qv"))
+    probed = _probe_coarse(qbase, coarse, nprobe, id_type)
+    short = _adc_shortlist(probed, encoded, books, shortlist, id_type)
+    return _exact_rerank(short, qbase, corpus, id_col, vec_col, k)
+
+
+def ivf_pq_index(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    coarse: list[list[float]],
+    books: list[list[list[float]]],
+) -> DataFrame:
+    """The PERSISTABLE compressed inverted file — the FAISS IVFPQ
+    on-disk shape: every corpus vector L2-normalized, assigned to its
+    nearest coarse cell, and PQ-encoded. Columns
+    (neighbor_id, cid, code) — code is the m-entry array of subspace
+    codebook ids; full vectors are NOT stored (at m=16 int codes the
+    index carries ~16 small ints per 64-float vector; the exact
+    re-rank fetches raw vectors from the source table by id for the
+    shortlist only). Write it
+    ``.write.partitionBy("cid").parquet(dir)`` so a probe's
+    ``cid IN (...)`` prunes whole cell DIRECTORIES at the source.
+
+    Incremental maintenance mirrors :func:`~osarchiver_spark.
+    operators.ivf.ivf_index`: coarse centroids AND codebooks stay
+    FROZEN between retrains (FAISS ``IndexIVFPQ.add`` semantics), so
+    appending a drop's encodings is row-identical to a one-shot build
+    over the unioned corpus — pinned in tests/test_pq.py."""
+    from osarchiver_spark.operators.ivf import _assign_pandas
+
+    corpus_n = corpus.select(F.col(id_col), _unit_expr(vec_col).alias("_uv"))
+    return _encode_pandas(
+        _assign_pandas(
+            corpus_n.select(F.col(id_col).alias("neighbor_id"), F.col("_uv").alias("v")),
+            coarse,
+        ).select("neighbor_id", "v", "cid"),
+        books,
+    ).select("neighbor_id", "cid", "code")
+
+
+def ivf_pq_topk_indexed(
+    index: DataFrame,
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    coarse: list[list[float]],
+    books: list[list[list[float]]],
+    k: int = 5,
+    nprobe: int = 4,
+    shortlist: int = 32,
+    max_batch_rows: int | None = _IVF_DEFAULT_MAX_QUERIES,
+) -> DataFrame:
+    """Probe an EXISTING compressed inverted file (:func:`ivf_pq_index`
+    read back from its cid-partitioned layout): per-drop ANN cost that
+    is probe-shaped in BYTES as well as rows — the scoring pass reads
+    only the probed cells' partitions and streams PQ codes (bytes per
+    vector), never vectors; ``corpus`` supplies full vectors solely
+    for the exact re-rank of the per-query shortlist (an id equi-join,
+    shortlist × queries rows).
+
+    Same single-traversal + batch-contract discipline as
+    :func:`~osarchiver_spark.operators.ivf.ivf_topk_indexed`: the
+    probed frame is materialized once (executor-local, auto-released),
+    the collected cid set is MODEL-sized, and ``max_batch_rows``
+    (default :data:`~osarchiver_spark.operators.ivf.
+    INDEXED_PROBE_MAX_QUERIES`; ``None`` disables) fails oversized
+    query batches with one truncated scan."""
+    from osarchiver_spark.operators.cache import transient
+
+    if max_batch_rows is not None:
+        if max_batch_rows <= 0:
+            raise ValueError(f"max_batch_rows must be positive: {max_batch_rows}")
+        n = queries.limit(max_batch_rows + 1).count()
+        if n > max_batch_rows:
+            raise ValueError(
+                f"ivf_pq_topk_indexed: query batch exceeds max_batch_rows="
+                f"{max_batch_rows}; the probed frame (queries × nprobe, "
+                f"vectors included) is materialized into executor storage, "
+                f"so the query side must be drop/batch-sized. Split the "
+                f"batch or raise max_batch_rows deliberately."
+            )
+
+    id_type = queries.schema[id_col].dataType
+    qbase = queries.select(
+        F.col(id_col).alias("query_id"), _unit_expr(vec_col).alias("qv")
+    )
+    probed = transient(_probe_coarse(qbase, coarse, nprobe, id_type))
+    cids = sorted(r["cid"] for r in probed.select("cid").distinct().collect())
+    pruned = index.filter(F.col("cid").isin(cids))
+    short = _adc_shortlist(probed, pruned, books, shortlist, id_type)
+    # re-rank reads qv from the materialized probe (distinct per
+    # query) rather than re-scanning the query table
+    qvecs = probed.select("query_id", "qv").dropDuplicates(["query_id"])
+    return _exact_rerank(short, qvecs, corpus, id_col, vec_col, k)

@@ -175,6 +175,29 @@ def q_dedup_simhash_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_multiprobe_pairs(docs, "doc_id", "text", max_hamming=2)
 
 
+# Bounded-scale adjudication of the PRODUCTION 64-bit multiprobe
+# (operators/dedup.py::simhash64_multiprobe_pairs — the Manku
+# parameterization bench.py measures): the all-pairs single-node
+# oracle is O(n²), so the registered entry caps the corpus at a doc
+# count where DuckDB stays tractable at every sweep scale (10k docs =
+# 50M pairs ≈ seconds) while still covering the ENTIRE corpus at the
+# driver's adjudication scales (sf0.01: 500 docs; sf0.1: 5000 — the
+# cap only binds at sf1+, mirroring the knn oracle-mode precedent of
+# bounding the oracle, not the operator). Recall is structural, not
+# sampled: 4-block pigeonhole guarantees every hamming<=3 pair shares
+# a block, so the Spark output IS the exact hamming<=3 pair set.
+SIMHASH64_DOC_CAP = 10_000
+
+
+def q_dedup_simhash64_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osarchiver_spark.operators.dedup import simhash64_multiprobe_pairs
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < SIMHASH64_DOC_CAP
+    )
+    return simhash64_multiprobe_pairs(docs, "doc_id", "text", max_hamming=3)
+
+
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < NGRAM_CAP)
     return ngram_jaccard_pairs(docs, "doc_id", "text", shingle_n=3, threshold=NGRAM_THRESHOLD)
@@ -426,6 +449,7 @@ QUERIES = {
     "dedup_minhash_xxhash64": q_dedup_minhash_xxhash64,
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_multiprobe": q_dedup_simhash_multiprobe,
+    "dedup_simhash64_bounded": q_dedup_simhash64_bounded,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_containment": q_dedup_containment,
     "dedup_embedding": q_dedup_embedding,
@@ -462,6 +486,28 @@ _SQL_BANDS = (
     )
     + "]"
 )
+
+
+def _simhash64_half_sql(lo_pos: int) -> str:
+    """One 32-bit half of the 64-bit simhash, mirroring
+    functions/text.py::token_simhash_mask64 + simhash64_vote_columns
+    up to a FIXED bit permutation (oracle position (d-1)*4+b maps md5
+    hex digit d's nibble-bit b; Spark packs the same 16 digits
+    big-endian into a bigint). A fixed permutation of sketch bit
+    positions preserves pair equality and bit_count(xor) — the only
+    things the query outputs — so the exact all-pairs hamming oracle
+    is unaffected by the ordering choice."""
+    bit_terms = []
+    for i in range(32):
+        pos = lo_pos + i
+        d, b = pos // 4, pos % 4
+        vote = (
+            f"list_sum(list_transform(toks, t -> CASE WHEN "
+            f"((instr('0123456789abcdef', substr(md5(t), {d + 1}, 1)) - 1) & {1 << b}) != 0 "
+            f"THEN 1 ELSE -1 END))"
+        )
+        bit_terms.append(f"(CASE WHEN {vote} > 0 THEN {1 << i} ELSE 0 END)")
+    return "CAST(" + " + ".join(bit_terms) + " AS BIGINT)"
 
 
 def _simhash_sql() -> str:
@@ -555,6 +601,21 @@ ORACLES = {
                CAST(bit_count(xor(a.simhash::BIGINT, b.simhash::BIGINT)) AS INT) AS hamming
         FROM sk a JOIN sk b ON a.doc_id < b.doc_id
         WHERE bit_count(xor(a.simhash::BIGINT, b.simhash::BIGINT)) <= 2
+    """,
+    # exact all-pairs hamming over the PRODUCTION 64-bit sketch (two
+    # 32-bit halves; bit-permutation-invariant — see _simhash64_half_sql)
+    "dedup_simhash64_bounded": f"""
+        WITH sk AS (
+            SELECT doc_id,
+                   {_simhash64_half_sql(0)} AS h0,
+                   {_simhash64_half_sql(32)} AS h1
+            FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+                  WHERE doc_id < {SIMHASH64_DOC_CAP} AND text IS NOT NULL))
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.h0, b.h0))
+                    + bit_count(xor(a.h1, b.h1)) AS INT) AS hamming
+        FROM sk a JOIN sk b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.h0, b.h0)) + bit_count(xor(a.h1, b.h1)) <= 3
     """,
     "dedup_containment": f"""
         WITH toked AS (

@@ -179,6 +179,94 @@ def q_knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def build_and_probe_ivf_pq(
+    spark: SparkSession,
+    sf_dir: str,
+    queries: DataFrame,
+    nprobe: int,
+    shortlist: int,
+    dir_prefix: str,
+    n_clusters: int = 16,
+    m: int = 16,
+    codes: int = 16,
+) -> DataFrame:
+    """Shared build+probe chain for the PERSISTED IVF-PQ index (used
+    by both the registered ``knn_ivf_pq_indexed`` query and bench.py's
+    production-depth override): train coarse quantizer + codebooks
+    once (one fused Lloyd's loop), write the standing corpus's PQ
+    CODES cid-partitioned, APPEND the drop's codes under FROZEN
+    models (FAISS ``IndexIVFPQ.add`` semantics), read the code index
+    back, probe = partition-pruned ADC over codes + exact re-rank of
+    the shortlist only against the source table's full vectors — the
+    FAISS IVFPQ on-disk shape, the configuration a 100 TB embedding
+    corpus serves from (codes are ~16 ints vs 64 doubles per vector;
+    the probe reads nprobe/n_clusters of THAT)."""
+    import hashlib
+    import os
+    import tempfile
+
+    from osarchiver_spark.operators.pq import (
+        _unit_expr,
+        ivf_pq_index,
+        ivf_pq_topk_indexed,
+        pq_joint_fit,
+    )
+    from osarchiver_spark.queries.dedup import _reap_index_dir_at_exit
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    emb_n = emb.select(F.col("vec_id"), _unit_expr("embedding").alias("_uv"))
+    coarse, books = pq_joint_fit(
+        emb_n, "vec_id", "_uv", n_clusters=n_clusters, m=m, codes=codes
+    )
+
+    idx_dir = os.path.join(
+        tempfile.gettempdir(),
+        "{}{}_{}".format(
+            dir_prefix,
+            hashlib.md5(sf_dir.encode()).hexdigest()[:12],
+            spark.sparkContext.applicationId,
+        ),
+    )
+    _reap_index_dir_at_exit(idx_dir)
+    standing = emb.filter(F.col("vec_id") % 10 != 3)
+    drop = emb.filter(F.col("vec_id") % 10 == 3)
+    ivf_pq_index(standing, "vec_id", "embedding", coarse, books).write.mode(
+        "overwrite"
+    ).partitionBy("cid").parquet(idx_dir)
+    ivf_pq_index(drop, "vec_id", "embedding", coarse, books).write.mode(
+        "append"
+    ).partitionBy("cid").parquet(idx_dir)
+    index = spark.read.parquet(idx_dir).withColumn(
+        "cid", F.col("cid").cast("int")  # partition-dir inference type
+    )
+    return ivf_pq_topk_indexed(
+        index, queries, emb, "vec_id", "embedding", coarse, books,
+        k=TOP_K, nprobe=nprobe, shortlist=shortlist,
+    )
+
+
+def q_knn_ivf_pq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted COMPRESSED-index serving chain adjudicated
+    end-to-end: PQ codes (not vectors) written cid-partitioned,
+    frozen-model append, partition-pruned ADC probe, exact re-rank.
+    Runs at the established full-recall oracle split (probe every
+    cell + shortlist everything ⇒ the exact brute-force ranking is
+    the oracle; the lossy stages' machinery still runs and must be
+    exact for the hash to match). Production pruning depth
+    (nprobe=4, shortlist=32) is recall-tested in tests/test_pq.py
+    and benched via the same build_and_probe_ivf_pq chain."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % QUERY_MOD == 0)
+    return build_and_probe_ivf_pq(
+        spark,
+        sf_dir,
+        queries,
+        nprobe=IVF_ORACLE_NPROBE,
+        shortlist=PQ_ORACLE_SHORTLIST,
+        dir_prefix="ivfpq_index_",
+    )
+
+
 def q_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     """kNN weak labeling: predict each query vector's label by
     majority vote over its TOP_K exact cosine neighbors (vote-count
@@ -336,6 +424,7 @@ QUERIES = {
     "knn_ivf": q_knn_ivf,
     "knn_ivf_indexed": q_knn_ivf_indexed,
     "knn_ivf_pq": q_knn_ivf_pq,
+    "knn_ivf_pq_indexed": q_knn_ivf_pq_indexed,
     "vector_norms": q_vector_norms,
     "label_stats": q_label_stats,
     "label_centroids": q_label_centroids,
@@ -392,9 +481,10 @@ ORACLES = {
     "knn_lsh": _TOPK_ORACLE,
     "knn_ivf": _TOPK_ORACLE,
     "knn_ivf_pq": _TOPK_ORACLE,
-    # persisted-index chain at full-recall depth: the append == one-shot
-    # identity plus exhaustive probing makes the exact ranking its oracle
+    # persisted-index chains at full-recall depth: the append == one-shot
+    # identity plus exhaustive probing makes the exact ranking the oracle
     "knn_ivf_indexed": _TOPK_ORACLE,
+    "knn_ivf_pq_indexed": _TOPK_ORACLE,
     "knn_label_vote": f"""
         WITH topk AS (SELECT * FROM ({_TOPK_ORACLE})),
         votes AS (

@@ -92,3 +92,154 @@ def test_pq_all_identical_vectors_hot_cluster(spark):
         assert all(abs(r.cosine - 1.0) < 1e-9 for r in rs)
         ids = [r.neighbor_id for r in sorted(rs, key=lambda r: r.rank)]
         assert ids == sorted(ids), f"tie-break not id-ascending: {ids}"
+
+
+def _fit_models(emb, n_clusters=8, m=16, codes=16):
+    from osarchiver_spark.operators.pq import _unit_expr, pq_joint_fit
+
+    emb_n = emb.select(F.col("vec_id"), _unit_expr("embedding").alias("_uv"))
+    return pq_joint_fit(emb_n, "vec_id", "_uv", n_clusters=n_clusters, m=m, codes=codes)
+
+
+def test_ivf_pq_index_append_equals_oneshot(spark, sf_small, tmp_path):
+    """Frozen coarse centroids AND codebooks (FAISS IndexIVFPQ.add
+    semantics): an index built as standing + appended drop is
+    ROW-identical to one built from the unioned corpus, and probing
+    either gives the same top-k."""
+    from osarchiver_spark.operators.pq import ivf_pq_index, ivf_pq_topk_indexed
+
+    emb = load_table(spark, sf_small, "embeddings")
+    coarse, books = _fit_models(emb)
+    standing = emb.filter(F.col("vec_id") % 10 != 3)
+    drop = emb.filter(F.col("vec_id") % 10 == 3)
+
+    a_dir, b_dir = str(tmp_path / "a"), str(tmp_path / "b")
+    ivf_pq_index(emb, "vec_id", "embedding", coarse, books).write.partitionBy(
+        "cid"
+    ).parquet(a_dir)
+    ivf_pq_index(standing, "vec_id", "embedding", coarse, books).write.partitionBy(
+        "cid"
+    ).parquet(b_dir)
+    ivf_pq_index(drop, "vec_id", "embedding", coarse, books).write.mode(
+        "append"
+    ).partitionBy("cid").parquet(b_dir)
+
+    read = lambda d: spark.read.parquet(d).withColumn("cid", F.col("cid").cast("int"))
+    rows = lambda df: sorted(
+        (r.neighbor_id, r.cid, tuple(r.code)) for r in df.collect()
+    )
+    assert rows(read(a_dir)) == rows(read(b_dir))
+
+    queries = emb.filter(F.col("vec_id") % 250 == 0)
+    topk = lambda d: sorted(
+        map(
+            tuple,
+            ivf_pq_topk_indexed(
+                read(d), queries, emb, "vec_id", "embedding", coarse, books,
+                k=5, nprobe=3, shortlist=16,
+            ).collect(),
+        )
+    )
+    assert topk(a_dir) == topk(b_dir)
+
+
+def test_ivf_pq_indexed_matches_unindexed(spark, sf_small, tmp_path):
+    """The persisted-index probe is the SAME algorithm as the fused
+    ivf_pq_topk — identical rows at any (nprobe, shortlist), given
+    the same trained models."""
+    from osarchiver_spark.operators.pq import (
+        _adc_shortlist,
+        _exact_rerank,
+        _probe_coarse,
+        _unit_expr,
+        ivf_pq_index,
+        ivf_pq_topk_indexed,
+    )
+
+    emb = load_table(spark, sf_small, "embeddings")
+    coarse, books = _fit_models(emb)
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    idx = str(tmp_path / "idx")
+    ivf_pq_index(emb, "vec_id", "embedding", coarse, books).write.partitionBy(
+        "cid"
+    ).parquet(idx)
+    index = spark.read.parquet(idx).withColumn("cid", F.col("cid").cast("int"))
+
+    # the fused path with the same models (bypass training): probe →
+    # ADC shortlist → exact re-rank over the in-memory encoded frame
+    encoded = ivf_pq_index(emb, "vec_id", "embedding", coarse, books)
+    id_type = emb.schema["vec_id"].dataType
+    qbase = queries.select(
+        F.col("vec_id").alias("query_id"), _unit_expr("embedding").alias("qv")
+    )
+    probed = _probe_coarse(qbase, coarse, 3, id_type)
+    short = _adc_shortlist(probed, encoded, books, 16, id_type)
+    direct = _exact_rerank(short, qbase, emb, "vec_id", "embedding", 5)
+
+    indexed = ivf_pq_topk_indexed(
+        index, queries, emb, "vec_id", "embedding", coarse, books,
+        k=5, nprobe=3, shortlist=16,
+    )
+    d = sorted(map(tuple, direct.collect()))
+    i = sorted(map(tuple, indexed.collect()))
+    assert d == i
+
+
+def test_ivf_pq_indexed_plan_reads_codes_only(spark, sf_small, tmp_path):
+    """The scale contract in the plan: the probe prunes cell
+    DIRECTORIES (PartitionFilters cid IN), the pruned scan reads
+    codes — NOT vectors (ReadSchema carries neighbor_id+code only),
+    and the probed frame arrives pre-materialized (Scan ExistingRDD,
+    no second query-side MapInPandas)."""
+    import contextlib
+    import io
+    import re
+
+    from osarchiver_spark.operators.pq import ivf_pq_index, ivf_pq_topk_indexed
+
+    emb = load_table(spark, sf_small, "embeddings")
+    coarse, books = _fit_models(emb)
+    queries = emb.filter(F.col("vec_id") % 250 == 0)
+    idx = str(tmp_path / "idx")
+    ivf_pq_index(emb, "vec_id", "embedding", coarse, books).write.partitionBy(
+        "cid"
+    ).parquet(idx)
+    index = spark.read.parquet(idx).withColumn("cid", F.col("cid").cast("int"))
+
+    result = ivf_pq_topk_indexed(
+        index, queries, emb, "vec_id", "embedding", coarse, books,
+        k=5, nprobe=3, shortlist=16,
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        result.explain("formatted")
+    plan = buf.getvalue()
+    assert re.search(r"PartitionFilters: \[cid#\d+ IN \(", plan)
+    # the index scan streams codes, never vectors
+    m_schema = re.search(
+        r"ReadSchema: struct<neighbor_id:bigint,code:array<int>>", plan
+    )
+    assert m_schema is not None, "index scan must read codes only"
+    assert "Scan ExistingRDD" in plan
+    assert re.search(r"(?<![A-Za-z])MapInPandas", plan) is None
+
+
+def test_ivf_pq_indexed_batch_guard(spark, sf_small, tmp_path):
+    import pytest
+
+    from osarchiver_spark.operators.pq import ivf_pq_index, ivf_pq_topk_indexed
+
+    emb = load_table(spark, sf_small, "embeddings")
+    coarse, books = _fit_models(emb)
+    idx = str(tmp_path / "idx")
+    ivf_pq_index(emb, "vec_id", "embedding", coarse, books).write.partitionBy(
+        "cid"
+    ).parquet(idx)
+    index = spark.read.parquet(idx).withColumn("cid", F.col("cid").cast("int"))
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+
+    with pytest.raises(ValueError, match="max_batch_rows"):
+        ivf_pq_topk_indexed(
+            index, queries, emb, "vec_id", "embedding", coarse, books,
+            max_batch_rows=3,
+        )

@@ -48,14 +48,16 @@ def _flag_value(flag: str) -> str | None:
     return None
 
 
-def _done_names(log_path: str) -> set[str]:
-    """Every name with ANY recorded outcome: a timeout/fail was
-    handled and re-running it under the same budget would just repeat
-    it (a timed-out DuckDB oracle can even survive interrupt() as a
-    zombie and starve the rest of the sweep — observed r08: the entry
-    AFTER a multiprobe timeout spuriously timed out too). Delete a
-    line from the log to re-queue that entry."""
-    done: set[str] = set()
+def _done_names(log_path: str) -> dict[str, str]:
+    """name -> last recorded status, for every name with ANY recorded
+    outcome: a timeout/fail was handled and re-running it under the
+    same budget would just repeat it (a timed-out DuckDB oracle can
+    even survive interrupt() as a zombie and starve the rest of the
+    sweep — observed r08: the entry AFTER a multiprobe timeout
+    spuriously timed out too). Delete a line from the log to re-queue
+    that entry. Recorded fail/timeout statuses still count against
+    the final summary and exit code on resume."""
+    done: dict[str, str] = {}
     if log_path and os.path.exists(log_path):
         with open(log_path) as fh:
             for line in fh:
@@ -64,7 +66,7 @@ def _done_names(log_path: str) -> set[str]:
                 except ValueError:
                     continue
                 if row.get("status"):
-                    done.add(row["name"])
+                    done[row["name"]] = row["status"]
     return done
 
 
@@ -107,9 +109,9 @@ def main() -> int:
         names = wanted
     else:
         names = list(qs) if run_all else list(qs)[:50]
-    done = _done_names(log_path) if log_path else set()
+    done = _done_names(log_path) if log_path else {}
     if done:
-        print(f"resume: skipping {len(done)} names already OK in {log_path}")
+        print(f"resume: skipping {len(done)} names already recorded in {log_path}")
     spark = get_spark("driver-window-sim")
     sc = spark.sparkContext
     fails: list[str] = []
@@ -146,7 +148,12 @@ def main() -> int:
                 )
                 outcome["status"] = "ok"
             except Exception as exc:  # report every failure, keep sweeping
-                if "INTERRUPT" in str(exc).upper():
+                # DuckDB raises INTERRUPT on con.interrupt(); a cancelled
+                # Spark job group raises SparkException mentioning
+                # "cancelled" — both are the timeout path, not a value
+                # mismatch
+                msg = str(exc).upper()
+                if "INTERRUPT" in msg or "CANCEL" in msg:
                     outcome.setdefault("status", "timeout")
                 else:
                     outcome["status"] = "fail"
@@ -180,6 +187,13 @@ def main() -> int:
             fails.append(name)
             print(f"{i:3d} {name}: FAIL {outcome.get('err', '')}", flush=True)
         record(name, status, secs, outcome.get("err", ""))
+    # recorded-but-skipped reds from a resumed log count too: the exit
+    # code judges the LOG's final state, not just this invocation's
+    logged_red = sorted(
+        n for n, s in done.items()
+        if n in names and s in ("fail", "timeout") and n not in fails
+    )
+    fails.extend(logged_red)
     print(f"\nTOTAL {len(names)} in {time.time() - t0:.0f}s; fails={fails}")
     spark.stop()
     return 1 if fails else 0
