@@ -79,3 +79,52 @@ def cogroup_topk_cosine(queries: DataFrame, corpus: DataFrame, key: str, k: int)
         .cogroup(corpus.groupBy(key))
         .applyInPandas(score_group, schema=cosine_pair_schema(id_type))
     )
+
+
+def cogroup_threshold_cosine(
+    queries: DataFrame, corpus: DataFrame, key: str, threshold: float
+) -> DataFrame:
+    """Per-``key`` group BLAS THRESHOLD scorer: same cogroup/matmul
+    shape as :func:`cogroup_topk_cosine`, but emits EVERY
+    (query, neighbor) pair in the group with rounded cosine >=
+    ``threshold`` (self-matches dropped) instead of a local top-k —
+    the candidate generator for threshold dedup over a blocked/
+    probed candidate space (near-dup pairs are sparse, so the output
+    stays pair-shaped, never group-quadratic, at any corpus size the
+    blocking keeps groups bounded)."""
+    thr = float(threshold)
+    id_type = queries.schema["query_id"].dataType
+
+    def score_group(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if len(left) == 0 or len(right) == 0:
+            return pd.DataFrame(
+                {
+                    "query_id": pd.Series([], dtype=object),
+                    "neighbor_id": pd.Series([], dtype=object),
+                    "cosine": pd.Series([], dtype="float64"),
+                }
+            )
+        Q = vec_matrix(left["qv"])
+        V = vec_matrix(right["v"])
+        qn = np.sqrt((Q * Q).sum(axis=1))
+        vn = np.sqrt((V * V).sum(axis=1))
+        qn = np.where(qn > 0, qn, np.inf)  # zero-norm -> cosine 0, like vectors.cosine
+        vn = np.where(vn > 0, vn, np.inf)
+        S = np.round((Q @ V.T) / np.outer(qn, vn), 6)  # n_q × n_v
+        qi, vi = np.nonzero(S >= thr)
+        qids = left["query_id"].to_numpy()[qi]
+        nids = right["neighbor_id"].to_numpy()[vi]
+        keep = qids != nids
+        return pd.DataFrame(
+            {
+                "query_id": qids[keep],
+                "neighbor_id": nids[keep],
+                "cosine": S[qi, vi][keep],
+            }
+        )
+
+    return (
+        queries.groupBy(key)
+        .cogroup(corpus.groupBy(key))
+        .applyInPandas(score_group, schema=cosine_pair_schema(id_type))
+    )

@@ -270,3 +270,156 @@ def _finalize_export(
         return spark.read.parquet(f"{out_dir.rstrip('/')}/manifest")
     finally:
         tagged.unpersist()
+
+
+def export_vector_store(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    centroids: list[list[float]],
+    threshold: float = 0.9,
+    nprobe: int = 4,
+) -> DataFrame:
+    """The VECTOR capstone: embedding near-dup removal + a persisted
+    IVF serving index of the survivors — the artifact an embedding
+    corpus actually serves retrieval from, one-shot build.
+
+        embeddings
+          → IVF-cell near-dup candidates     (ivf_neardup_probe: each
+            vector probes its nprobe nearest cells under the FROZEN
+            ``centroids`` model; cosine >= threshold)
+          → loser rule                        (higher id of each pair)
+          → <out>/store/cid=*/                (ivf_index of survivors,
+                                               cid-partitioned parquet)
+          → manifest (cid, n_vectors)         (<out>/manifest, parquet)
+
+    The candidate rule depends only on the frozen model, never on
+    batching — so :func:`export_vector_store_indexed` (drops +
+    probe/append) lands a row-identical store BY CONSTRUCTION
+    (tests/test_vector_store.py). The model is an argument, not
+    trained here: IVF practice freezes centroids between retrains,
+    and the frozen model is what makes one-shot and incremental
+    builds comparable at all."""
+    from osarchiver_spark.operators.ivf import ivf_index, ivf_neardup_probe
+    from osarchiver_spark.sources.parquet import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    full_index = ivf_index(emb, "vec_id", "embedding", centroids)
+    pairs = ivf_neardup_probe(
+        full_index, emb, "vec_id", "embedding", centroids,
+        threshold=threshold, nprobe=nprobe,
+    ).filter(F.col("neighbor_id") < F.col("query_id"))
+    losers = pairs.select(F.col("query_id").alias("vec_id")).distinct()
+    survivors = emb.join(losers, "vec_id", "left_anti")
+    ivf_index(survivors, "vec_id", "embedding", centroids).write.mode(
+        "overwrite"
+    ).partitionBy("cid").parquet(f"{out_dir.rstrip('/')}/store")
+    return _vector_manifest(spark, out_dir)
+
+
+def export_vector_store_indexed(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    index_dir: str,
+    centroids: list[list[float]],
+    n_batches: int = 4,
+    threshold: float = 0.9,
+    nprobe: int = 4,
+    on_stage=None,
+) -> DataFrame:
+    """The INCREMENTAL-INDEX build of the same vector store: the
+    corpus arrives as ``n_batches`` vec_id-ordered drops. Each drop
+    PROBES the persisted dedup index (every earlier vector, losers
+    included — the loser rule matches against any earlier vector,
+    surviving or not, exactly like the text capstone), then APPENDS
+    its own cell assignments to the dedup index and its SURVIVORS to
+    the serving store. Per-drop cost is probe-shaped: the dedup probe
+    reads only the drop's probed cid partitions, nothing re-scans or
+    re-assigns the standing corpus.
+
+    Row-identical to :func:`export_vector_store` BY CONSTRUCTION:
+    "q matches n iff n is in q's nprobe nearest cells (frozen
+    centroids) and cosine >= threshold, n < q" — n is either in an
+    earlier drop (found by the cross probe) or the same drop (found
+    by the intra probe), and the union over drops is exactly the
+    one-shot match set. Loser status is final the moment a drop is
+    processed (a future vector has a higher id and can only lose
+    against the past), which is what makes per-drop survivor appends
+    sound.
+
+    ``on_stage(label, seconds)``, when given, receives per-drop
+    probe/append wall timings (rehearsal instrumentation; no effect
+    on the artifacts)."""
+    import time as _time
+
+    from osarchiver_spark.operators.ivf import ivf_index, ivf_neardup_probe
+    from osarchiver_spark.sources.parquet import load_table
+
+    def _stage(label, t0):
+        if on_stage is not None:
+            on_stage(label, round(_time.perf_counter() - t0, 3))
+
+    if n_batches < 1:
+        raise ValueError(f"n_batches must be >= 1: {n_batches}")
+    emb = load_table(spark, sf_dir, "embeddings")
+    lo, hi = emb.agg(F.min("vec_id"), F.max("vec_id")).first()
+    if lo is None:
+        raise ValueError(f"no embeddings under {sf_dir}")
+    span = int(hi) - int(lo) + 1
+    step = max(1, -(-span // n_batches))  # ceil
+    bounds = [int(lo) + i * step for i in range(n_batches)] + [int(hi) + 1]
+    store_dir = f"{out_dir.rstrip('/')}/store"
+
+    for i in range(n_batches):
+        batch = emb.filter(
+            (F.col("vec_id") >= bounds[i]) & (F.col("vec_id") < bounds[i + 1])
+        )
+        batch_index = ivf_index(batch, "vec_id", "embedding", centroids)
+        intra = ivf_neardup_probe(
+            batch_index, batch, "vec_id", "embedding", centroids,
+            threshold=threshold, nprobe=nprobe,
+        )
+        if i == 0:
+            pairs = intra
+        else:
+            standing = spark.read.parquet(index_dir).withColumn(
+                "cid", F.col("cid").cast("int")
+            )
+            cross = ivf_neardup_probe(
+                standing, batch, "vec_id", "embedding", centroids,
+                threshold=threshold, nprobe=nprobe,
+            )
+            pairs = intra.unionByName(cross)
+        # materialize this drop's losers BEFORE appending its cells to
+        # the dedup index (the lazily-planned probe must never observe
+        # files appended after it — the text capstone's checkpoint rule)
+        t0 = _time.perf_counter()
+        losers = (
+            pairs.filter(F.col("neighbor_id") < F.col("query_id"))
+            .select(F.col("query_id").alias("vec_id"))
+            .distinct()
+            .localCheckpoint()
+        )
+        _stage(f"batch{i}_probe", t0)
+        t0 = _time.perf_counter()
+        batch_index.write.mode("overwrite" if i == 0 else "append").partitionBy(
+            "cid"
+        ).parquet(index_dir)
+        survivors = batch.join(losers, "vec_id", "left_anti")
+        ivf_index(survivors, "vec_id", "embedding", centroids).write.mode(
+            "overwrite" if i == 0 else "append"
+        ).partitionBy("cid").parquet(store_dir)
+        _stage(f"batch{i}_append", t0)
+    return _vector_manifest(spark, out_dir)
+
+
+def _vector_manifest(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Shared tail: (cid, n_vectors) of the serving store, written to
+    <out>/manifest and returned."""
+    store = spark.read.parquet(f"{out_dir.rstrip('/')}/store").withColumn(
+        "cid", F.col("cid").cast("int")
+    )
+    manifest = store.groupBy("cid").agg(F.count("*").alias("n_vectors"))
+    manifest.write.mode("overwrite").parquet(f"{out_dir.rstrip('/')}/manifest")
+    return spark.read.parquet(f"{out_dir.rstrip('/')}/manifest")

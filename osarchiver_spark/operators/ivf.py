@@ -293,3 +293,57 @@ def ivf_topk_indexed(
     from osarchiver_spark.operators.blas import cogroup_topk_cosine
 
     return _global_topk(cogroup_topk_cosine(probed, pruned, "cid", k), k)
+
+
+def ivf_neardup_probe(
+    index: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[list[float]],
+    threshold: float = 0.9,
+    nprobe: int = 4,
+    max_batch_rows: int = INDEXED_PROBE_MAX_QUERIES,
+) -> DataFrame:
+    """Near-duplicate candidates of a query batch against a persisted
+    inverted file (:func:`ivf_index` layout): every indexed vector
+    inside a query's ``nprobe`` nearest cells with rounded cosine >=
+    ``threshold``. Output (query_id, neighbor_id, cosine), directed —
+    the caller applies its own loser rule (e.g. neighbor_id <
+    query_id).
+
+    This is the IVF-cell analog of the hyperplane-LSH incremental
+    dedup probe: the candidate space is the probed cells' partitions
+    (partition-pruned read, probe-shaped per-drop cost), and the rule
+    "q matches n iff n lies in q's nprobe nearest cells and cosine >=
+    threshold" depends only on the FROZEN centroids — never on how
+    the corpus was batched into the index — so a multi-drop build's
+    accumulated cross+intra matches equal the one-shot build's match
+    set BY CONSTRUCTION (the identity operators/export.py's vector
+    capstone rests on; pinned in tests/test_vector_store.py). Recall
+    at production nprobe is a measured property (a cosine-0.9
+    neighbor nearly always shares the query's top cells); nprobe ==
+    n_clusters disables the approximation entirely.
+
+    Same probe discipline as :func:`ivf_topk_indexed`: single
+    traversal (transient probe), model-sized cid collect,
+    limit(max+1) batch guard."""
+    if max_batch_rows is not None:
+        if max_batch_rows <= 0:
+            raise ValueError(f"max_batch_rows must be positive: {max_batch_rows}")
+        n = queries.limit(max_batch_rows + 1).count()
+        if n > max_batch_rows:
+            raise ValueError(
+                f"ivf_neardup_probe: query batch exceeds max_batch_rows="
+                f"{max_batch_rows}; split the drop into smaller batches "
+                f"(matches are independent per query) or raise it "
+                f"deliberately."
+            )
+
+    from osarchiver_spark.operators.blas import cogroup_threshold_cosine
+    from osarchiver_spark.operators.cache import transient
+
+    probed = transient(_probe_pandas(queries, id_col, vec_col, centroids, nprobe))
+    cids = sorted(r["cid"] for r in probed.select("cid").distinct().collect())
+    pruned = index.filter(F.col("cid").isin(cids))
+    return cogroup_threshold_cosine(probed, pruned, "cid", threshold)
