@@ -310,27 +310,23 @@ def _adc_shortlist(
             [np.asarray(c, dtype="int64") for c in right["code"].to_numpy()]
         )  # n_cand × m
         nids = right["neighbor_id"].to_numpy()
-        out_q, out_n, out_d = [], [], []
-        for qi in range(len(Q)):
-            # per-query LUT: m × codes table of subspace squared dists
-            lut = np.stack(
-                [
-                    -2.0 * (B[j] @ Q[qi, j * sub : (j + 1) * sub]) + b_sq[j]
-                    for j in range(len(B))
-                ]
-            )
-            # ADC: gather + sum per candidate — no vector arithmetic
-            d = lut[np.arange(len(B))[:, None], codes_mat.T].sum(axis=0)
-            n_keep = min(local_take, len(d))
-            order = np.lexsort((nids, d))[:n_keep]
-            out_q.append(np.repeat(left["query_id"].to_numpy()[qi], n_keep))
-            out_n.append(nids[order])
-            out_d.append(d[order])
+        # ADC vectorized over the WHOLE query group (no per-query
+        # python loop): per subspace, one matmul builds every query's
+        # LUT row (nq × codes) and one fancy-index gather scores every
+        # candidate (nq × nc); sequential += over subspaces keeps the
+        # summation order deterministic. Same gather-only property as
+        # the per-query form — no vector arithmetic touches candidates.
+        d = np.zeros((len(Q), len(nids)))
+        for j in range(len(B)):
+            lut_j = -2.0 * (Q[:, j * sub : (j + 1) * sub] @ B[j].T) + b_sq[j]
+            d += lut_j[:, codes_mat[:, j]]
+        n_keep = min(local_take, d.shape[1])
+        order = np.lexsort((np.broadcast_to(nids, d.shape), d), axis=1)[:, :n_keep]
         return pd.DataFrame(
             {
-                "query_id": np.concatenate(out_q),
-                "neighbor_id": np.concatenate(out_n),
-                "adc": np.concatenate(out_d),
+                "query_id": np.repeat(left["query_id"].to_numpy(), n_keep),
+                "neighbor_id": nids[order].reshape(-1),
+                "adc": np.take_along_axis(d, order, axis=1).reshape(-1),
             }
         )
 
