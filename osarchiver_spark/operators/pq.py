@@ -310,23 +310,35 @@ def _adc_shortlist(
             [np.asarray(c, dtype="int64") for c in right["code"].to_numpy()]
         )  # n_cand × m
         nids = right["neighbor_id"].to_numpy()
-        # ADC vectorized over the WHOLE query group (no per-query
-        # python loop): per subspace, one matmul builds every query's
-        # LUT row (nq × codes) and one fancy-index gather scores every
-        # candidate (nq × nc); sequential += over subspaces keeps the
-        # summation order deterministic. Same gather-only property as
-        # the per-query form — no vector arithmetic touches candidates.
-        d = np.zeros((len(Q), len(nids)))
-        for j in range(len(B)):
-            lut_j = -2.0 * (Q[:, j * sub : (j + 1) * sub] @ B[j].T) + b_sq[j]
-            d += lut_j[:, codes_mat[:, j]]
-        n_keep = min(local_take, d.shape[1])
-        order = np.lexsort((np.broadcast_to(nids, d.shape), d), axis=1)[:, :n_keep]
+        qids = left["query_id"].to_numpy()
+        # ADC vectorized over query BLOCKS (not per query, not the
+        # whole group): per subspace, one matmul builds the block's
+        # LUT rows (bq × codes) and one fancy-index gather scores
+        # every candidate (bq × nc); sequential += over subspaces
+        # keeps the summation order deterministic. The block bound
+        # caps the materialized distance matrix at ~block × nc
+        # doubles — whole-group vectorization allocated nq × nc
+        # (~310 MB per 31k-candidate cell at sf10) and went
+        # memory-bound, the per-query loop pays python per row; 256
+        # is the middle that wins at both fixture and sf10 scale.
+        block = 256
+        n_keep = min(local_take, codes_mat.shape[0])
+        out_q, out_n, out_d = [], [], []
+        for s in range(0, len(Q), block):
+            Qb = Q[s : s + block]
+            d = np.zeros((len(Qb), codes_mat.shape[0]))
+            for j in range(len(B)):
+                lut_j = -2.0 * (Qb[:, j * sub : (j + 1) * sub] @ B[j].T) + b_sq[j]
+                d += lut_j[:, codes_mat[:, j]]
+            order = np.lexsort((np.broadcast_to(nids, d.shape), d), axis=1)[:, :n_keep]
+            out_q.append(np.repeat(qids[s : s + block], n_keep))
+            out_n.append(nids[order].reshape(-1))
+            out_d.append(np.take_along_axis(d, order, axis=1).reshape(-1))
         return pd.DataFrame(
             {
-                "query_id": np.repeat(left["query_id"].to_numpy(), n_keep),
-                "neighbor_id": nids[order].reshape(-1),
-                "adc": np.take_along_axis(d, order, axis=1).reshape(-1),
+                "query_id": np.concatenate(out_q),
+                "neighbor_id": np.concatenate(out_n),
+                "adc": np.concatenate(out_d),
             }
         )
 
