@@ -102,3 +102,21 @@ def test_bench_headline_is_a_registry_subset():
     missing = [n for n in bench.HEADLINE if n not in registry]
     assert not missing, missing
     assert len(set(bench.HEADLINE)) == len(bench.HEADLINE), "duplicate headline entries"
+
+
+def test_readme_registry_counts_are_derived():
+    """README's registry counts must track len(all_queries()) — the
+    r9 verdict caught them hand-written and stale (214 vs 215). Every
+    count-bearing phrase is pinned here so a new registration fails
+    this test until the README is updated."""
+    import pathlib
+
+    n_q = len(reg.all_queries())
+    n_o = len(reg.all_oracles())
+    readme = (pathlib.Path(__file__).parents[1] / "README.md").read_text()
+    for phrase in (
+        f"the registry: {n_q} named queries, {n_o} with exact",
+        f"against a {n_q}-entry registry",
+        f"parity for all {n_o} oracles",
+    ):
+        assert phrase in readme, f"README out of date, expected: {phrase!r}"
