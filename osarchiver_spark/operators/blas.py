@@ -110,16 +110,33 @@ def cogroup_threshold_cosine(
         vn = np.sqrt((V * V).sum(axis=1))
         qn = np.where(qn > 0, qn, np.inf)  # zero-norm -> cosine 0, like vectors.cosine
         vn = np.where(vn > 0, vn, np.inf)
-        S = np.round((Q @ V.T) / np.outer(qn, vn), 6)  # n_q × n_v
-        qi, vi = np.nonzero(S >= thr)
-        qids = left["query_id"].to_numpy()[qi]
-        nids = right["neighbor_id"].to_numpy()[vi]
-        keep = qids != nids
+        all_qids = left["query_id"].to_numpy()
+        all_nids = right["neighbor_id"].to_numpy()
+        # Block over the QUERY rows (same discipline as pq._adc_shortlist):
+        # peak memory is block × n_v doubles instead of n_q × n_v. In
+        # export_vector_store the per-cell query side is corpus-scale, so
+        # the whole-group matmul's allocation grows group-quadratic — the
+        # exact memory cliff the ADC scorer was rewritten to avoid. The
+        # emitted pairs are identical per block (nonzero scans rows in
+        # order), so output equals the unblocked form row-for-row.
+        block = 256
+        out_q, out_n, out_s = [], [], []
+        for s in range(0, len(Q), block):
+            S = np.round(
+                (Q[s : s + block] @ V.T) / np.outer(qn[s : s + block], vn), 6
+            )  # block × n_v
+            qi, vi = np.nonzero(S >= thr)
+            qids = all_qids[s + qi]
+            nids = all_nids[vi]
+            keep = qids != nids
+            out_q.append(qids[keep])
+            out_n.append(nids[keep])
+            out_s.append(S[qi, vi][keep])
         return pd.DataFrame(
             {
-                "query_id": qids[keep],
-                "neighbor_id": nids[keep],
-                "cosine": S[qi, vi][keep],
+                "query_id": np.concatenate(out_q),
+                "neighbor_id": np.concatenate(out_n),
+                "cosine": np.concatenate(out_s),
             }
         )
 

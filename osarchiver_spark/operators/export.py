@@ -279,6 +279,7 @@ def export_vector_store(
     centroids: list[list[float]],
     threshold: float = 0.9,
     nprobe: int = 4,
+    max_batch_rows: int | None = None,
 ) -> DataFrame:
     """The VECTOR capstone: embedding near-dup removal + a persisted
     IVF serving index of the survivors — the artifact an embedding
@@ -299,16 +300,52 @@ def export_vector_store(
     (tests/test_vector_store.py). The model is an argument, not
     trained here: IVF practice freezes centroids between retrains,
     and the frozen model is what makes one-shot and incremental
-    builds comparable at all."""
-    from osarchiver_spark.operators.ivf import ivf_index, ivf_neardup_probe
+    builds comparable at all.
+
+    ``max_batch_rows`` (default: the probe's
+    INDEXED_PROBE_MAX_QUERIES ceiling) bounds the query side of the
+    one-shot probe: the whole corpus plays the query batch here, so
+    above the bound the probe runs in ceil(n / max_batch_rows)
+    deterministic xxhash64 chunks of the corpus whose match sets are
+    unioned — matches are independent per query, so the union equals
+    the single probe row-for-row, while each chunk's materialized
+    probe frame stays batch-sized. A >1M-vector corpus therefore
+    chunks instead of tripping the probe's batch guard."""
+    from osarchiver_spark.operators.ivf import (
+        INDEXED_PROBE_MAX_QUERIES,
+        ivf_index,
+        ivf_neardup_probe,
+    )
     from osarchiver_spark.sources.parquet import load_table
 
+    if max_batch_rows is None:
+        max_batch_rows = INDEXED_PROBE_MAX_QUERIES
     emb = load_table(spark, sf_dir, "embeddings")
     full_index = ivf_index(emb, "vec_id", "embedding", centroids)
-    pairs = ivf_neardup_probe(
-        full_index, emb, "vec_id", "embedding", centroids,
-        threshold=threshold, nprobe=nprobe,
-    ).filter(F.col("neighbor_id") < F.col("query_id"))
+    n = emb.count()
+    n_chunks = max(1, -(-n // max_batch_rows))  # ceil
+    chunk_pairs = []
+    for c in range(n_chunks):
+        chunk = (
+            emb if n_chunks == 1
+            else emb.filter(F.pmod(F.xxhash64(F.col("vec_id")), F.lit(n_chunks)) == c)
+        )
+        # hash chunks are near-equal-sized, not exactly bounded; the
+        # cap is a memory ceiling, not a semantic bound, so the guard
+        # is satisfied by the chunking itself (batch_rows=0 would be
+        # dishonest — disable it instead)
+        chunk_pairs.append(
+            ivf_neardup_probe(
+                full_index, chunk, "vec_id", "embedding", centroids,
+                threshold=threshold, nprobe=nprobe,
+                max_batch_rows=None if n_chunks > 1 else max_batch_rows,
+                batch_rows=n if n_chunks == 1 else None,
+            )
+        )
+    pairs = chunk_pairs[0]
+    for p in chunk_pairs[1:]:
+        pairs = pairs.unionByName(p)
+    pairs = pairs.filter(F.col("neighbor_id") < F.col("query_id"))
     losers = pairs.select(F.col("query_id").alias("vec_id")).distinct()
     survivors = emb.join(losers, "vec_id", "left_anti")
     ivf_index(survivors, "vec_id", "embedding", centroids).write.mode(
@@ -326,6 +363,7 @@ def export_vector_store_indexed(
     n_batches: int = 4,
     threshold: float = 0.9,
     nprobe: int = 4,
+    max_batch_rows: int | None = None,
     on_stage=None,
 ) -> DataFrame:
     """The INCREMENTAL-INDEX build of the same vector store: the
@@ -348,12 +386,26 @@ def export_vector_store_indexed(
     against the past), which is what makes per-drop survivor appends
     sound.
 
+    ``max_batch_rows`` (default: the probe's
+    INDEXED_PROBE_MAX_QUERIES ceiling) is validated against EVERY
+    drop's ROW COUNT up front — one corpus scan producing a
+    model-sized (batch, count) table — so an id-range batch that is
+    denser than the value split anticipated fails BEFORE anything is
+    written, never mid-build after earlier drops were appended. The
+    per-drop counts then ride into both probes of that drop
+    (``batch_rows``), so the drop's batch contract is checked once,
+    not once per probe.
+
     ``on_stage(label, seconds)``, when given, receives per-drop
     probe/append wall timings (rehearsal instrumentation; no effect
     on the artifacts)."""
     import time as _time
 
-    from osarchiver_spark.operators.ivf import ivf_index, ivf_neardup_probe
+    from osarchiver_spark.operators.ivf import (
+        INDEXED_PROBE_MAX_QUERIES,
+        ivf_index,
+        ivf_neardup_probe,
+    )
     from osarchiver_spark.sources.parquet import load_table
 
     def _stage(label, t0):
@@ -362,6 +414,8 @@ def export_vector_store_indexed(
 
     if n_batches < 1:
         raise ValueError(f"n_batches must be >= 1: {n_batches}")
+    if max_batch_rows is None:
+        max_batch_rows = INDEXED_PROBE_MAX_QUERIES
     emb = load_table(spark, sf_dir, "embeddings")
     lo, hi = emb.agg(F.min("vec_id"), F.max("vec_id")).first()
     if lo is None:
@@ -371,14 +425,36 @@ def export_vector_store_indexed(
     bounds = [int(lo) + i * step for i in range(n_batches)] + [int(hi) + 1]
     store_dir = f"{out_dir.rstrip('/')}/store"
 
+    # all batch counts in ONE pass, validated before any write
+    batch_of = F.least(
+        F.lit(n_batches - 1),
+        F.floor((F.col("vec_id") - F.lit(int(lo))) / F.lit(step)),
+    ).cast("int")
+    counts = {
+        r["b"]: r["n"]
+        for r in emb.select(batch_of.alias("b")).groupBy("b").agg(
+            F.count("*").alias("n")
+        ).collect()
+    }
+    oversized = {b: c for b, c in counts.items() if c > max_batch_rows}
+    if oversized:
+        raise ValueError(
+            f"export_vector_store_indexed: id-range batches {oversized} "
+            f"exceed max_batch_rows={max_batch_rows} rows; raise "
+            f"n_batches (or max_batch_rows deliberately). Checked "
+            f"up front so no partial store is written."
+        )
+
     for i in range(n_batches):
         batch = emb.filter(
             (F.col("vec_id") >= bounds[i]) & (F.col("vec_id") < bounds[i + 1])
         )
+        n_batch = counts.get(i, 0)
         batch_index = ivf_index(batch, "vec_id", "embedding", centroids)
         intra = ivf_neardup_probe(
             batch_index, batch, "vec_id", "embedding", centroids,
             threshold=threshold, nprobe=nprobe,
+            max_batch_rows=max_batch_rows, batch_rows=n_batch,
         )
         if i == 0:
             pairs = intra
@@ -389,6 +465,7 @@ def export_vector_store_indexed(
             cross = ivf_neardup_probe(
                 standing, batch, "vec_id", "embedding", centroids,
                 threshold=threshold, nprobe=nprobe,
+                max_batch_rows=max_batch_rows, batch_rows=n_batch,
             )
             pairs = intra.unionByName(cross)
         # materialize this drop's losers BEFORE appending its cells to

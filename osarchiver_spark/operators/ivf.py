@@ -234,6 +234,34 @@ def ivf_index(
     )
 
 
+def ivf_reindex(
+    index: DataFrame, new_centroids: list[list[float]]
+) -> DataFrame:
+    """Migrate a standing inverted file to a RETRAINED model: re-assign
+    every stored vector to its nearest NEW centroid. This is the
+    operational other half of the frozen-model story — ``ivf_index``
+    freezes centroids between retrains (FAISS ``IndexIVF.add``), and
+    when drift makes the frozen cells stale (hot cells, decaying probe
+    recall), the retrain path is: fit new centroids, ``ivf_reindex``
+    the standing store, write the result to a NEW directory, swap the
+    serving pointer atomically. Mirrors FAISS retrain practice (a new
+    ``train()`` requires re-``add``-ing the corpus — reference:
+    ``IndexIVF.train`` invalidates prior assignments).
+
+    The store already carries full vectors, so migration is ONE
+    assignment pass over the index — no source-table join, no
+    re-shuffle beyond the partitioned write. Because the stored
+    (neighbor_id, v) rows ARE the corpus rows, the output is
+    row-identical to ``ivf_index(corpus, new_centroids)`` over the
+    same membership — fingerprint-pinned in tests/test_ivf.py.
+
+    Output columns (neighbor_id, v, cid) — same shape as
+    :func:`ivf_index`; write with ``.partitionBy("cid")`` to a fresh
+    path (never append onto the old-model layout: cid meanings
+    changed)."""
+    return _assign_pandas(index.select("neighbor_id", "v"), new_centroids)
+
+
 #: Query-batch bound for :func:`ivf_topk_indexed`. The probed frame
 #: is materialized into executor-local storage (query rows × nprobe,
 #: each carrying a qv vector), so the query side must be drop/batch-
@@ -244,6 +272,35 @@ def ivf_index(
 INDEXED_PROBE_MAX_QUERIES = 1_000_000
 
 
+def guard_batch(
+    queries: DataFrame,
+    max_batch_rows: int | None,
+    op_name: str,
+    batch_rows: int | None = None,
+) -> None:
+    """Enforce the indexed-probe batch contract: the probed frame
+    (queries × nprobe, vectors included) is materialized into executor
+    storage, so the query side must be drop/batch-sized. ``batch_rows``
+    is a count the caller ALREADY holds (e.g. one count shared by the
+    intra+cross probes of the same drop) — passing it skips the
+    truncated ``limit(max+1)`` scan, so a caller constructing several
+    probes over one batch validates once instead of per probe."""
+    if max_batch_rows is None:
+        return
+    if max_batch_rows <= 0:
+        raise ValueError(f"max_batch_rows must be positive: {max_batch_rows}")
+    n = batch_rows if batch_rows is not None else queries.limit(max_batch_rows + 1).count()
+    if n > max_batch_rows:
+        raise ValueError(
+            f"{op_name}: query batch exceeds max_batch_rows="
+            f"{max_batch_rows}; the probed frame (queries × nprobe, "
+            f"vectors included) is materialized into executor storage, "
+            f"so the query side must be drop/batch-sized. Split the "
+            f"batch (results are independent per query) or raise "
+            f"max_batch_rows deliberately."
+        )
+
+
 def ivf_topk_indexed(
     index: DataFrame,
     queries: DataFrame,
@@ -252,7 +309,8 @@ def ivf_topk_indexed(
     centroids: list[list[float]],
     k: int = 5,
     nprobe: int = 4,
-    max_batch_rows: int = INDEXED_PROBE_MAX_QUERIES,
+    max_batch_rows: int | None = INDEXED_PROBE_MAX_QUERIES,
+    batch_rows: int | None = None,
 ) -> DataFrame:
     """Probe an EXISTING inverted file (:func:`ivf_index` read back
     from its cid-partitioned layout) — per-drop ANN cost that is
@@ -267,20 +325,10 @@ def ivf_topk_indexed(
     cogroup both read the checkpointed blocks, so the query-side
     probe matmul runs a single time per call. The batch contract is
     enforced up front via the ``limit(max+1)`` pattern — an oversized
-    query batch costs one truncated scan, not a full probe."""
-    if max_batch_rows is not None:
-        if max_batch_rows <= 0:
-            raise ValueError(f"max_batch_rows must be positive: {max_batch_rows}")
-        n = queries.limit(max_batch_rows + 1).count()
-        if n > max_batch_rows:
-            raise ValueError(
-                f"ivf_topk_indexed: query batch exceeds max_batch_rows="
-                f"{max_batch_rows}; the probed frame (queries × nprobe, "
-                f"vectors included) is materialized into executor storage, "
-                f"so the query side must be drop/batch-sized. Split the "
-                f"batch (results are independent per query) or raise "
-                f"max_batch_rows deliberately."
-            )
+    query batch costs one truncated scan, not a full probe — or for
+    free when the caller passes an already-known ``batch_rows`` (see
+    :func:`guard_batch`)."""
+    guard_batch(queries, max_batch_rows, "ivf_topk_indexed", batch_rows)
 
     from osarchiver_spark.operators.cache import transient
 
@@ -303,7 +351,8 @@ def ivf_neardup_probe(
     centroids: list[list[float]],
     threshold: float = 0.9,
     nprobe: int = 4,
-    max_batch_rows: int = INDEXED_PROBE_MAX_QUERIES,
+    max_batch_rows: int | None = INDEXED_PROBE_MAX_QUERIES,
+    batch_rows: int | None = None,
 ) -> DataFrame:
     """Near-duplicate candidates of a query batch against a persisted
     inverted file (:func:`ivf_index` layout): every indexed vector
@@ -327,18 +376,9 @@ def ivf_neardup_probe(
 
     Same probe discipline as :func:`ivf_topk_indexed`: single
     traversal (transient probe), model-sized cid collect,
-    limit(max+1) batch guard."""
-    if max_batch_rows is not None:
-        if max_batch_rows <= 0:
-            raise ValueError(f"max_batch_rows must be positive: {max_batch_rows}")
-        n = queries.limit(max_batch_rows + 1).count()
-        if n > max_batch_rows:
-            raise ValueError(
-                f"ivf_neardup_probe: query batch exceeds max_batch_rows="
-                f"{max_batch_rows}; split the drop into smaller batches "
-                f"(matches are independent per query) or raise it "
-                f"deliberately."
-            )
+    limit(max+1) batch guard (skipped when the caller passes a known
+    ``batch_rows`` — see :func:`guard_batch`)."""
+    guard_batch(queries, max_batch_rows, "ivf_neardup_probe", batch_rows)
 
     from osarchiver_spark.operators.blas import cogroup_threshold_cosine
     from osarchiver_spark.operators.cache import transient

@@ -479,6 +479,39 @@ def ivf_pq_index(
     ).select("neighbor_id", "cid", "code")
 
 
+def ivf_pq_reindex(
+    index: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    new_coarse: list[list[float]],
+    new_books: list[list[list[float]]],
+) -> DataFrame:
+    """Migrate a standing COMPRESSED inverted file to a RETRAINED
+    model (new coarse centroids AND new codebooks): the PQ twin of
+    :func:`~osarchiver_spark.operators.ivf.ivf_reindex`. Old codes are
+    meaningless under new codebooks, and the code index stores no
+    vectors — so migration re-fetches full vectors from ``corpus`` for
+    exactly the index's MEMBERSHIP (a semi-join on id: the store's
+    membership — e.g. dedup survivors — is what the migration
+    preserves; the source table is what FAISS re-``add``s after a new
+    ``train()``), then re-assigns + re-encodes under the new model.
+
+    Cost shape at scale: one id semi-join (the index side carries only
+    ids+codes, bytes-small) + the same single encode pass a fresh
+    build runs — there is no cheaper path, since every output byte
+    depends on the new model. Output is row-identical to
+    ``ivf_pq_index(members, new_coarse, new_books)`` — pinned in
+    tests/test_pq.py. Write to a NEW directory and swap; never append
+    onto the old-model layout."""
+    members = corpus.join(
+        index.select(F.col("neighbor_id").alias(id_col)).distinct(),
+        id_col,
+        "left_semi",
+    )
+    return ivf_pq_index(members, id_col, vec_col, new_coarse, new_books)
+
+
 def ivf_pq_topk_indexed(
     index: DataFrame,
     queries: DataFrame,
@@ -491,6 +524,7 @@ def ivf_pq_topk_indexed(
     nprobe: int = 4,
     shortlist: int = 32,
     max_batch_rows: int | None = _IVF_DEFAULT_MAX_QUERIES,
+    batch_rows: int | None = None,
 ) -> DataFrame:
     """Probe an EXISTING compressed inverted file (:func:`ivf_pq_index`
     read back from its cid-partitioned layout): per-drop ANN cost that
@@ -506,21 +540,12 @@ def ivf_pq_topk_indexed(
     the collected cid set is MODEL-sized, and ``max_batch_rows``
     (default :data:`~osarchiver_spark.operators.ivf.
     INDEXED_PROBE_MAX_QUERIES`; ``None`` disables) fails oversized
-    query batches with one truncated scan."""
+    query batches with one truncated scan — or for free when the
+    caller passes an already-known ``batch_rows``."""
     from osarchiver_spark.operators.cache import transient
+    from osarchiver_spark.operators.ivf import guard_batch
 
-    if max_batch_rows is not None:
-        if max_batch_rows <= 0:
-            raise ValueError(f"max_batch_rows must be positive: {max_batch_rows}")
-        n = queries.limit(max_batch_rows + 1).count()
-        if n > max_batch_rows:
-            raise ValueError(
-                f"ivf_pq_topk_indexed: query batch exceeds max_batch_rows="
-                f"{max_batch_rows}; the probed frame (queries × nprobe, "
-                f"vectors included) is materialized into executor storage, "
-                f"so the query side must be drop/batch-sized. Split the "
-                f"batch or raise max_batch_rows deliberately."
-            )
+    guard_batch(queries, max_batch_rows, "ivf_pq_topk_indexed", batch_rows)
 
     id_type = queries.schema[id_col].dataType
     qbase = queries.select(

@@ -250,6 +250,56 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_lsh_neardup_pairs(emb, "vec_id", "embedding", threshold=EMBED_THRESHOLD)
 
 
+# Bounded-scale adjudication of the VECTOR near-dup probe
+# (operators/ivf.py::ivf_neardup_probe — the operator the vector
+# capstone's dedup rests on): at nprobe == n_clusters every cell is
+# probed, so the probe's pair set IS the exact all-pairs threshold
+# set and an all-pairs cosine SQL is its exact oracle. The oracle is
+# O(n²) single-node, so the corpus caps at a vector count where
+# DuckDB stays tractable at every sweep scale (5000 vecs = 12.5M
+# ordered pairs) while covering the ENTIRE corpus at the driver's
+# adjudication scales (sf0.01: 500 vecs; sf0.1: 2000 — the cap binds
+# only at sf1+; the dedup_simhash64_bounded precedent). The entry
+# runs the PERSISTED chain — write cid-partitioned, read back,
+# partition-pruned probe — so the driver stamp covers the on-disk
+# layout, not just the in-memory math.
+IVF_NEARDUP_VEC_CAP = 5_000
+IVF_NEARDUP_CLUSTERS = 8
+
+
+def q_dedup_ivf_neardup_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import tempfile
+
+    from osarchiver_spark.operators.ivf import (
+        ivf_index,
+        ivf_neardup_probe,
+        kmeans_fit,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < IVF_NEARDUP_VEC_CAP
+    )
+    cents = kmeans_fit(emb, "vec_id", "embedding", k=IVF_NEARDUP_CLUSTERS)
+    idx_dir = os.path.join(
+        tempfile.gettempdir(),
+        "ivf_neardup_{}_{}".format(
+            hashlib.md5(sf_dir.encode()).hexdigest()[:12],
+            spark.sparkContext.applicationId,
+        ),
+    )
+    _reap_index_dir_at_exit(idx_dir)
+    ivf_index(emb, "vec_id", "embedding", cents).write.mode(
+        "overwrite"
+    ).partitionBy("cid").parquet(idx_dir)
+    index = spark.read.parquet(idx_dir).withColumn("cid", F.col("cid").cast("int"))
+    return ivf_neardup_probe(
+        index, emb, "vec_id", "embedding", cents,
+        threshold=EMBED_THRESHOLD, nprobe=IVF_NEARDUP_CLUSTERS,
+    ).filter(F.col("neighbor_id") < F.col("query_id"))
+
+
 SEMDEDUP_K = 8  # fixture-scale k; production contract: k ~ n / target_cluster_size
 SEMDEDUP_ITERS = 2
 SEMDEDUP_QUANT = 6  # centroid quantization — what makes the oracle replay exact
@@ -453,6 +503,7 @@ QUERIES = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_containment": q_dedup_containment,
     "dedup_embedding": q_dedup_embedding,
+    "dedup_ivf_neardup_bounded": q_dedup_ivf_neardup_bounded,
     "dedup_streaming": q_dedup_streaming,
     "semdedup": q_semdedup,
     "dedup_embedding_incremental": q_dedup_embedding_incremental,
@@ -845,6 +896,20 @@ ORACLES["semantic_clusters"] = f"""
     FROM d GROUP BY cid
 """
 
+
+ORACLES["dedup_ivf_neardup_bounded"] = f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+               WHERE vec_id < {IVF_NEARDUP_VEC_CAP})
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           round(coalesce(list_dot_product(q.e, c.e) /
+                 nullif(sqrt(list_dot_product(q.e, q.e)) *
+                        sqrt(list_dot_product(c.e, c.e)), 0), 0), 6) AS cosine
+    FROM v q JOIN v c ON c.vec_id < q.vec_id
+    WHERE round(coalesce(list_dot_product(q.e, c.e) /
+                nullif(sqrt(list_dot_product(q.e, q.e)) *
+                       sqrt(list_dot_product(c.e, c.e)), 0), 0), 6)
+          >= {EMBED_THRESHOLD}
+"""
 
 ORACLES["dedup_embedding_incremental"] = f"""
     WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),

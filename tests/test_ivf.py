@@ -165,3 +165,75 @@ def test_ivf_indexed_single_probe_traversal(spark, sf_small, tmp_path):
 
     assert plan.count("FlatMapCoGroupsInPandas (") == 1
     assert re.search(r"(?<![A-Za-z])MapInPandas", plan) is None
+
+
+def test_ivf_reindex_equals_fresh_build(spark, sf_small, tmp_path):
+    """The retrain/migration path (r09 verdict item 1): a standing
+    store re-assigned under a NEW model is row-identical to a fresh
+    ivf_index build over the same membership under that model, and
+    probing the migrated store equals probing the fresh one."""
+    from osarchiver_spark.operators.ivf import (
+        ivf_index,
+        ivf_reindex,
+        ivf_topk_indexed,
+    )
+
+    emb = load_table(spark, sf_small, "embeddings")
+    # model A: deliberately different (k=4, trained on half the corpus)
+    model_a = kmeans_fit(
+        emb.filter(F.col("vec_id") % 2 == 0), "vec_id", "embedding", k=4, iters=2
+    )
+    model_b = kmeans_fit(emb, "vec_id", "embedding", k=8, iters=2)
+
+    old_dir = str(tmp_path / "old")
+    ivf_index(emb, "vec_id", "embedding", model_a).write.partitionBy("cid").parquet(
+        old_dir
+    )
+    standing = spark.read.parquet(old_dir).withColumn(
+        "cid", F.col("cid").cast("int")
+    )
+
+    new_dir = str(tmp_path / "new")
+    ivf_reindex(standing, model_b).write.partitionBy("cid").parquet(new_dir)
+    fresh_dir = str(tmp_path / "fresh")
+    ivf_index(emb, "vec_id", "embedding", model_b).write.partitionBy("cid").parquet(
+        fresh_dir
+    )
+
+    rows = lambda d: sorted(
+        (r.neighbor_id, r.cid, tuple(r.v))
+        for r in spark.read.parquet(d)
+        .withColumn("cid", F.col("cid").cast("int"))
+        .collect()
+    )
+    assert rows(new_dir) == rows(fresh_dir)
+
+    queries = emb.filter(F.col("vec_id") % 250 == 0)
+    topk = lambda d: {
+        (r.query_id, r.rank, r.neighbor_id)
+        for r in ivf_topk_indexed(
+            spark.read.parquet(d).withColumn("cid", F.col("cid").cast("int")),
+            queries, "vec_id", "embedding", model_b, k=5, nprobe=3,
+        ).collect()
+    }
+    assert topk(new_dir) == topk(fresh_dir)
+
+
+def test_ivf_reindex_preserves_partial_membership(spark, sf_small, tmp_path):
+    """Migration preserves the store's MEMBERSHIP, not the source
+    table: reindexing a survivors-only store yields exactly the
+    survivors under the new model."""
+    from osarchiver_spark.operators.ivf import ivf_index, ivf_reindex
+
+    emb = load_table(spark, sf_small, "embeddings")
+    survivors = emb.filter(F.col("vec_id") % 3 != 0)
+    model_a = kmeans_fit(emb, "vec_id", "embedding", k=4, iters=1)
+    model_b = kmeans_fit(emb, "vec_id", "embedding", k=8, iters=2)
+    store = ivf_index(survivors, "vec_id", "embedding", model_a)
+    migrated = ivf_reindex(store, model_b)
+    fresh = ivf_index(survivors, "vec_id", "embedding", model_b)
+    rows = lambda df: sorted(
+        (r.neighbor_id, r.cid, tuple(r.v)) for r in df.collect()
+    )
+    assert rows(migrated) == rows(fresh)
+    assert migrated.select("neighbor_id").distinct().count() == survivors.count()

@@ -107,3 +107,83 @@ def test_vector_export_survivor_store_serves_topk(spark, sf_small, tmp_path):
     for r in topk:
         by_q.setdefault(r.query_id, []).append(r.rank)
     assert by_q and all(sorted(v) == list(range(1, len(v) + 1)) for v in by_q.values())
+
+
+def test_vector_export_chunked_probe_is_row_identical(spark, sf_small, tmp_path):
+    """max_batch_rows below the corpus size forces the one-shot probe
+    into hash chunks; matches are independent per query so the chunked
+    union must land the identical store (the >1M-corpus path of
+    ADVICE r09 item 1, exercised at fixture scale)."""
+    emb = load_table(spark, sf_small, "embeddings")
+    n = emb.count()
+    cents = kmeans_fit(emb, "vec_id", "embedding", k=8, iters=2)
+    one = str(tmp_path / "one")
+    chunked = str(tmp_path / "chunked")
+    m1 = export_vector_store(
+        spark, sf_small, one, cents, threshold=THRESHOLD, nprobe=3
+    )
+    m2 = export_vector_store(
+        spark, sf_small, chunked, cents, threshold=THRESHOLD, nprobe=3,
+        max_batch_rows=max(1, n // 3),  # forces >= 3 chunks
+    )
+    assert sorted(map(tuple, m1.collect())) == sorted(map(tuple, m2.collect()))
+    rows = lambda d: sorted(
+        (r.neighbor_id, r.cid, tuple(r.v))
+        for r in spark.read.parquet(f"{d}/store")
+        .withColumn("cid", F.col("cid").cast("int"))
+        .collect()
+    )
+    assert rows(one) == rows(chunked)
+
+
+def test_vector_export_indexed_oversized_batch_fails_before_write(
+    spark, sf_small, tmp_path
+):
+    """A drop denser than max_batch_rows must fail BEFORE any append
+    (the mid-build partial-store failure mode of ADVICE r09 item 1)."""
+    import os
+
+    import pytest
+
+    emb = load_table(spark, sf_small, "embeddings")
+    cents = kmeans_fit(emb, "vec_id", "embedding", k=8, iters=2)
+    out = str(tmp_path / "out")
+    idx = str(tmp_path / "idx")
+    with pytest.raises(ValueError, match="max_batch_rows"):
+        export_vector_store_indexed(
+            spark, sf_small, out, idx, cents,
+            n_batches=2, threshold=THRESHOLD, nprobe=3,
+            max_batch_rows=3,
+        )
+    assert not os.path.exists(f"{out}/store") and not os.path.exists(idx)
+
+
+def test_guard_batch_precounted_rows_skip_the_scan(spark, sf_small, tmp_path):
+    """batch_rows is the caller's pre-counted size: the guard trusts it
+    (no second scan), raising iff the COUNT exceeds the cap."""
+    import pytest
+
+    from osarchiver_spark.operators.ivf import ivf_topk_indexed
+
+    emb = load_table(spark, sf_small, "embeddings")
+    cents = kmeans_fit(emb, "vec_id", "embedding", k=8, iters=2)
+    idx = str(tmp_path / "idx")
+    ivf_index(emb, "vec_id", "embedding", cents).write.partitionBy("cid").parquet(idx)
+    index = spark.read.parquet(idx).withColumn("cid", F.col("cid").cast("int"))
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    n = queries.count()
+
+    with pytest.raises(ValueError, match="max_batch_rows"):
+        ivf_topk_indexed(
+            index, queries, "vec_id", "embedding", cents,
+            max_batch_rows=3, batch_rows=n,
+        )
+    got = ivf_topk_indexed(
+        index, queries, "vec_id", "embedding", cents, k=5, nprobe=3,
+        max_batch_rows=n, batch_rows=n,
+    )
+    ref = ivf_topk_indexed(
+        index, queries, "vec_id", "embedding", cents, k=5, nprobe=3,
+        max_batch_rows=None,
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, ref.collect()))
