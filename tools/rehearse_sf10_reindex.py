@@ -87,12 +87,38 @@ def fingerprint(spark, df) -> dict[str, int]:
 
 
 def store_signals(spark, store_dir: str, queries, centroids) -> dict:
-    """The two retrain triggers: probe recall@K at production nprobe
-    (vs brute force over the same store) and cell-occupancy skew."""
+    """The retrain triggers, measured per store state:
+    - probe recall@K at production nprobe (vs brute force over the
+      same store);
+    - cell-occupancy skew (max/mean) — drifted mass piles into the
+      frozen model's nearest cells;
+    - probe READ AMPLIFICATION: the fraction of store rows the query
+      batch's probed cells actually contain, vs the nprobe/n_cells
+      fraction a balanced index would read. On co-drifting data
+      (queries and their true neighbors shift together) recall can
+      stay flat while every probe reads ever-hotter cells — at 100 TB
+      the read fraction IS the serving cost, so it is the signal that
+      fires first."""
+    from osarchiver_spark.operators.ivf import _probe_pandas
+
     store = spark.read.parquet(store_dir).withColumn("cid", F.col("cid").cast("int"))
-    occ = store.groupBy("cid").count().collect()
-    counts = [r["count"] for r in occ]
-    skew = round(max(counts) / (sum(counts) / len(counts)), 3)
+    occ = {r["cid"]: r["count"] for r in store.groupBy("cid").count().collect()}
+    counts = list(occ.values())
+    total = sum(counts)
+    skew = round(max(counts) / (total / len(counts)), 3)
+    probed = _probe_pandas(queries, "vec_id", "embedding", centroids, NPROBE)
+    per_q = probed.groupBy("query_id").agg(
+        F.collect_list("cid").alias("cids")
+    ).collect()
+    probed_cids = sorted({c for r in per_q for c in r["cids"]})
+    read_frac = round(sum(occ.get(c, 0) for c in probed_cids) / total, 4)
+    # per-QUERY serving cost: the mean fraction of store rows a single
+    # probe's nprobe cells contain (balanced ideal = nprobe/n_cells)
+    per_query_frac = round(
+        sum(sum(occ.get(c, 0) for c in r["cids"]) for r in per_q)
+        / (len(per_q) * total),
+        4,
+    )
     corpus = store.select(F.col("neighbor_id").alias("vec_id"), F.col("v").alias("embedding"))
     exact = brute_force_topk(corpus, queries, "vec_id", "embedding", k=K)
     approx = ivf_topk_indexed(
@@ -101,8 +127,15 @@ def store_signals(spark, store_dir: str, queries, centroids) -> dict:
     e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
     a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
     recall = round(len(e & a) / max(1, len(e)), 4)
-    return {"recall_at_k": recall, "cell_skew_max_over_mean": skew,
-            "n_cells": len(counts)}
+    return {
+        "recall_at_k": recall,
+        "cell_skew_max_over_mean": skew,
+        "probed_cells": len(probed_cids),
+        "batch_union_read_frac": read_frac,
+        "per_query_read_frac": per_query_frac,
+        "balanced_per_query_frac": round(NPROBE / len(counts), 4),
+        "n_cells": len(counts),
+    }
 
 
 def main() -> None:
@@ -139,6 +172,8 @@ def main() -> None:
         "overwrite"
     ).partitionBy("cid").parquet(old_dir)
     result["build_drop0"] = round(time.perf_counter() - t, 3)
+    # query sample must be congruent with the drop's vec_id % N_DROPS
+    # class (4 | QUERY_MOD, so % QUERY_MOD == d lands inside drop d)
     q0 = drop0.filter(F.col("vec_id") % QUERY_MOD == 0)
     sig = store_signals(spark, old_dir, q0, model_a)
     result["drift"].append({"drops_since_train": 0, **sig})
@@ -151,7 +186,7 @@ def main() -> None:
             "append"
         ).partitionBy("cid").parquet(old_dir)
         append_s = round(time.perf_counter() - t, 3)
-        qd = drop.filter(F.col("vec_id") % QUERY_MOD == 0)
+        qd = drop.filter(F.col("vec_id") % QUERY_MOD == d)
         sig = store_signals(spark, old_dir, qd, model_a)
         result["drift"].append(
             {"drops_since_train": d, "append_s": append_s, **sig}
@@ -182,7 +217,9 @@ def main() -> None:
     result["fingerprints"] = {"migrated": fp_m, "fresh": fp_f,
                               "identical": fp_m == fp_f}
 
-    q_last = shifted(emb, N_DROPS - 1).filter(F.col("vec_id") % QUERY_MOD == 0)
+    q_last = shifted(emb, N_DROPS - 1).filter(
+        F.col("vec_id") % QUERY_MOD == N_DROPS - 1
+    )
     result["after_migration"] = store_signals(spark, new_dir, q_last, model_b)
 
     result["value"] = round(
