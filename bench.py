@@ -63,6 +63,7 @@ HEADLINE = [
     "hard_negatives",
     "knn_lsh",
     "knn_ivf",
+    "knn_ivf_reindexed",
     "corpus_pipeline",
     "training_mix_report",
     "tfidf_top_terms",
@@ -245,6 +246,18 @@ def _knn_ivf_indexed_production(spark, sf_dir):
     )
 
 
+def _knn_ivf_reindexed_production(spark, sf_dir):
+    """The retrain/migration chain at production probe depth: the SAME
+    build_and_migrate_ivf chain as the registered query (shared
+    helper, no drift), probing the MIGRATED store at nprobe=4/16."""
+    from osarchiver_spark.queries.similarity import build_and_migrate_ivf
+
+    _, queries = _ann_queries(spark, sf_dir)
+    return build_and_migrate_ivf(
+        spark, sf_dir, queries, nprobe=4, dir_prefix="ivf_reidx_bench_"
+    )
+
+
 def _semdedup_production(spark, sf_dir):
     from osarchiver_spark.operators.semdedup import semdedup_losers
     from osarchiver_spark.sources.parquet import load_table
@@ -285,6 +298,7 @@ BENCH_OVERRIDES = {
     "knn_ivf": _knn_ivf_production,
     "knn_ivf_pq": _knn_ivf_pq_production,
     "knn_ivf_indexed": _knn_ivf_indexed_production,
+    "knn_ivf_reindexed": _knn_ivf_reindexed_production,
     "knn_ivf_pq_indexed": _knn_ivf_pq_indexed_production,
     "dedup_simhash_multiprobe": _simhash_multiprobe_production,
     # registered embedding-LSH queries run the swept full-recall

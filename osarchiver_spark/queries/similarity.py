@@ -267,21 +267,23 @@ def q_knn_ivf_pq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_knn_ivf_reindexed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The RETRAIN/MIGRATION chain adjudicated end-to-end (r09 verdict
-    item 1): build the persisted store under a deliberately-different
-    OLD model (k=8 centroids fit on half the corpus), append a drop
-    under it (frozen-model maintenance), then retrain on the full
-    corpus (k=16) and ``ivf_reindex`` the standing store into a NEW
-    cid-partitioned layout — the FAISS retrain discipline (a new
-    ``train()`` invalidates assignments; re-``add`` everything). The
-    migrated store is probed at full-recall depth (nprobe ==
-    n_clusters), so the exact brute-force ranking is the oracle: a
-    hash match certifies that migration preserved membership and
-    vectors exactly AND that the re-assigned layout serves correctly.
-    Production-depth behavior (recall/cell balance before vs after
-    retrain) is pinned in tests/test_ivf.py and measured at sf10 in
-    SCALE.md."""
+def build_and_migrate_ivf(
+    spark: SparkSession,
+    sf_dir: str,
+    queries: DataFrame,
+    nprobe: int,
+    dir_prefix: str,
+) -> DataFrame:
+    """Shared retrain/migration chain (used by both the registered
+    ``knn_ivf_reindexed`` query and bench.py's production-depth
+    override, so the benched path cannot drift): build the persisted
+    store under a deliberately-different OLD model (k=8 centroids fit
+    on half the corpus), append a drop under it (frozen-model
+    maintenance), then retrain on the full corpus (k=16) and
+    ``ivf_reindex`` the standing store into a NEW cid-partitioned
+    layout — the FAISS retrain discipline (a new ``train()``
+    invalidates assignments; re-``add`` everything) — and probe the
+    migrated store at ``nprobe``."""
     import hashlib
     import os
     import tempfile
@@ -300,12 +302,13 @@ def q_knn_ivf_reindexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     new_model = kmeans_fit(emb, "vec_id", "embedding", k=16)
 
-    suffix = "{}_{}".format(
+    suffix = "{}{}_{}".format(
+        dir_prefix,
         hashlib.md5(sf_dir.encode()).hexdigest()[:12],
         spark.sparkContext.applicationId,
     )
-    old_dir = os.path.join(tempfile.gettempdir(), f"ivf_old_{suffix}")
-    new_dir = os.path.join(tempfile.gettempdir(), f"ivf_new_{suffix}")
+    old_dir = os.path.join(tempfile.gettempdir(), f"{suffix}_old")
+    new_dir = os.path.join(tempfile.gettempdir(), f"{suffix}_new")
     _reap_index_dir_at_exit(old_dir)
     _reap_index_dir_at_exit(new_dir)
 
@@ -327,10 +330,26 @@ def q_knn_ivf_reindexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     migrated = spark.read.parquet(new_dir).withColumn(
         "cid", F.col("cid").cast("int")
     )
-    queries = emb.filter(F.col("vec_id") % QUERY_MOD == 0)
     return ivf_topk_indexed(
         migrated, queries, "vec_id", "embedding", new_model,
-        k=TOP_K, nprobe=IVF_ORACLE_NPROBE,
+        k=TOP_K, nprobe=nprobe,
+    )
+
+
+def q_knn_ivf_reindexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RETRAIN/MIGRATION chain adjudicated end-to-end (r09 verdict
+    item 1) — see :func:`build_and_migrate_ivf`. The migrated store is
+    probed at full-recall depth (nprobe == n_clusters), so the exact
+    brute-force ranking is the oracle: a hash match certifies that
+    migration preserved membership and vectors exactly AND that the
+    re-assigned layout serves correctly. Production-depth behavior
+    (recall/cell balance/read amplification before vs after retrain)
+    is pinned in tests/test_ivf.py and measured at sf10 in SCALE.md
+    (BENCH_SF10_REINDEX.json)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % QUERY_MOD == 0)
+    return build_and_migrate_ivf(
+        spark, sf_dir, queries, nprobe=IVF_ORACLE_NPROBE, dir_prefix="ivf_reidx_"
     )
 
 
