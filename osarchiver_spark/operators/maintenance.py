@@ -45,6 +45,26 @@ def data_file_stats(spark: SparkSession, path: str) -> tuple[int, int]:
     return n, total
 
 
+def _swap_in(spark: SparkSession, path: str, write_to_tmp) -> None:
+    """Crash-safe replace of ``path``: ``write_to_tmp(tmp)`` writes the
+    new copy to a sibling temp dir, then a three-step rename swaps it
+    in — at every instant at least one complete copy exists under a
+    predictable name (old aside -> tmp in -> old gone)."""
+    fs, hpath, jvm = _fs_and_path(spark, path)
+    tmp = path.rstrip("/") + "__compacting"
+    tmp_path = jvm.org.apache.hadoop.fs.Path(tmp)
+    if fs.exists(tmp_path):
+        fs.delete(tmp_path, True)  # stale leftover from a crashed run
+    write_to_tmp(tmp)
+    old = path.rstrip("/") + "__precompact"
+    old_path = jvm.org.apache.hadoop.fs.Path(old)
+    if fs.exists(old_path):
+        fs.delete(old_path, True)
+    fs.rename(hpath, old_path)
+    fs.rename(tmp_path, hpath)
+    fs.delete(old_path, True)
+
+
 def compact_parquet_dir(
     spark: SparkSession, path: str, target_bytes: int = 128 * 1024 * 1024
 ) -> tuple[int, int]:
@@ -56,20 +76,91 @@ def compact_parquet_dir(
     if before <= n_out:
         return before, before  # already compact enough
     df = spark.read.parquet(path)
-    tmp = path.rstrip("/") + "__compacting"
+    _swap_in(
+        spark, path,
+        lambda tmp: df.repartition(n_out).write.mode("overwrite").parquet(tmp),
+    )
+    after, _ = data_file_stats(spark, path)
+    return before, after
+
+
+def compact_partitioned_store(
+    spark: SparkSession,
+    path: str,
+    partition_col: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    sort_within: list[str] | None = None,
+) -> tuple[int, int]:
+    """Layout-PRESERVING compaction for a hive-partitioned store (the
+    cid-partitioned IVF/IVF-PQ serving indexes, the band_key LSH
+    index): every per-drop append adds at least one file per touched
+    partition directory, so after N drops a probe of one cell plans N
+    small files — scan planning, not bytes, starts to dominate the
+    partition-pruned read this layout exists for.
+    ``compact_parquet_dir`` would be WRONG here: its global
+    repartition writes an unpartitioned copy, destroying the
+    PartitionFilters pruning.
+
+    This rewrite keeps the directory layout: per-partition byte
+    counts (one fs listing) size each partition's output at
+    ceil(bytes/target) files; rows re-shuffle on (partition,
+    deterministic row-hash salt) so no output file exceeds ~target
+    while cells smaller than target land in ONE file each (the common
+    case — a probe then opens exactly one file per pruned cell). The
+    per-partition file-count map is model-sized (n_partitions rows,
+    broadcast). ``sort_within`` re-applies an intra-file ordering
+    after the shuffle (the band index's band_key sort, which its
+    row-group min/max skipping relies on). Content is preserved
+    exactly (pure physical re-layout — fingerprint identity pinned in
+    tests); the swap is the same crash-safe three-step rename as
+    compact_parquet_dir. Returns (files_before, files_after)."""
+    from pyspark.sql import functions as F
+
     fs, hpath, jvm = _fs_and_path(spark, path)
-    tmp_path = jvm.org.apache.hadoop.fs.Path(tmp)
-    if fs.exists(tmp_path):
-        fs.delete(tmp_path, True)  # stale leftover from a crashed run
-    df.repartition(n_out).write.mode("overwrite").parquet(tmp)
-    # three-step swap: at every instant at least one complete copy
-    # exists under a predictable name (old aside -> tmp in -> old gone)
-    old = path.rstrip("/") + "__precompact"
-    old_path = jvm.org.apache.hadoop.fs.Path(old)
-    if fs.exists(old_path):
-        fs.delete(old_path, True)
-    fs.rename(hpath, old_path)
-    fs.rename(tmp_path, hpath)
-    fs.delete(old_path, True)
+    per_part: dict[str, tuple[int, int]] = {}  # dir value -> (files, bytes)
+    for st in fs.listStatus(hpath):
+        name = st.getPath().getName()
+        if not st.isDirectory() or "=" not in name:
+            continue
+        value = name.split("=", 1)[1]
+        n, b = data_file_stats(spark, str(st.getPath()))
+        per_part[value] = (n, b)
+    if not per_part:
+        raise ValueError(f"{path} has no {partition_col}=* partition dirs")
+    before = sum(n for n, _ in per_part.values())
+    n_files = {v: max(1, math.ceil(b / target_bytes)) for v, (_, b) in per_part.items()}
+    if before <= sum(n_files.values()):
+        return before, before  # already compact enough
+
+    df = spark.read.parquet(path)
+    data_cols = [c for c in df.columns if c != partition_col]
+    mapping = spark.createDataFrame(
+        [(v, n) for v, n in sorted(n_files.items())], "_pv string, _nf int"
+    )
+    salted = (
+        df.join(
+            F.broadcast(mapping),
+            F.col(partition_col).cast("string") == F.col("_pv"),
+        )
+        .withColumn(
+            "_salt",
+            F.pmod(F.xxhash64(F.to_json(F.struct(*data_cols))), F.col("_nf")),
+        )
+        .repartition(F.col(partition_col), F.col("_salt"))
+        .drop("_pv", "_nf", "_salt")
+    )
+    if sort_within:
+        # lead with the partition column: the partitioned writer's
+        # required ordering is then already satisfied, so it does not
+        # re-sort the task (its own partition-col sort is not stable
+        # and would scramble the intra-file ordering)
+        salted = salted.sortWithinPartitions(partition_col, *sort_within)
+
+    _swap_in(
+        spark, path,
+        lambda tmp: salted.write.mode("overwrite")
+        .partitionBy(partition_col)
+        .parquet(tmp),
+    )
     after, _ = data_file_stats(spark, path)
     return before, after

@@ -145,3 +145,101 @@ def test_watermark_concurrent_advances_keep_all_tables(tmp_path):
         list(ex.map(lambda t: wm.advance(t, T1), tables))
     for t in tables:
         assert wm.get(t) == T1, f"lost concurrent advance for {t}"
+
+
+def test_compact_partitioned_store_preserves_layout_and_content(
+    spark, sf_small, tmp_path
+):
+    """The serving-store compaction (operators/maintenance.py::
+    compact_partitioned_store): after N per-drop appends each cid dir
+    holds N small files; compaction must collapse them WITHOUT
+    disturbing the hive layout, the row content, or the probe
+    results — and compact_parquet_dir's global rewrite is exactly
+    what it must NOT do (that would flatten cid= dirs and kill
+    PartitionFilters pruning)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from osarchiver_spark.operators.ivf import (
+        ivf_index,
+        ivf_topk_indexed,
+        kmeans_fit,
+    )
+    from osarchiver_spark.operators.maintenance import compact_partitioned_store
+    from osarchiver_spark.sources.parquet import load_table
+
+    emb = load_table(spark, sf_small, "embeddings")
+    cents = kmeans_fit(emb, "vec_id", "embedding", k=4, iters=2)
+    store = str(tmp_path / "store")
+    for d in range(4):  # 4 drop-shaped appends -> >=4 files per cell
+        drop = ivf_index(
+            emb.filter(F.col("vec_id") % 4 == d), "vec_id", "embedding", cents
+        )
+        drop.write.mode("overwrite" if d == 0 else "append").partitionBy(
+            "cid"
+        ).parquet(store)
+
+    read = lambda: spark.read.parquet(store).withColumn(
+        "cid", F.col("cid").cast("int")
+    )
+    rows_before = sorted(
+        (r.neighbor_id, r.cid, tuple(r.v)) for r in read().collect()
+    )
+    queries = emb.filter(F.col("vec_id") % 250 == 0)
+    topk = lambda: sorted(
+        map(
+            tuple,
+            ivf_topk_indexed(
+                read(), queries, "vec_id", "embedding", cents, k=5, nprobe=2
+            ).collect(),
+        )
+    )
+    topk_before = topk()
+
+    b, a = compact_partitioned_store(spark, store, "cid", target_bytes=1 << 30)
+    assert b >= 16 and a == 4, (b, a)  # one file per cell at huge target
+    # hive layout intact: cid=* dirs, no flat part files
+    dirs = {n for n in os.listdir(store) if n.startswith("cid=")}
+    assert len(dirs) == 4
+    assert not any(n.endswith(".parquet") for n in os.listdir(store))
+    # content + serving results identical
+    assert (
+        sorted((r.neighbor_id, r.cid, tuple(r.v)) for r in read().collect())
+        == rows_before
+    )
+    assert topk() == topk_before
+    # idempotent: already compact -> no rewrite
+    assert compact_partitioned_store(spark, store, "cid", target_bytes=1 << 30) == (4, 4)
+
+
+def test_compact_partitioned_store_keeps_band_sort(spark, sf_small, tmp_path):
+    """Compacting the MinHash band index must preserve the band_key
+    intra-file ordering its row-group min/max skipping relies on."""
+    from pyspark.sql import functions as F
+
+    from osarchiver_spark.operators.dedup import minhash_lsh_index
+    from osarchiver_spark.operators.maintenance import compact_partitioned_store
+    from osarchiver_spark.sources.parquet import load_table
+
+    docs = load_table(spark, sf_small, "documents")
+    idx = str(tmp_path / "bands")
+    for d in range(3):
+        minhash_lsh_index(
+            docs.filter(F.col("doc_id") % 3 == d), "doc_id", "text"
+        ).withColumn("part", F.col("band_idx")).write.mode(
+            "overwrite" if d == 0 else "append"
+        ).partitionBy("part").parquet(idx)
+
+    rows_before = sorted(map(tuple, spark.read.parquet(idx).drop("part").collect()))
+    b, a = compact_partitioned_store(
+        spark, idx, "part", target_bytes=1 << 30, sort_within=["band_key"]
+    )
+    assert a < b
+    assert sorted(map(tuple, spark.read.parquet(idx).drop("part").collect())) == rows_before
+    # per-file ordering: within every output file band_key is sorted
+    import glob
+
+    for f in glob.glob(f"{idx}/part=*/*.parquet"):
+        keys = [r.band_key for r in spark.read.parquet(f).select("band_key").collect()]
+        assert keys == sorted(keys), f
