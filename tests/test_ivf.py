@@ -237,3 +237,62 @@ def test_ivf_reindex_preserves_partial_membership(spark, sf_small, tmp_path):
     )
     assert rows(migrated) == rows(fresh)
     assert migrated.select("neighbor_id").distinct().count() == survivors.count()
+
+
+def test_ivf_store_full_lifecycle(spark, sf_small, tmp_path):
+    """The whole serving-store lifecycle chained end-to-end: build →
+    3 frozen-model appends → layout-preserving compaction → retrain +
+    ivf_reindex migration → probe. The end state must be
+    content-identical to a one-shot fresh build under the final model,
+    and the probe must serve identical rankings — integration pin for
+    the r10 lifecycle pieces composing with the r8/r9 append
+    discipline."""
+    from osarchiver_spark.operators.ivf import (
+        ivf_index,
+        ivf_reindex,
+        ivf_topk_indexed,
+    )
+    from osarchiver_spark.operators.maintenance import compact_partitioned_store
+
+    emb = load_table(spark, sf_small, "embeddings")
+    model_a = kmeans_fit(
+        emb.filter(F.col("vec_id") % 4 == 0), "vec_id", "embedding", k=4, iters=2
+    )
+    store = str(tmp_path / "store")
+    for d in range(4):
+        drop = emb.filter(F.col("vec_id") % 4 == d)
+        ivf_index(drop, "vec_id", "embedding", model_a).write.mode(
+            "overwrite" if d == 0 else "append"
+        ).partitionBy("cid").parquet(store)
+
+    b, a = compact_partitioned_store(spark, store, "cid", target_bytes=1 << 30)
+    assert a < b  # the appends really did fragment
+
+    model_b = kmeans_fit(emb, "vec_id", "embedding", k=8, iters=2)
+    standing = spark.read.parquet(store).withColumn("cid", F.col("cid").cast("int"))
+    migrated_dir = str(tmp_path / "migrated")
+    ivf_reindex(standing, model_b).write.partitionBy("cid").parquet(migrated_dir)
+
+    fresh_dir = str(tmp_path / "fresh")
+    ivf_index(emb, "vec_id", "embedding", model_b).write.partitionBy("cid").parquet(
+        fresh_dir
+    )
+    rows = lambda d: sorted(
+        (r.neighbor_id, r.cid, tuple(r.v))
+        for r in spark.read.parquet(d)
+        .withColumn("cid", F.col("cid").cast("int"))
+        .collect()
+    )
+    assert rows(migrated_dir) == rows(fresh_dir)
+
+    queries = emb.filter(F.col("vec_id") % 250 == 0)
+    topk = lambda d: sorted(
+        map(
+            tuple,
+            ivf_topk_indexed(
+                spark.read.parquet(d).withColumn("cid", F.col("cid").cast("int")),
+                queries, "vec_id", "embedding", model_b, k=5, nprobe=3,
+            ).collect(),
+        )
+    )
+    assert topk(migrated_dir) == topk(fresh_dir)
