@@ -44,6 +44,7 @@ HEADLINE = [
     "q2_min_cost_supplier",
     "range_frame",
     "streaming_tumbling",
+    "streaming_vector_maintenance",
     # north-star (registered as they are implemented)
     "dedup_exact",
     "dedup_minhash_lsh",

@@ -300,6 +300,52 @@ def q_dedup_ivf_neardup_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("neighbor_id") < F.col("query_id"))
 
 
+def q_streaming_vector_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LIVE serving-store maintenance loop adjudicated end-to-end
+    (streaming/vector_store.py): a Structured Streaming job consumes
+    the embedding fixture, and every micro-batch probes the standing
+    dedup index, appends its cells, and appends its survivors to the
+    cid-partitioned store — the streaming twin of the vector capstone.
+    Registered at EXACT parameters: nprobe == n_clusters (all cells
+    probed ⇒ the loser rule degenerates to "any smaller-id vector
+    anywhere with cosine >= threshold") and QUANTIZED centroids
+    (kmeans_fit quantize=6 — the semdedup discipline that lets the
+    DuckDB oracle replay the Lloyd's iterations as CTEs and certify
+    the REAL clustering). Output: the store manifest (cid,
+    n_vectors) — survivors per final-model cell. Over the fixture the
+    stream is one micro-batch, whose output is row-identical to the
+    batch one-shot build BY the capstone identity; multi-batch
+    arrival (maxFilesPerTrigger) and epoch-replay idempotence are
+    pinned in tests/test_streaming_vector_store.py."""
+    import hashlib
+    import os
+    import tempfile
+
+    from osarchiver_spark.operators.ivf import kmeans_fit
+    from osarchiver_spark.streaming.vector_store import (
+        run_streaming_vector_maintenance,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = kmeans_fit(
+        emb, "vec_id", "embedding",
+        k=SEMDEDUP_K, iters=SEMDEDUP_ITERS, quantize=SEMDEDUP_QUANT,
+    )
+    suffix = "{}_{}".format(
+        hashlib.md5(sf_dir.encode()).hexdigest()[:12],
+        spark.sparkContext.applicationId,
+    )
+    index_dir = os.path.join(tempfile.gettempdir(), f"svm_idx_{suffix}")
+    store_dir = os.path.join(tempfile.gettempdir(), f"svm_store_{suffix}")
+    _reap_index_dir_at_exit(index_dir)
+    _reap_index_dir_at_exit(store_dir)
+    _reap_index_dir_at_exit(store_dir + "__epochs")
+    return run_streaming_vector_maintenance(
+        spark, sf_dir, index_dir, store_dir, cents,
+        threshold=EMBED_THRESHOLD, nprobe=SEMDEDUP_K,
+    )
+
+
 SEMDEDUP_K = 8  # fixture-scale k; production contract: k ~ n / target_cluster_size
 SEMDEDUP_ITERS = 2
 SEMDEDUP_QUANT = 6  # centroid quantization — what makes the oracle replay exact
@@ -504,6 +550,7 @@ QUERIES = {
     "dedup_containment": q_dedup_containment,
     "dedup_embedding": q_dedup_embedding,
     "dedup_ivf_neardup_bounded": q_dedup_ivf_neardup_bounded,
+    "streaming_vector_maintenance": q_streaming_vector_maintenance,
     "dedup_streaming": q_dedup_streaming,
     "semdedup": q_semdedup,
     "dedup_embedding_incremental": q_dedup_embedding_incremental,
@@ -896,6 +943,29 @@ ORACLES["semantic_clusters"] = f"""
     FROM d GROUP BY cid
 """
 
+
+# The streaming maintenance loop at exact parameters: nprobe ==
+# n_clusters makes the loser rule cell-independent ("any smaller-id
+# vector with cosine >= threshold"), and the quantized Lloyd's replay
+# (semdedup's _kmeans_cte) reproduces the FINAL cell assignment the
+# manifest groups by — so the oracle is the survivors-per-cell count
+# with no streaming machinery at all. A hash match certifies that the
+# micro-batched probe/append loop landed exactly the batch-semantics
+# store.
+ORACLES["streaming_vector_maintenance"] = f"""
+    WITH {_kmeans_cte(SEMDEDUP_K, SEMDEDUP_ITERS, SEMDEDUP_QUANT)},
+    losers AS (
+        SELECT DISTINCT y.vid AS vid
+        FROM base x JOIN base y ON x.vid < y.vid
+        WHERE round(coalesce(list_dot_product(x.v, y.v) /
+                    nullif(sqrt(list_dot_product(x.v, x.v)) *
+                           sqrt(list_dot_product(y.v, y.v)), 0), 0), 6)
+              >= {EMBED_THRESHOLD})
+    SELECT a.cid, count(*) AS n_vectors
+    FROM assigned a LEFT JOIN losers l ON a.vid = l.vid
+    WHERE l.vid IS NULL
+    GROUP BY a.cid
+"""
 
 ORACLES["dedup_ivf_neardup_bounded"] = f"""
     WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings

@@ -1,0 +1,169 @@
+"""Streaming vector-store maintenance: the LIVE twin of
+operators/export.py::export_vector_store_indexed.
+
+A live embedding pipeline does not batch drops by hand — vectors land
+in a directory (or a queue) and a Structured Streaming job keeps the
+serving store deduplicated and current. Each micro-batch runs exactly
+the per-drop maintenance step the batch capstone rehearses:
+
+    micro-batch of new vectors
+      → intra-batch near-dup probe        (ivf_neardup_probe over the
+                                           batch's own cell index)
+      → cross probe vs the STANDING index (partition-pruned read of
+                                           the probed cells only —
+                                           never a corpus rescan)
+      → loser rule                        (first-arrival-wins: a new
+                                           vector loses to ANY standing
+                                           match; within a batch, to a
+                                           smaller id — with ingest-
+                                           ordered ids the two rules
+                                           coincide and the result is
+                                           row-identical to the batch
+                                           one-shot build)
+      → append batch cells to the dedup index, survivors to the store
+
+Centroids are FROZEN (trained offline; FAISS ``IndexIVF.add``
+semantics) — which is precisely what makes the streaming build equal
+the batch build: the match rule depends only on the model, never on
+micro-batch boundaries. Retrain + ``ivf_reindex`` is an offline
+migration, not a streaming concern.
+
+Restart safety: ``foreachBatch`` appends are not idempotent on epoch
+REPLAY (a recovered query re-runs its last epoch), so each processed
+epoch leaves a marker under ``<store>__epochs/``; a replayed epoch
+that finds its marker is skipped whole — the appended artifacts are
+exactly-once per epoch. (Production note: markers and data land in
+separate FS operations; a crash between them re-processes the epoch,
+so the marker must be written AFTER the appends — it is.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EMBEDDINGS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+        T.StructField("label", T.IntegerType()),
+    ]
+)
+
+
+def _fs(spark: SparkSession, path: str):
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    return hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration()), hpath, jvm
+
+
+def _path_exists(spark: SparkSession, path: str) -> bool:
+    fs, hpath, _ = _fs(spark, path)
+    return fs.exists(hpath)
+
+
+def _mark_epoch(spark: SparkSession, marker_dir: str, epoch_id: int) -> None:
+    fs, _, jvm = _fs(spark, marker_dir)
+    fs.mkdirs(jvm.org.apache.hadoop.fs.Path(f"{marker_dir}/{epoch_id}"))
+
+
+def make_maintenance_batch_fn(
+    spark: SparkSession,
+    index_dir: str,
+    store_dir: str,
+    centroids: list[list[float]],
+    threshold: float,
+    nprobe: int,
+):
+    """The per-micro-batch maintenance step, factored out so tests can
+    drive it directly (epoch-replay semantics) and foreachBatch can
+    wrap it. Appends the batch's cells to ``index_dir`` and its
+    survivors to ``store_dir``; skips epochs already marked done."""
+    from osarchiver_spark.operators.ivf import ivf_index, ivf_neardup_probe
+
+    marker_dir = f"{store_dir.rstrip('/')}__epochs"
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if _path_exists(spark, f"{marker_dir}/{epoch_id}"):
+            return  # replayed epoch: its appends already landed
+        n = batch_df.count()
+        if n == 0:
+            _mark_epoch(spark, marker_dir, epoch_id)
+            return
+        batch = batch_df.localCheckpoint()  # stream-sourced frames
+        # cannot be re-planned after the trigger; pin the rows once
+        batch_index = ivf_index(batch, "vec_id", "embedding", centroids)
+        intra = ivf_neardup_probe(
+            batch_index, batch, "vec_id", "embedding", centroids,
+            threshold=threshold, nprobe=nprobe, batch_rows=n,
+        ).filter(F.col("neighbor_id") < F.col("query_id"))
+        losers = intra.select(F.col("query_id").alias("vec_id"))
+        if _path_exists(spark, index_dir):
+            standing = spark.read.parquet(index_dir).withColumn(
+                "cid", F.col("cid").cast("int")
+            )
+            cross = ivf_neardup_probe(
+                standing, batch, "vec_id", "embedding", centroids,
+                threshold=threshold, nprobe=nprobe, batch_rows=n,
+            )  # first-arrival-wins: ANY standing match is a loss
+            losers = losers.unionByName(cross.select(F.col("query_id").alias("vec_id")))
+        # materialize losers BEFORE appending this batch's cells (the
+        # lazily-planned probe must never observe files appended after
+        # it — the capstone's checkpoint rule)
+        losers = losers.distinct().localCheckpoint()
+        first = not _path_exists(spark, index_dir)
+        batch_index.write.mode("overwrite" if first else "append").partitionBy(
+            "cid"
+        ).parquet(index_dir)
+        survivors = batch.join(losers, "vec_id", "left_anti")
+        ivf_index(survivors, "vec_id", "embedding", centroids).write.mode(
+            "overwrite" if not _path_exists(spark, store_dir) else "append"
+        ).partitionBy("cid").parquet(store_dir)
+        _mark_epoch(spark, marker_dir, epoch_id)
+
+    return process_batch
+
+
+def run_streaming_vector_maintenance(
+    spark: SparkSession,
+    sf_dir: str,
+    index_dir: str,
+    store_dir: str,
+    centroids: list[list[float]],
+    threshold: float = 0.9,
+    nprobe: int = 4,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Stream the embeddings fixture through the maintenance loop and
+    return the resulting store's manifest (cid, n_vectors).
+    ``max_files_per_trigger`` splits a multi-file source into multiple
+    micro-batches (the live-arrival shape); ``None`` processes all
+    available input in one trigger — over a single-file fixture that
+    is ONE batch, whose output is row-identical to the batch one-shot
+    build by the capstone identity."""
+    from osarchiver_spark.sources.parquet import ensure_session_defaults
+    from osarchiver_spark.streaming.pipeline import fixture_table_watch
+
+    ensure_session_defaults(spark)
+    watch_dir, glob = fixture_table_watch(sf_dir, "embeddings")
+    reader = spark.readStream.format("parquet").schema(EMBEDDINGS_RAW_SCHEMA)
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.load(watch_dir)
+
+    process_batch = make_maintenance_batch_fn(
+        spark, index_dir, store_dir, centroids, threshold, nprobe
+    )
+    q = stream.writeStream.outputMode("append").foreachBatch(process_batch).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    store = spark.read.parquet(store_dir).withColumn(
+        "cid", F.col("cid").cast("int")
+    )
+    return store.groupBy("cid").agg(F.count("*").alias("n_vectors"))
