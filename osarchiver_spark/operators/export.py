@@ -280,6 +280,7 @@ def export_vector_store(
     threshold: float = 0.9,
     nprobe: int = 4,
     max_batch_rows: int | None = None,
+    pq_models: tuple[list[list[float]], list[list[list[float]]]] | None = None,
 ) -> DataFrame:
     """The VECTOR capstone: embedding near-dup removal + a persisted
     IVF serving index of the survivors — the artifact an embedding
@@ -310,7 +311,17 @@ def export_vector_store(
     unioned — matches are independent per query, so the union equals
     the single probe row-for-row, while each chunk's materialized
     probe frame stays batch-sized. A >1M-vector corpus therefore
-    chunks instead of tripping the probe's batch guard."""
+    chunks instead of tripping the probe's batch guard.
+
+    ``pq_models`` = (coarse, books): write the survivor store as a
+    COMPRESSED IVF-PQ code index (the format a 100 TB corpus actually
+    serves from — ~2 B/vector on disk vs ~42) instead of full
+    vectors. The dedup decision itself always runs on full vectors
+    under ``centroids``; the PQ models only shape the persisted
+    artifact, so the survivor MEMBERSHIP is format-independent and
+    the incremental build's code store is row-identical by the same
+    frozen-model argument (codes depend only on the frozen models and
+    the vector, never on batching)."""
     from osarchiver_spark.operators.ivf import (
         INDEXED_PROBE_MAX_QUERIES,
         ivf_index,
@@ -348,10 +359,23 @@ def export_vector_store(
     pairs = pairs.filter(F.col("neighbor_id") < F.col("query_id"))
     losers = pairs.select(F.col("query_id").alias("vec_id")).distinct()
     survivors = emb.join(losers, "vec_id", "left_anti")
-    ivf_index(survivors, "vec_id", "embedding", centroids).write.mode(
-        "overwrite"
-    ).partitionBy("cid").parquet(f"{out_dir.rstrip('/')}/store")
+    _write_store(survivors, centroids, pq_models, f"{out_dir.rstrip('/')}/store", "overwrite")
     return _vector_manifest(spark, out_dir)
+
+
+def _write_store(survivors, centroids, pq_models, store_dir: str, mode: str) -> None:
+    """Shared store writer: full-vector IVF cells, or PQ codes when
+    ``pq_models`` is given — same cid-partitioned layout either way."""
+    from osarchiver_spark.operators.ivf import ivf_index
+
+    if pq_models is None:
+        out = ivf_index(survivors, "vec_id", "embedding", centroids)
+    else:
+        from osarchiver_spark.operators.pq import ivf_pq_index
+
+        coarse, books = pq_models
+        out = ivf_pq_index(survivors, "vec_id", "embedding", coarse, books)
+    out.write.mode(mode).partitionBy("cid").parquet(store_dir)
 
 
 def export_vector_store_indexed(
@@ -364,6 +388,7 @@ def export_vector_store_indexed(
     threshold: float = 0.9,
     nprobe: int = 4,
     max_batch_rows: int | None = None,
+    pq_models: tuple[list[list[float]], list[list[list[float]]]] | None = None,
     on_stage=None,
 ) -> DataFrame:
     """The INCREMENTAL-INDEX build of the same vector store: the
@@ -484,9 +509,12 @@ def export_vector_store_indexed(
             "cid"
         ).parquet(index_dir)
         survivors = batch.join(losers, "vec_id", "left_anti")
-        ivf_index(survivors, "vec_id", "embedding", centroids).write.mode(
-            "overwrite" if i == 0 else "append"
-        ).partitionBy("cid").parquet(store_dir)
+        # the DEDUP index above always stores full vectors (the probe
+        # needs them); pq_models shapes only the serving artifact
+        _write_store(
+            survivors, centroids, pq_models, store_dir,
+            "overwrite" if i == 0 else "append",
+        )
         _stage(f"batch{i}_append", t0)
     return _vector_manifest(spark, out_dir)
 

@@ -187,3 +187,50 @@ def test_guard_batch_precounted_rows_skip_the_scan(spark, sf_small, tmp_path):
         max_batch_rows=None,
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, ref.collect()))
+
+
+def test_vector_export_pq_store_incremental_identity(spark, sf_small, tmp_path):
+    """pq_models writes the survivor store as PQ codes (the 100 TB
+    serving format). Membership is decided on full vectors either way,
+    and codes depend only on the frozen models — so the 3-drop
+    incremental code store must be row-identical to the one-shot's."""
+    from osarchiver_spark.operators.pq import _unit_expr, pq_joint_fit
+
+    emb = load_table(spark, sf_small, "embeddings")
+    cents = kmeans_fit(emb, "vec_id", "embedding", k=8, iters=2)
+    emb_n = emb.select(F.col("vec_id"), _unit_expr("embedding").alias("_uv"))
+    coarse, books = pq_joint_fit(
+        emb_n, "vec_id", "_uv", n_clusters=8, m=16, codes=16
+    )
+
+    one = str(tmp_path / "one")
+    inc = str(tmp_path / "inc")
+    m1 = export_vector_store(
+        spark, sf_small, one, cents, threshold=THRESHOLD, nprobe=3,
+        pq_models=(coarse, books),
+    )
+    m2 = export_vector_store_indexed(
+        spark, sf_small, inc, str(tmp_path / "didx"), cents,
+        n_batches=3, threshold=THRESHOLD, nprobe=3,
+        pq_models=(coarse, books),
+    )
+    assert sorted(map(tuple, m1.collect())) == sorted(map(tuple, m2.collect()))
+
+    rows = lambda d: sorted(
+        (r.neighbor_id, r.cid, tuple(r.code))
+        for r in spark.read.parquet(f"{d}/store")
+        .withColumn("cid", F.col("cid").cast("int"))
+        .collect()
+    )
+    r1, r2 = rows(one), rows(inc)
+    assert r1 == r2 and 0 < len(r1) < emb.count()
+    # the store really is codes, not vectors
+    cols = set(spark.read.parquet(f"{one}/store").columns)
+    assert "code" in cols and "v" not in cols
+    # and the same membership as the full-vector store
+    full = str(tmp_path / "full")
+    export_vector_store(spark, sf_small, full, cents, threshold=THRESHOLD, nprobe=3)
+    ids = lambda d: sorted(
+        r.neighbor_id for r in spark.read.parquet(f"{d}/store").collect()
+    )
+    assert ids(one) == ids(full)
