@@ -214,10 +214,87 @@ def q_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RRF_K = 60  # the standard reciprocal-rank-fusion constant (Cormack et
+# al.'s k=60 — public formula: score = sum over rankers of 1/(k+rank))
+
+
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion: the standard way a
+    pipeline merges two rankers' top-k lists without score calibration
+    (rrf = Σ 1/(k+rank), k=60; a document missing from one list simply
+    contributes nothing). Fuses the BM25 ranking with a TF-density
+    ranker (tf/|D| — a deliberately different lexical signal, so the
+    fused order is non-trivial) for the same five corpus-derived query
+    terms. In production the second list is typically the dense-ANN
+    top-k (knn_* over an embedding of the query); RRF is
+    ranker-agnostic, which is exactly why it is registered on two
+    rankings whose exact SQL twins both already exist.
+
+    Float discipline: 1/(60+rank) is one correctly-rounded IEEE
+    division per ranker and ONE addition — deterministic cross-engine
+    with no rounding needed. Scale shape: both rankers' top-k lists
+    are window-truncated per term BEFORE the fusion join, so the
+    fused relation is ≤ 2·topk rows per query term regardless of
+    corpus size."""
+    from pyspark.sql import Window as W
+
+    bm25 = q_bm25_retrieval(spark, sf_dir).select(
+        "token", "doc_id", F.col("rank").alias("rank_a")
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("token"))
+        .groupBy("token", "doc_id")
+        .agg(F.count("*").alias("tf"))
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    df_ = tf.groupBy("token").agg(F.count("*").alias("df"))
+    drank = F.row_number().over(
+        Window.partitionBy().orderBy(F.col("df").desc(), F.col("token"))
+    )
+    qterms = (
+        df_.select("token", drank.alias("drank"))
+        .filter(F.col("drank").between(BM25_TERM_LO, BM25_TERM_HI))
+        .drop("drank")
+    )
+    dens = (
+        tf.join(F.broadcast(qterms), "token")
+        .join(dl, "doc_id")
+        .select(
+            "token", "doc_id",
+            (F.col("tf").cast("double") / F.col("dl").cast("double")).alias("dens"),
+        )
+    )
+    wb = W.partitionBy("token").orderBy(F.col("dens").desc(), F.col("doc_id"))
+    ranked_b = (
+        dens.withColumn("rank_b", F.row_number().over(wb))
+        .filter(F.col("rank_b") <= BM25_TOPK)
+        .select("token", "doc_id", "rank_b")
+    )
+
+    fused = bm25.join(ranked_b, ["token", "doc_id"], "full_outer").select(
+        "token",
+        "doc_id",
+        (
+            F.coalesce(F.lit(1.0) / (F.lit(float(RRF_K)) + F.col("rank_a")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(float(RRF_K)) + F.col("rank_b")), F.lit(0.0))
+        ).alias("rrf_score"),
+    )
+    wf = W.partitionBy("token").orderBy(F.col("rrf_score").desc(), F.col("doc_id"))
+    return fused.select(
+        "token",
+        F.row_number().over(wf).cast("int").alias("rank"),
+        "doc_id",
+        "rrf_score",
+    )
+
+
 QUERIES = {
     "boilerplate_lines": q_boilerplate_lines,
     "inverted_index": q_inverted_index,
     "bm25_retrieval": q_bm25_retrieval,
+    "rrf_fusion": q_rrf_fusion,
 }
 
 ORACLES = {
@@ -293,3 +370,47 @@ ORACLES = {
         WHERE rank <= {BM25_TOPK}
     """,
 }
+
+
+# RRF oracle: the bm25 oracle rides in whole as a CTE; the density
+# ranker re-derives tf/dl/qterms (same CTE shapes); the fusion is one
+# full outer join + one IEEE division per side + one addition — no
+# rounding needed (see q_rrf_fusion).
+ORACLES["rrf_fusion"] = f"""
+    WITH bm25 AS ({ORACLES["bm25_retrieval"]}),
+    tok2 AS (
+        SELECT doc_id, unnest({_SQL_TOKENS_LOWER}) AS token FROM documents),
+    tf2 AS (SELECT token, doc_id, count(*) AS tf FROM tok2 GROUP BY 1, 2),
+    dl2 AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf2 GROUP BY 1),
+    dfreq2 AS (SELECT token, count(*) AS df FROM tf2 GROUP BY 1),
+    qterms2 AS (
+        SELECT token FROM (
+            SELECT token, row_number() OVER (ORDER BY df DESC, token) AS drank
+            FROM dfreq2)
+        WHERE drank BETWEEN {BM25_TERM_LO} AND {BM25_TERM_HI}),
+    dens AS (
+        SELECT t.token, t.doc_id,
+               CAST(t.tf AS DOUBLE) / CAST(d.dl AS DOUBLE) AS dens
+        FROM tf2 t
+        JOIN qterms2 q ON t.token = q.token
+        JOIN dl2 d ON t.doc_id = d.doc_id),
+    brank AS (
+        SELECT token, doc_id, rank_b FROM (
+            SELECT token, doc_id,
+                   row_number() OVER (PARTITION BY token
+                                      ORDER BY dens DESC, doc_id) AS rank_b
+            FROM dens)
+        WHERE rank_b <= {BM25_TOPK}),
+    fused AS (
+        SELECT coalesce(a.token, b.token) AS token,
+               coalesce(a.doc_id, b.doc_id) AS doc_id,
+               coalesce(1.0 / ({RRF_K} + a.rank), 0)
+                 + coalesce(1.0 / ({RRF_K} + b.rank_b), 0) AS rrf_score
+        FROM bm25 a
+        FULL OUTER JOIN brank b ON a.token = b.token AND a.doc_id = b.doc_id)
+    SELECT token,
+           CAST(row_number() OVER (PARTITION BY token
+                                   ORDER BY rrf_score DESC, doc_id) AS INT) AS rank,
+           doc_id, rrf_score
+    FROM fused
+"""
