@@ -75,11 +75,15 @@ def make_maintenance_batch_fn(
     centroids: list[list[float]],
     threshold: float,
     nprobe: int,
+    pq_models: tuple[list[list[float]], list[list[list[float]]]] | None = None,
 ):
     """The per-micro-batch maintenance step, factored out so tests can
     drive it directly (epoch-replay semantics) and foreachBatch can
     wrap it. Appends the batch's cells to ``index_dir`` and its
-    survivors to ``store_dir``; skips epochs already marked done."""
+    survivors to ``store_dir`` (as PQ codes when ``pq_models`` is
+    given — the batch exports' serving-format knob, same semantics);
+    skips epochs already marked done."""
+    from osarchiver_spark.operators.export import _write_store
     from osarchiver_spark.operators.ivf import ivf_index, ivf_neardup_probe
 
     marker_dir = f"{store_dir.rstrip('/')}__epochs"
@@ -117,9 +121,10 @@ def make_maintenance_batch_fn(
             "cid"
         ).parquet(index_dir)
         survivors = batch.join(losers, "vec_id", "left_anti")
-        ivf_index(survivors, "vec_id", "embedding", centroids).write.mode(
-            "overwrite" if not _path_exists(spark, store_dir) else "append"
-        ).partitionBy("cid").parquet(store_dir)
+        _write_store(
+            survivors, centroids, pq_models, store_dir,
+            "overwrite" if not _path_exists(spark, store_dir) else "append",
+        )
         _mark_epoch(spark, marker_dir, epoch_id)
 
     return process_batch
@@ -134,6 +139,7 @@ def run_streaming_vector_maintenance(
     threshold: float = 0.9,
     nprobe: int = 4,
     max_files_per_trigger: int | None = None,
+    pq_models: tuple[list[list[float]], list[list[list[float]]]] | None = None,
 ) -> DataFrame:
     """Stream the embeddings fixture through the maintenance loop and
     return the resulting store's manifest (cid, n_vectors).
@@ -155,7 +161,7 @@ def run_streaming_vector_maintenance(
     stream = reader.load(watch_dir)
 
     process_batch = make_maintenance_batch_fn(
-        spark, index_dir, store_dir, centroids, threshold, nprobe
+        spark, index_dir, store_dir, centroids, threshold, nprobe, pq_models
     )
     q = stream.writeStream.outputMode("append").foreachBatch(process_batch).start()
     try:

@@ -99,3 +99,36 @@ def test_streaming_epoch_replay_is_idempotent(spark, sf_small, tmp_path):
     # a genuinely new epoch still appends
     fn(emb.filter(F.col("vec_id") % 2 == 1), 1)
     assert len(_store_rows(spark, store)) > len(rows_after_first)
+
+
+def test_streaming_pq_store_equals_one_shot(spark, sf_small, tmp_path):
+    """pq_models through the streaming loop: the multi-batch streamed
+    CODE store must equal the one-shot batch export's (codes depend
+    only on the frozen models + membership; membership is
+    batching-independent)."""
+    from osarchiver_spark.operators.pq import _unit_expr, pq_joint_fit
+
+    src_sf, emb = _multi_file_source(spark, sf_small, tmp_path)
+    cents = kmeans_fit(emb, "vec_id", "embedding", k=8, iters=2)
+    emb_n = emb.select(F.col("vec_id"), _unit_expr("embedding").alias("_uv"))
+    coarse, books = pq_joint_fit(emb_n, "vec_id", "_uv", n_clusters=8, m=16, codes=16)
+
+    one = str(tmp_path / "one")
+    export_vector_store(
+        spark, src_sf, one, cents, threshold=THRESHOLD, nprobe=3,
+        pq_models=(coarse, books),
+    )
+    inc_store = str(tmp_path / "inc_store")
+    run_streaming_vector_maintenance(
+        spark, src_sf, str(tmp_path / "inc_idx"), inc_store, cents,
+        threshold=THRESHOLD, nprobe=3, max_files_per_trigger=1,
+        pq_models=(coarse, books),
+    )
+    rows = lambda d: sorted(
+        (r.neighbor_id, r.cid, tuple(r.code))
+        for r in spark.read.parquet(d)
+        .withColumn("cid", F.col("cid").cast("int"))
+        .collect()
+    )
+    r1, r2 = rows(f"{one}/store"), rows(inc_store)
+    assert r1 == r2 and len(r1) > 0
