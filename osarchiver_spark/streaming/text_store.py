@@ -1,0 +1,157 @@
+"""Streaming TEXT-corpus dedup maintenance: the live twin of
+operators/export.py::export_training_set_indexed's per-drop loop, and
+the text sibling of streaming/vector_store.py.
+
+Each micro-batch of arriving documents:
+
+    → intra-batch MinHash-LSH pairs       (the drop's own near-dups)
+    → cross probe vs the STANDING band index
+      (minhash_lsh_incremental_indexed: banded batch broadcast,
+       pushed band_key IN predicate — the corpus text is touched only
+       for the candidate rows the exact-Jaccard verify needs)
+    → append the batch's bands to the index, its raw rows to the
+      corpus landing store, and its edges to the accumulated pair
+      graph
+
+With ingest-ordered doc ids, the accumulated {intra} ∪ {cross} edge
+set equals the one-shot ``minhash_lsh_pairs`` graph row-for-row —
+the same by-construction identity the batch indexed export proves
+(band-bucket sharing is symmetric and batching-independent; the
+exact verify is the same rounded expression) — pinned in
+tests/test_streaming_text_store.py. Downstream consumers (loser
+anti-join, connected components, split keys) read the pair graph
+exactly as the batch pipeline does.
+
+Restart safety mirrors the vector loop: per-epoch markers written
+AFTER the appends make a replayed recovery epoch a no-op.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from osarchiver_spark.streaming.vector_store import (
+    _mark_epoch,
+    _path_exists,
+)
+
+DOCUMENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def make_text_maintenance_batch_fn(
+    spark: SparkSession,
+    index_dir: str,
+    corpus_dir: str,
+    pairs_dir: str,
+    threshold: float,
+    lsh_kw: dict,
+):
+    """The per-micro-batch step, factored out for direct testing.
+    ``lsh_kw``: shingle_n/num_hashes/bands/hash_fn passed through to
+    every sketch call (one frozen parameterization — changing it
+    invalidates the standing index, exactly like retraining an IVF
+    model)."""
+    from osarchiver_spark.operators.dedup import (
+        minhash_lsh_incremental_indexed,
+        minhash_lsh_index,
+        minhash_lsh_pairs,
+    )
+
+    marker_dir = f"{pairs_dir.rstrip('/')}__epochs"
+    edge_cols = ["doc_a", "doc_b"]
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if _path_exists(spark, f"{marker_dir}/{epoch_id}"):
+            return  # replayed epoch: its appends already landed
+        if batch_df.isEmpty():
+            _mark_epoch(spark, marker_dir, epoch_id)
+            return
+        batch = batch_df.localCheckpoint()
+        edges = minhash_lsh_pairs(
+            batch, "doc_id", "text", threshold=threshold, **lsh_kw
+        ).select(*edge_cols)
+        if _path_exists(spark, index_dir):
+            standing = spark.read.parquet(index_dir)
+            corpus = spark.read.parquet(corpus_dir)
+            cross = minhash_lsh_incremental_indexed(
+                standing, corpus, batch, "doc_id", "text",
+                threshold=threshold, **lsh_kw,
+            ).select(
+                F.col("corpus_id").alias("doc_a"),
+                F.col("new_id").alias("doc_b"),
+            )
+            edges = edges.unionByName(cross)
+        # materialize the edges BEFORE appending this batch's bands
+        # (the lazily-planned probe must never observe files appended
+        # after it — the capstone's checkpoint rule)
+        edges = edges.localCheckpoint()
+        first = not _path_exists(spark, index_dir)
+        minhash_lsh_index(batch, "doc_id", "text", **lsh_kw).write.mode(
+            "overwrite" if first else "append"
+        ).parquet(index_dir)
+        batch.write.mode("overwrite" if first else "append").parquet(corpus_dir)
+        edges.write.mode(
+            "overwrite" if not _path_exists(spark, pairs_dir) else "append"
+        ).parquet(pairs_dir)
+        _mark_epoch(spark, marker_dir, epoch_id)
+
+    return process_batch
+
+
+def run_streaming_text_maintenance(
+    spark: SparkSession,
+    sf_dir: str,
+    index_dir: str,
+    corpus_dir: str,
+    pairs_dir: str,
+    threshold: float | None = None,
+    max_files_per_trigger: int | None = None,
+    **lsh_overrides,
+) -> DataFrame:
+    """Stream the documents fixture through the maintenance loop and
+    return the accumulated near-dup pair graph (doc_a, doc_b). LSH
+    parameters default to the registry's production set
+    (queries/dedup.py constants, xxhash64 sketches)."""
+    from osarchiver_spark.queries.dedup import (
+        BANDS,
+        MINHASH_THRESHOLD,
+        NUM_HASHES,
+    )
+    from osarchiver_spark.sources.parquet import ensure_session_defaults
+    from osarchiver_spark.streaming.pipeline import fixture_table_watch
+
+    lsh_kw = dict(
+        shingle_n=3, num_hashes=NUM_HASHES, bands=BANDS, hash_fn="xxhash64"
+    )
+    lsh_kw.update(lsh_overrides)
+    if threshold is None:
+        threshold = MINHASH_THRESHOLD
+
+    ensure_session_defaults(spark)
+    watch_dir, glob = fixture_table_watch(sf_dir, "documents")
+    reader = spark.readStream.format("parquet").schema(DOCUMENTS_RAW_SCHEMA)
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.load(watch_dir)
+
+    process_batch = make_text_maintenance_batch_fn(
+        spark, index_dir, corpus_dir, pairs_dir, threshold, lsh_kw
+    )
+    q = stream.writeStream.outputMode("append").foreachBatch(process_batch).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.parquet(pairs_dir)
