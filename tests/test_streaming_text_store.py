@@ -81,3 +81,19 @@ def test_streaming_text_epoch_replay_is_idempotent(spark, sf_small, tmp_path):
     assert pairs() == after_first
     fn(docs.filter(F.col("doc_id") % 2 == 1), 1)
     assert len(pairs()) >= len(after_first)
+
+
+def test_streaming_edge_free_corpus_returns_typed_empty_graph(
+    spark, sf_small, tmp_path
+):
+    """threshold above any possible Jaccard -> zero edges ever; the
+    0-row parquet writes leave no readable schema, so the loop must
+    hand back a typed empty graph instead of an inference error."""
+    src_sf, _ = _multi_file_docs(spark, sf_small, tmp_path, n_files=2)
+    out = run_streaming_text_maintenance(
+        spark, src_sf,
+        str(tmp_path / "i2"), str(tmp_path / "c2"), str(tmp_path / "p2"),
+        threshold=1.01, max_files_per_trigger=1,
+    )
+    assert out.count() == 0
+    assert set(out.columns) == {"doc_a", "doc_b"}
