@@ -391,6 +391,9 @@ def test_registry_wide_plan_audit(spark):
         "fuzzy_match": "distinct event-type vocabulary (|types|² pairs)",
         "key_skew_report": "one-row global count aggregate",
         "psi_drift": "one-row time-span aggregate",
+        "rrf_fusion": "inherits bm25's one-row n_docs/avgdl aggregate "
+        "(the only non-equi join in its plan; fusion itself is an "
+        "equi-keyed full outer — verified r10)",
         "probe_psi_cells": "one-row time-span aggregate (shared psi_probs stage)",
         "probe_psi_ln_terms": "one-row time-span aggregate (shared psi_probs stage)",
         "dedup_lsh_eval": "three one-row count aggregates",
