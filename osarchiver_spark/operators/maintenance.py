@@ -116,31 +116,49 @@ def compact_partitioned_store(
     compact_parquet_dir. Returns (files_before, files_after)."""
     from pyspark.sql import functions as F
 
+    from urllib.parse import unquote
+
     fs, hpath, jvm = _fs_and_path(spark, path)
-    per_part: dict[str, tuple[int, int]] = {}  # dir value -> (files, bytes)
+    # dir value -> (files, bytes); the key is the DECODED partition
+    # value (hive percent-escapes special chars in directory names,
+    # e.g. 'a:b' -> 'a%3Ab') and None for __HIVE_DEFAULT_PARTITION__,
+    # so the mapping join below matches cast(col as string) exactly
+    per_part: dict[str | None, tuple[int, int]] = {}
     for st in fs.listStatus(hpath):
         name = st.getPath().getName()
         if not st.isDirectory() or "=" not in name:
             continue
-        value = name.split("=", 1)[1]
+        raw = name.split("=", 1)[1]
+        value = None if raw == "__HIVE_DEFAULT_PARTITION__" else unquote(raw)
         n, b = data_file_stats(spark, str(st.getPath()))
         per_part[value] = (n, b)
     if not per_part:
         raise ValueError(f"{path} has no {partition_col}=* partition dirs")
     before = sum(n for n, _ in per_part.values())
     n_files = {v: max(1, math.ceil(b / target_bytes)) for v, (_, b) in per_part.items()}
-    if before <= sum(n_files.values()):
-        return before, before  # already compact enough
+    # compactness is PER PARTITION: a global file-count comparison lets
+    # one over-provisioned cell mask another's fragmentation forever
+    # (3-file cell with target 1 + 1-file cell with target 3 nets out)
+    if not any(n > n_files[v] for v, (n, _) in per_part.items()):
+        return before, before  # every partition already compact
 
     df = spark.read.parquet(path)
     data_cols = [c for c in df.columns if c != partition_col]
     mapping = spark.createDataFrame(
-        [(v, n) for v, n in sorted(n_files.items())], "_pv string, _nf int"
+        [
+            (v, n)
+            for v, n in sorted(
+                n_files.items(), key=lambda kv: (kv[0] is None, kv[0] or "")
+            )
+        ],
+        "_pv string, _nf int",
     )
+    # null-safe equality so a __HIVE_DEFAULT_PARTITION__ (null) value
+    # still matches its mapping row instead of being dropped
     salted = (
         df.join(
             F.broadcast(mapping),
-            F.col(partition_col).cast("string") == F.col("_pv"),
+            F.col(partition_col).cast("string").eqNullSafe(F.col("_pv")),
         )
         .withColumn(
             "_salt",
@@ -155,6 +173,18 @@ def compact_partitioned_store(
         # re-sort the task (its own partition-col sort is not stable
         # and would scramble the intra-file ordering)
         salted = salted.sortWithinPartitions(partition_col, *sort_within)
+
+    # the swap DELETES the original, so refuse to proceed unless the
+    # rewrite provably carries every row — a mapping-join miss (an
+    # unanticipated partition-name encoding, a listing race) must fail
+    # loudly here, never silently truncate the store
+    n_before, n_after = df.count(), salted.count()
+    if n_before != n_after:
+        raise RuntimeError(
+            f"compact_partitioned_store: rewrite would carry {n_after} of "
+            f"{n_before} rows (partition mapping mismatch under {path}); "
+            f"aborting before the swap — original left untouched."
+        )
 
     _swap_in(
         spark, path,

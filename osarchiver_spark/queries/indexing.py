@@ -160,6 +160,16 @@ def q_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast semi-filter, so the scoring scan touches only matching
     postings; the only wide shuffle is the tf groupBy. The top-k
     window truncates per term BEFORE any collect."""
+    tf, dl, corpus, qterms = _bm25_parts(spark, sf_dir)
+    return _bm25_ranking(tf, dl, corpus, qterms)
+
+
+def _bm25_parts(spark: SparkSession, sf_dir: str):
+    """The shared retrieval stage (tf / dl / corpus stats / query
+    terms) consumed by both the BM25 ranking and rrf_fusion's density
+    ranking — the transient tf cache means one tokenize+explode+
+    groupBy shuffle feeds every consumer (the psi_probs shared-stage
+    pattern)."""
     docs = load_table(spark, sf_dir, "documents")
     from osarchiver_spark.operators.cache import transient
 
@@ -181,6 +191,10 @@ def q_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("drank").between(BM25_TERM_LO, BM25_TERM_HI))
         .drop("drank")
     )
+    return tf, dl, corpus, qterms
+
+
+def _bm25_ranking(tf, dl, corpus, qterms) -> DataFrame:
     scored = (
         tf.join(F.broadcast(qterms), "token")
         .join(dl, "doc_id")
@@ -228,7 +242,9 @@ def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms. In production the second list is typically the dense-ANN
     top-k (knn_* over an embedding of the query); RRF is
     ranker-agnostic, which is exactly why it is registered on two
-    rankings whose exact SQL twins both already exist.
+    rankings whose exact SQL twins both already exist. Both rankers
+    read the SAME shared stage (_bm25_parts: one cached tf shuffle),
+    so fusion adds no second corpus tokenize.
 
     Float discipline: 1/(60+rank) is one correctly-rounded IEEE
     division per ranker and ONE addition — deterministic cross-engine
@@ -236,37 +252,19 @@ def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     are window-truncated per term BEFORE the fusion join, so the
     fused relation is ≤ 2·topk rows per query term regardless of
     corpus size."""
-    from pyspark.sql import Window as W
-
-    bm25 = q_bm25_retrieval(spark, sf_dir).select(
+    tf, dl, corpus, qterms = _bm25_parts(spark, sf_dir)
+    bm25 = _bm25_ranking(tf, dl, corpus, qterms).select(
         "token", "doc_id", F.col("rank").alias("rank_a")
     )
-
-    docs = load_table(spark, sf_dir, "documents")
-    tf = (
-        docs.select("doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("token"))
-        .groupBy("token", "doc_id")
-        .agg(F.count("*").alias("tf"))
-    )
-    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-    df_ = tf.groupBy("token").agg(F.count("*").alias("df"))
-    drank = F.row_number().over(
-        Window.partitionBy().orderBy(F.col("df").desc(), F.col("token"))
-    )
-    qterms = (
-        df_.select("token", drank.alias("drank"))
-        .filter(F.col("drank").between(BM25_TERM_LO, BM25_TERM_HI))
-        .drop("drank")
-    )
     dens = (
-        tf.join(F.broadcast(qterms), "token")
+        tf.join(F.broadcast(qterms.select("token")), "token")
         .join(dl, "doc_id")
         .select(
             "token", "doc_id",
             (F.col("tf").cast("double") / F.col("dl").cast("double")).alias("dens"),
         )
     )
-    wb = W.partitionBy("token").orderBy(F.col("dens").desc(), F.col("doc_id"))
+    wb = Window.partitionBy("token").orderBy(F.col("dens").desc(), F.col("doc_id"))
     ranked_b = (
         dens.withColumn("rank_b", F.row_number().over(wb))
         .filter(F.col("rank_b") <= BM25_TOPK)
@@ -281,7 +279,7 @@ def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.coalesce(F.lit(1.0) / (F.lit(float(RRF_K)) + F.col("rank_b")), F.lit(0.0))
         ).alias("rrf_score"),
     )
-    wf = W.partitionBy("token").orderBy(F.col("rrf_score").desc(), F.col("doc_id"))
+    wf = Window.partitionBy("token").orderBy(F.col("rrf_score").desc(), F.col("doc_id"))
     return fused.select(
         "token",
         F.row_number().over(wf).cast("int").alias("rank"),

@@ -22,8 +22,10 @@ tests/test_streaming_text_store.py. Downstream consumers (loser
 anti-join, connected components, split keys) read the pair graph
 exactly as the batch pipeline does.
 
-Restart safety mirrors the vector loop: per-epoch markers written
-AFTER the appends make a replayed recovery epoch a no-op.
+Restart safety mirrors the vector loop: BEGIN/DONE epoch markers —
+a replayed DONE epoch is a no-op, a BEGIN-without-DONE epoch (crash
+inside the multi-directory append window) raises instead of silently
+double-appending.
 """
 
 from __future__ import annotations
@@ -33,6 +35,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from osarchiver_spark.streaming.vector_store import (
+    _epoch_guard,
     _mark_epoch,
     _path_exists,
 )
@@ -71,7 +74,7 @@ def make_text_maintenance_batch_fn(
     edge_cols = ["doc_a", "doc_b"]
 
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        if _path_exists(spark, f"{marker_dir}/{epoch_id}"):
+        if _epoch_guard(spark, marker_dir, epoch_id):
             return  # replayed epoch: its appends already landed
         if batch_df.isEmpty():
             _mark_epoch(spark, marker_dir, epoch_id)
@@ -156,8 +159,11 @@ def run_streaming_text_maintenance(
         q.stop()
     # an edge-free corpus writes only _SUCCESS markers (0-row parquet
     # writes produce no part files), which read as "unable to infer
-    # schema" — hand back a typed empty graph instead
+    # schema" — hand back a typed empty graph for THAT case only; a
+    # corrupted footer / permission error must still surface
+    from pyspark.errors import AnalysisException
+
     try:
         return spark.read.parquet(pairs_dir)
-    except Exception:
+    except AnalysisException:
         return spark.createDataFrame([], "doc_a long, doc_b long")

@@ -29,12 +29,17 @@ micro-batch boundaries. Retrain + ``ivf_reindex`` is an offline
 migration, not a streaming concern.
 
 Restart safety: ``foreachBatch`` appends are not idempotent on epoch
-REPLAY (a recovered query re-runs its last epoch), so each processed
-epoch leaves a marker under ``<store>__epochs/``; a replayed epoch
-that finds its marker is skipped whole — the appended artifacts are
-exactly-once per epoch. (Production note: markers and data land in
-separate FS operations; a crash between them re-processes the epoch,
-so the marker must be written AFTER the appends — it is.)
+REPLAY (a recovered query re-runs its last epoch), so each epoch
+brackets its appends with BEGIN/DONE markers under
+``<store>__epochs/``. A replayed epoch that finds DONE is skipped
+whole; one that finds BEGIN without DONE raises — the appends span
+several directories and are not atomic, so a crash inside that
+window leaves a partially-applied epoch that silent re-processing
+would double-append (duplicate index cells ⇒ duplicate loser pairs ⇒
+permanent divergence from the batch-build identity). Detected-and-
+refused beats silently-corrupted: the operator tells you exactly
+which epoch to repair (drop its partial appends or rebuild) instead
+of serving a wrong store.
 """
 
 from __future__ import annotations
@@ -63,9 +68,30 @@ def _path_exists(spark: SparkSession, path: str) -> bool:
     return fs.exists(hpath)
 
 
-def _mark_epoch(spark: SparkSession, marker_dir: str, epoch_id: int) -> None:
+def _mark_epoch(
+    spark: SparkSession, marker_dir: str, epoch_id: int, phase: str = "done"
+) -> None:
     fs, _, jvm = _fs(spark, marker_dir)
-    fs.mkdirs(jvm.org.apache.hadoop.fs.Path(f"{marker_dir}/{epoch_id}"))
+    fs.mkdirs(jvm.org.apache.hadoop.fs.Path(f"{marker_dir}/{epoch_id}.{phase}"))
+
+
+def _epoch_guard(spark: SparkSession, marker_dir: str, epoch_id: int) -> bool:
+    """Returns True if the epoch is already DONE (skip it); raises if
+    it BEGAN but never finished (partially-applied multi-directory
+    appends — replaying would double-append); otherwise marks BEGIN
+    and returns False (proceed)."""
+    if _path_exists(spark, f"{marker_dir}/{epoch_id}.done"):
+        return True
+    if _path_exists(spark, f"{marker_dir}/{epoch_id}.begin"):
+        raise RuntimeError(
+            f"epoch {epoch_id} began but never completed under "
+            f"{marker_dir}: its appends are partially applied across "
+            f"the index/store directories and re-running would "
+            f"double-append. Repair (drop the partial epoch's files or "
+            f"rebuild the store) before restarting."
+        )
+    _mark_epoch(spark, marker_dir, epoch_id, "begin")
+    return False
 
 
 def make_maintenance_batch_fn(
@@ -89,7 +115,7 @@ def make_maintenance_batch_fn(
     marker_dir = f"{store_dir.rstrip('/')}__epochs"
 
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        if _path_exists(spark, f"{marker_dir}/{epoch_id}"):
+        if _epoch_guard(spark, marker_dir, epoch_id):
             return  # replayed epoch: its appends already landed
         n = batch_df.count()
         if n == 0:

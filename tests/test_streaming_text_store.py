@@ -59,8 +59,9 @@ def test_streaming_pair_graph_equals_one_shot(spark, sf_small, tmp_path):
         ).collect()
     }
     assert got == want and len(want) > 0
-    # three epochs really ran
-    assert len(os.listdir(f"{tmp_path}/pairs__epochs")) == 3
+    # three epochs really ran and completed
+    done = [m for m in os.listdir(f"{tmp_path}/pairs__epochs") if m.endswith(".done")]
+    assert len(done) == 3
 
 
 def test_streaming_text_epoch_replay_is_idempotent(spark, sf_small, tmp_path):

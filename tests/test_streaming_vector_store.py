@@ -68,9 +68,11 @@ def test_streaming_build_equals_one_shot_multi_batch(spark, sf_small, tmp_path):
         spark, src_sf, str(tmp_path / "inc_idx"), inc_store, cents,
         threshold=THRESHOLD, nprobe=3, max_files_per_trigger=1,
     )
-    # 3 separate epochs really ran (one marker per micro-batch)
+    # 3 separate epochs really ran and completed (begin+done pairs)
     markers = os.listdir(f"{inc_store}__epochs")
-    assert len(markers) == 3, markers
+    assert sorted(m for m in markers if m.endswith(".done")) == [
+        "0.done", "1.done", "2.done"
+    ], markers
 
     assert _store_rows(spark, f"{one}/store") == _store_rows(spark, inc_store)
     mrows = {(r.cid, r.n_vectors) for r in manifest.collect()}
@@ -132,3 +134,35 @@ def test_streaming_pq_store_equals_one_shot(spark, sf_small, tmp_path):
     )
     r1, r2 = rows(f"{one}/store"), rows(inc_store)
     assert r1 == r2 and len(r1) > 0
+
+
+def test_streaming_partial_epoch_is_detected_not_replayed(
+    spark, sf_small, tmp_path
+):
+    """A crash inside an epoch's multi-directory append window leaves
+    BEGIN without DONE; the replay must refuse (double-appending would
+    silently corrupt the store) rather than re-run."""
+    import os
+
+    import pytest
+
+    from osarchiver_spark.streaming.vector_store import _mark_epoch
+
+    emb = load_table(spark, sf_small, "embeddings")
+    cents = kmeans_fit(emb, "vec_id", "embedding", k=8, iters=2)
+    idx, store = str(tmp_path / "idx"), str(tmp_path / "store")
+    fn = make_maintenance_batch_fn(spark, idx, store, cents, THRESHOLD, 3)
+    half = emb.filter(F.col("vec_id") % 2 == 0)
+    fn(half, 0)  # completes: 0.begin + 0.done
+    _mark_epoch(spark, f"{store}__epochs", 1, "begin")  # simulated crash
+    with pytest.raises(RuntimeError, match="began but never completed"):
+        fn(emb.filter(F.col("vec_id") % 2 == 1), 1)
+    # the completed epoch still replays as a no-op
+    rows = lambda: sorted(
+        (r.neighbor_id, r.cid)
+        for r in spark.read.parquet(store).collect()
+    )
+    before = rows()
+    fn(half, 0)
+    assert rows() == before
+    assert os.path.isdir(f"{store}__epochs/0.done")

@@ -125,8 +125,9 @@ def main() -> None:
     }
     result["files_before_after"] = [b, a]
     result["value"] = round(
-        sum(v for v in result.values() if isinstance(v, float)), 3
-    )
+        sum(v for k, v in result.items() if k != "sf" and isinstance(v, float)),
+        3,
+    )  # stage walls only — "sf" is a float field, not a wall
 
     out = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),

@@ -223,8 +223,9 @@ def main() -> None:
     result["after_migration"] = store_signals(spark, new_dir, q_last, model_b)
 
     result["value"] = round(
-        sum(v for v in result.values() if isinstance(v, float)), 3
-    )
+        sum(v for k, v in result.items() if k != "sf" and isinstance(v, float)),
+        3,
+    )  # stage walls only — "sf" is a float field, not a wall
     out = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "BENCH_SF10_REINDEX.json",
