@@ -124,6 +124,7 @@ HEADLINE = [
     # round-4 (second wave) additions
     "approx_sketches",
     "bm25_retrieval",
+    "rrf_fusion",
     "stratified_sample_exact",
     "rejection_resample_hour",
     "padding_waste_report",
