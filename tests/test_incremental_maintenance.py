@@ -243,3 +243,51 @@ def test_compact_partitioned_store_keeps_band_sort(spark, sf_small, tmp_path):
     for f in glob.glob(f"{idx}/part=*/*.parquet"):
         keys = [r.band_key for r in spark.read.parquet(f).select("band_key").collect()]
         assert keys == sorted(keys), f
+
+
+def test_compact_partitioned_store_handles_escaped_and_null_values(
+    spark, tmp_path
+):
+    """Hive percent-escapes special chars in partition dir names
+    ('a:b' -> 'a%3Ab') and writes nulls to __HIVE_DEFAULT_PARTITION__;
+    the mapping join must decode/null-match both — a miss would
+    silently drop rows and the swap guard would (correctly) refuse,
+    so this pins both the decode AND that compaction still completes."""
+    from osarchiver_spark.operators.maintenance import compact_partitioned_store
+
+    rows = [
+        (i, v)
+        for i, v in enumerate(
+            ["a:b", "a:b", "x y", "x y", "plain", "plain", None, None]
+        )
+    ]
+    df = spark.createDataFrame(rows, "id int, grp string")
+    store = str(tmp_path / "store")
+    for _ in range(2):  # two appends -> 2 files per partition
+        df.write.mode("append").partitionBy("grp").parquet(store)
+
+    read = lambda: spark.read.parquet(store)
+    before_rows = sorted((r.id, r.grp) for r in read().collect())
+    b, a = compact_partitioned_store(spark, store, "grp", target_bytes=1 << 30)
+    assert a < b
+    assert sorted((r.id, r.grp) for r in read().collect()) == before_rows
+
+
+def test_compact_partitioned_store_per_partition_compactness(spark, tmp_path):
+    """The already-compact early-return is per partition: a fragmented
+    cell must trigger a rewrite even when the GLOBAL file count nets
+    out against an over-provisioned sibling."""
+    from osarchiver_spark.operators.maintenance import compact_partitioned_store
+
+    df_a = spark.createDataFrame([(i, "a") for i in range(30)], "id int, grp string")
+    df_b = spark.createDataFrame([(i, "b") for i in range(30)], "id int, grp string")
+    store = str(tmp_path / "store")
+    # grp=a: 3 small files; grp=b: 1 file
+    for _ in range(3):
+        df_a.coalesce(1).write.mode("append").partitionBy("grp").parquet(store)
+    df_b.coalesce(1).write.mode("append").partitionBy("grp").parquet(store)
+
+    b, a = compact_partitioned_store(spark, store, "grp", target_bytes=1 << 30)
+    assert (b, a) == (4, 2), (b, a)  # grp=a collapsed to one file
+    # second call: everything compact, no rewrite
+    assert compact_partitioned_store(spark, store, "grp", target_bytes=1 << 30) == (2, 2)
