@@ -65,6 +65,7 @@ HEADLINE = [
     "knn_lsh",
     "knn_ivf",
     "knn_ivf_reindexed",
+    "knn_ivf_pq_reindexed",
     "corpus_pipeline",
     "training_mix_report",
     "tfidf_top_terms",
@@ -248,6 +249,19 @@ def _knn_ivf_indexed_production(spark, sf_dir):
     )
 
 
+def _knn_ivf_pq_reindexed_production(spark, sf_dir):
+    """The PQ retrain/migration chain at production depth: the SAME
+    build_and_migrate_ivf_pq chain as the registered query, probing
+    the migrated code store at nprobe=4/16 + shortlist=32."""
+    from osarchiver_spark.queries.similarity import build_and_migrate_ivf_pq
+
+    _, queries = _ann_queries(spark, sf_dir)
+    return build_and_migrate_ivf_pq(
+        spark, sf_dir, queries, nprobe=4, shortlist=32,
+        dir_prefix="ivfpq_reidx_bench_",
+    )
+
+
 def _knn_ivf_reindexed_production(spark, sf_dir):
     """The retrain/migration chain at production probe depth: the SAME
     build_and_migrate_ivf chain as the registered query (shared
@@ -301,6 +315,7 @@ BENCH_OVERRIDES = {
     "knn_ivf_pq": _knn_ivf_pq_production,
     "knn_ivf_indexed": _knn_ivf_indexed_production,
     "knn_ivf_reindexed": _knn_ivf_reindexed_production,
+    "knn_ivf_pq_reindexed": _knn_ivf_pq_reindexed_production,
     "knn_ivf_pq_indexed": _knn_ivf_pq_indexed_production,
     "dedup_simhash_multiprobe": _simhash_multiprobe_production,
     # registered embedding-LSH queries run the swept full-recall

@@ -353,6 +353,98 @@ def q_knn_ivf_reindexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def build_and_migrate_ivf_pq(
+    spark: SparkSession,
+    sf_dir: str,
+    queries: DataFrame,
+    nprobe: int,
+    shortlist: int,
+    dir_prefix: str,
+) -> DataFrame:
+    """Shared PQ retrain/migration chain (registered query + bench
+    override, no drift): build the COMPRESSED store under a
+    deliberately-different OLD model (coarse k=8 + codebooks fit on
+    half the corpus), append a drop under it, retrain on the full
+    corpus (k=16), ``ivf_pq_reindex`` the standing code store into a
+    NEW layout (id semi-join re-fetch + re-encode — the code index
+    holds no vectors), and probe the migrated store at ``nprobe`` /
+    ``shortlist``."""
+    import hashlib
+    import os
+    import tempfile
+
+    from osarchiver_spark.operators.pq import (
+        _unit_expr,
+        ivf_pq_index,
+        ivf_pq_reindex,
+        ivf_pq_topk_indexed,
+        pq_joint_fit,
+    )
+    from osarchiver_spark.queries.dedup import _reap_index_dir_at_exit
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    emb_n = emb.select(F.col("vec_id"), _unit_expr("embedding").alias("_uv"))
+    coarse_a, books_a = pq_joint_fit(
+        emb_n.filter(F.col("vec_id") % 2 == 0), "vec_id", "_uv",
+        n_clusters=8, m=16, codes=16,
+    )
+    coarse_b, books_b = pq_joint_fit(
+        emb_n, "vec_id", "_uv", n_clusters=16, m=16, codes=16
+    )
+
+    suffix = "{}{}_{}".format(
+        dir_prefix,
+        hashlib.md5(sf_dir.encode()).hexdigest()[:12],
+        spark.sparkContext.applicationId,
+    )
+    old_dir = os.path.join(tempfile.gettempdir(), f"{suffix}_old")
+    new_dir = os.path.join(tempfile.gettempdir(), f"{suffix}_new")
+    _reap_index_dir_at_exit(old_dir)
+    _reap_index_dir_at_exit(new_dir)
+
+    standing = emb.filter(F.col("vec_id") % 10 != 3)
+    drop = emb.filter(F.col("vec_id") % 10 == 3)
+    ivf_pq_index(standing, "vec_id", "embedding", coarse_a, books_a).write.mode(
+        "overwrite"
+    ).partitionBy("cid").parquet(old_dir)
+    ivf_pq_index(drop, "vec_id", "embedding", coarse_a, books_a).write.mode(
+        "append"
+    ).partitionBy("cid").parquet(old_dir)
+
+    old_store = spark.read.parquet(old_dir).withColumn(
+        "cid", F.col("cid").cast("int")
+    )
+    ivf_pq_reindex(
+        old_store, emb, "vec_id", "embedding", coarse_b, books_b
+    ).write.mode("overwrite").partitionBy("cid").parquet(new_dir)
+    migrated = spark.read.parquet(new_dir).withColumn(
+        "cid", F.col("cid").cast("int")
+    )
+    return ivf_pq_topk_indexed(
+        migrated, queries, emb, "vec_id", "embedding", coarse_b, books_b,
+        k=TOP_K, nprobe=nprobe, shortlist=shortlist,
+    )
+
+
+def q_knn_ivf_pq_reindexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPRESSED-store retrain/migration chain adjudicated
+    end-to-end — the PQ twin of knn_ivf_reindexed (see
+    :func:`build_and_migrate_ivf_pq`). Probed at the established
+    full-recall oracle split (every cell + shortlist everything), so
+    the exact brute-force ranking is the oracle: a hash match
+    certifies the id semi-join re-fetch preserved membership exactly
+    AND the re-encoded codes serve correctly. Fingerprint identity
+    with a fresh build is pinned in tests/test_pq.py; sf10 walls in
+    BENCH_SF10_PQ_REINDEX.json."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % QUERY_MOD == 0)
+    return build_and_migrate_ivf_pq(
+        spark, sf_dir, queries,
+        nprobe=IVF_ORACLE_NPROBE, shortlist=PQ_ORACLE_SHORTLIST,
+        dir_prefix="ivfpq_reidx_",
+    )
+
+
 def q_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     """kNN weak labeling: predict each query vector's label by
     majority vote over its TOP_K exact cosine neighbors (vote-count
@@ -510,6 +602,7 @@ QUERIES = {
     "knn_ivf": q_knn_ivf,
     "knn_ivf_indexed": q_knn_ivf_indexed,
     "knn_ivf_reindexed": q_knn_ivf_reindexed,
+    "knn_ivf_pq_reindexed": q_knn_ivf_pq_reindexed,
     "knn_ivf_pq": q_knn_ivf_pq,
     "knn_ivf_pq_indexed": q_knn_ivf_pq_indexed,
     "vector_norms": q_vector_norms,
@@ -572,9 +665,10 @@ ORACLES = {
     # identity plus exhaustive probing makes the exact ranking the oracle
     "knn_ivf_indexed": _TOPK_ORACLE,
     "knn_ivf_pq_indexed": _TOPK_ORACLE,
-    # the retrain/migration chain at full-recall depth: migration must
-    # preserve membership+vectors exactly for the hash to match
+    # the retrain/migration chains at full-recall depth: migration must
+    # preserve membership (and vectors/codes) exactly for the hash to match
     "knn_ivf_reindexed": _TOPK_ORACLE,
+    "knn_ivf_pq_reindexed": _TOPK_ORACLE,
     "knn_label_vote": f"""
         WITH topk AS (SELECT * FROM ({_TOPK_ORACLE})),
         votes AS (
