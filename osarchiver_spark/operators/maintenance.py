@@ -108,7 +108,17 @@ def compact_partitioned_store(
     while cells smaller than target land in ONE file each (the common
     case — a probe then opens exactly one file per pruned cell). The
     per-partition file-count map is model-sized (n_partitions rows,
-    broadcast). ``sort_within`` re-applies an intra-file ordering
+    broadcast). Each (partition, salt) group is pinned to its OWN
+    shuffle task: a plain ``repartition(cols)`` hash-distributes the
+    groups over the default shuffle partitions, so two salts of one
+    partition can collide into one task and merge into a ~2×-target
+    file the per-partition file-count early-exit would then never
+    split (r10 ADVICE item 2). The pinning precomputes, per global
+    group id gid ∈ [0, Σfiles), a small integer key whose
+    murmur3-hash lands in shuffle partition gid (repartition(N, col)
+    IS pmod(hash(col), N) — one ~64·N-row driver-side probe job), and
+    shuffles on that key with numPartitions=Σfiles.
+    ``sort_within`` re-applies an intra-file ordering
     after the shuffle (the band index's band_key sort, which its
     row-group min/max skipping relies on). Content is preserved
     exactly (pure physical re-layout — fingerprint identity pinned in
@@ -123,50 +133,101 @@ def compact_partitioned_store(
     # value (hive percent-escapes special chars in directory names,
     # e.g. 'a:b' -> 'a%3Ab') and None for __HIVE_DEFAULT_PARTITION__,
     # so the mapping join below matches cast(col as string) exactly
-    per_part: dict[str | None, tuple[int, int]] = {}
+    per_part: dict[str | None, tuple[int, int, int]] = {}
     for st in fs.listStatus(hpath):
         name = st.getPath().getName()
         if not st.isDirectory() or "=" not in name:
             continue
         raw = name.split("=", 1)[1]
         value = None if raw == "__HIVE_DEFAULT_PARTITION__" else unquote(raw)
-        n, b = data_file_stats(spark, str(st.getPath()))
-        per_part[value] = (n, b)
+        n = b = max_b = 0
+        it = fs.listFiles(st.getPath(), True)
+        while it.hasNext():
+            f = it.next()
+            if f.getPath().getName().startswith(("_", ".")):
+                continue
+            n += 1
+            b += f.getLen()
+            max_b = max(max_b, f.getLen())
+        per_part[value] = (n, b, max_b)
     if not per_part:
         raise ValueError(f"{path} has no {partition_col}=* partition dirs")
-    before = sum(n for n, _ in per_part.values())
-    n_files = {v: max(1, math.ceil(b / target_bytes)) for v, (_, b) in per_part.items()}
+    before = sum(n for n, _, _ in per_part.values())
+    n_files = {
+        v: max(1, math.ceil(b / target_bytes)) for v, (_, b, _) in per_part.items()
+    }
     # compactness is PER PARTITION: a global file-count comparison lets
     # one over-provisioned cell mask another's fragmentation forever
-    # (3-file cell with target 1 + 1-file cell with target 3 nets out)
-    if not any(n > n_files[v] for v, (n, _) in per_part.items()):
+    # (3-file cell with target 1 + 1-file cell with target 3 nets out).
+    # An OVERSIZED file also triggers (n == ceil(bytes/target) can hide
+    # one ~2×-target file next to a sliver — e.g. a pre-fix compaction's
+    # salt collision); 1.5× slack absorbs encoding variance so a store
+    # this function just wrote never re-triggers.
+    if not any(
+        n > n_files[v] or max_b > target_bytes * 1.5
+        for v, (n, _, max_b) in per_part.items()
+    ):
         return before, before  # every partition already compact
 
     df = spark.read.parquet(path)
     data_cols = [c for c in df.columns if c != partition_col]
+    ordered = sorted(n_files.items(), key=lambda kv: (kv[0] is None, kv[0] or ""))
+    offsets: dict[str | None, int] = {}
+    acc = 0
+    for v, nf in ordered:
+        offsets[v] = acc
+        acc += nf
+    n_total = acc
     mapping = spark.createDataFrame(
-        [
-            (v, n)
-            for v, n in sorted(
-                n_files.items(), key=lambda kv: (kv[0] is None, kv[0] or "")
-            )
-        ],
-        "_pv string, _nf int",
+        [(v, nf, offsets[v]) for v, nf in ordered],
+        "_pv string, _nf int, _off int",
     )
+    # pin each global group id gid = offset(partition) + salt to its
+    # own shuffle task: repartition(N, col) routes a row to partition
+    # pmod(murmur3(col), N), so probe small ints until every gid in
+    # [0, N) has a key that hashes onto it (coupon-collector: 64·N
+    # candidates miss a slot with probability ~N·e^-64)
+    keys: dict[int, int] = {}
+    span = 64
+    while span <= 4096:
+        cand = spark.range(n_total * span).select(
+            F.col("id").cast("int").alias("_skey")
+        )
+        hit = (
+            cand.withColumn("_gid", F.pmod(F.hash("_skey"), F.lit(n_total)))
+            .groupBy("_gid")
+            .agg(F.min("_skey").alias("_skey"))
+        )
+        keys = {r["_gid"]: r["_skey"] for r in hit.collect()}
+        if len(keys) == n_total:
+            break
+        span *= 4
     # null-safe equality so a __HIVE_DEFAULT_PARTITION__ (null) value
     # still matches its mapping row instead of being dropped
-    salted = (
-        df.join(
-            F.broadcast(mapping),
-            F.col(partition_col).cast("string").eqNullSafe(F.col("_pv")),
-        )
-        .withColumn(
-            "_salt",
-            F.pmod(F.xxhash64(F.to_json(F.struct(*data_cols))), F.col("_nf")),
-        )
-        .repartition(F.col(partition_col), F.col("_salt"))
-        .drop("_pv", "_nf", "_salt")
+    salted = df.join(
+        F.broadcast(mapping),
+        F.col(partition_col).cast("string").eqNullSafe(F.col("_pv")),
+    ).withColumn(
+        "_salt",
+        F.pmod(F.xxhash64(F.to_json(F.struct(*data_cols))), F.col("_nf")).cast(
+            "int"
+        ),
     )
+    if len(keys) == n_total:
+        gid_map = spark.createDataFrame(
+            sorted(keys.items()), "_gid int, _skey int"
+        )
+        salted = (
+            salted.withColumn("_gid", F.col("_off") + F.col("_salt"))
+            .join(F.broadcast(gid_map), "_gid")
+            .repartition(n_total, F.col("_skey"))
+            .drop("_pv", "_nf", "_off", "_salt", "_gid", "_skey")
+        )
+    else:  # probe failed (practically unreachable): fall back to the
+        # hash shuffle — files stay correct, merely less evenly sized
+        salted = salted.repartition(
+            n_total, F.col(partition_col), F.col("_salt")
+        ).drop("_pv", "_nf", "_off", "_salt")
     if sort_within:
         # lead with the partition column: the partitioned writer's
         # required ordering is then already satisfied, so it does not

@@ -331,19 +331,32 @@ def q_streaming_vector_maintenance(spark: SparkSession, sf_dir: str) -> DataFram
         emb, "vec_id", "embedding",
         k=SEMDEDUP_K, iters=SEMDEDUP_ITERS, quantize=SEMDEDUP_QUANT,
     )
-    suffix = "{}_{}".format(
+    # per-INVOCATION nonce, not just per-application: the stream's
+    # epoch markers + checkpoint make a dir set single-use, so a
+    # second call in the same app against applicationId-only dirs
+    # would find epoch 0 DONE, skip all processing, and a repeat
+    # bench run would time a parquet read instead of the maintenance
+    # loop (r10 ADVICE item 4)
+    global _SVM_INVOCATIONS
+    _SVM_INVOCATIONS += 1
+    suffix = "{}_{}_{}".format(
         hashlib.md5(sf_dir.encode()).hexdigest()[:12],
         spark.sparkContext.applicationId,
+        _SVM_INVOCATIONS,
     )
     index_dir = os.path.join(tempfile.gettempdir(), f"svm_idx_{suffix}")
     store_dir = os.path.join(tempfile.gettempdir(), f"svm_store_{suffix}")
     _reap_index_dir_at_exit(index_dir)
     _reap_index_dir_at_exit(store_dir)
     _reap_index_dir_at_exit(store_dir + "__epochs")
+    _reap_index_dir_at_exit(store_dir + "__checkpoint")
     return run_streaming_vector_maintenance(
         spark, sf_dir, index_dir, store_dir, cents,
         threshold=EMBED_THRESHOLD, nprobe=SEMDEDUP_K,
     )
+
+
+_SVM_INVOCATIONS = 0
 
 
 SEMDEDUP_K = 8  # fixture-scale k; production contract: k ~ n / target_cluster_size

@@ -25,7 +25,11 @@ exactly as the batch pipeline does.
 Restart safety mirrors the vector loop: BEGIN/DONE epoch markers —
 a replayed DONE epoch is a no-op, a BEGIN-without-DONE epoch (crash
 inside the multi-directory append window) raises instead of silently
-double-appending.
+double-appending; the BEGIN manifest + ``repair_torn_epochs`` rolls
+the partial appends back, and the durable checkpoint
+(``<pairs>__checkpoint``) replays the same epoch over the same input
+files, so repair-then-restart is fingerprint-identical to a
+never-crashed run (pinned in tests/test_streaming_text_store.py).
 """
 
 from __future__ import annotations
@@ -35,9 +39,11 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from osarchiver_spark.streaming.vector_store import (
+    _begin_epoch,
     _epoch_guard,
     _mark_epoch,
     _path_exists,
+    repair_torn_epochs,
 )
 
 DOCUMENTS_RAW_SCHEMA = T.StructType(
@@ -98,6 +104,11 @@ def make_text_maintenance_batch_fn(
         # (the lazily-planned probe must never observe files appended
         # after it — the capstone's checkpoint rule)
         edges = edges.localCheckpoint()
+        # BEGIN only now — everything above is read-only; the manifest
+        # snapshot bounds the torn window to the three appends below
+        _begin_epoch(
+            spark, marker_dir, epoch_id, [index_dir, corpus_dir, pairs_dir]
+        )
         first = not _path_exists(spark, index_dir)
         minhash_lsh_index(batch, "doc_id", "text", **lsh_kw).write.mode(
             "overwrite" if first else "append"
@@ -119,12 +130,16 @@ def run_streaming_text_maintenance(
     pairs_dir: str,
     threshold: float | None = None,
     max_files_per_trigger: int | None = None,
+    auto_repair: bool = False,
     **lsh_overrides,
 ) -> DataFrame:
     """Stream the documents fixture through the maintenance loop and
     return the accumulated near-dup pair graph (doc_a, doc_b). LSH
     parameters default to the registry's production set
-    (queries/dedup.py constants, xxhash64 sketches)."""
+    (queries/dedup.py constants, xxhash64 sketches). Checkpoints under
+    ``<pairs>__checkpoint`` so epoch ids are durable across restarts
+    (the index/corpus/pairs/marker/checkpoint dirs form one unit);
+    ``auto_repair`` rolls back a torn epoch before starting."""
     from osarchiver_spark.queries.dedup import (
         BANDS,
         MINHASH_THRESHOLD,
@@ -149,10 +164,21 @@ def run_streaming_text_maintenance(
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = reader.load(watch_dir)
 
+    if auto_repair:
+        repair_torn_epochs(
+            spark,
+            f"{pairs_dir.rstrip('/')}__epochs",
+            [index_dir, corpus_dir, pairs_dir],
+        )
     process_batch = make_text_maintenance_batch_fn(
         spark, index_dir, corpus_dir, pairs_dir, threshold, lsh_kw
     )
-    q = stream.writeStream.outputMode("append").foreachBatch(process_batch).start()
+    q = (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", f"{pairs_dir.rstrip('/')}__checkpoint")
+        .foreachBatch(process_batch)
+        .start()
+    )
     try:
         q.processAllAvailable()
     finally:

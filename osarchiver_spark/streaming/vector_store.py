@@ -37,9 +37,19 @@ several directories and are not atomic, so a crash inside that
 window leaves a partially-applied epoch that silent re-processing
 would double-append (duplicate index cells ⇒ duplicate loser pairs ⇒
 permanent divergence from the batch-build identity). Detected-and-
-refused beats silently-corrupted: the operator tells you exactly
-which epoch to repair (drop its partial appends or rebuild) instead
-of serving a wrong store.
+refused beats silently-corrupted — and the refusal is REPAIRABLE:
+the BEGIN marker carries a manifest of every data file that existed
+in the protected directories at epoch start, so
+``repair_torn_epochs`` can delete exactly the torn epoch's partial
+appends (files not in the snapshot) and clear the marker. The stream
+checkpoints its offsets (``<store>__checkpoint``), so a restarted
+query replays the SAME epoch id over the SAME input files — after
+repair the re-run lands the epoch once, and the recovered store is
+fingerprint-identical to the one-shot build (pinned in
+tests/test_streaming_vector_store.py). BEGIN is written immediately
+before the first real append (after the probe results are
+materialized), so a crash anywhere earlier in the batch leaves no
+marker and no repair debt.
 """
 
 from __future__ import annotations
@@ -75,11 +85,72 @@ def _mark_epoch(
     fs.mkdirs(jvm.org.apache.hadoop.fs.Path(f"{marker_dir}/{epoch_id}.{phase}"))
 
 
+def _list_data_files(spark: SparkSession, path: str) -> list[str]:
+    """Recursive listing of every file under ``path`` (full-path
+    strings); empty when the directory does not exist. One FS listing
+    per call — the snapshot cost per epoch is O(files in the store),
+    the same order as the write-side commit's own listing."""
+    fs, hpath, _ = _fs(spark, path)
+    if not fs.exists(hpath):
+        return []
+    out = []
+    it = fs.listFiles(hpath, True)
+    while it.hasNext():
+        out.append(it.next().getPath().toString())
+    return out
+
+
+def _write_text(spark: SparkSession, path: str, text: str) -> None:
+    fs, hpath, _ = _fs(spark, path)
+    stream = fs.create(hpath, True)
+    try:
+        stream.write(bytearray(text.encode("utf-8")))
+    finally:
+        stream.close()
+
+
+def _read_text(spark: SparkSession, path: str) -> str:
+    fs, hpath, jvm = _fs(spark, path)
+    stream = fs.open(hpath)
+    try:
+        return jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()
+
+
+def _begin_epoch(
+    spark: SparkSession,
+    marker_dir: str,
+    epoch_id: int,
+    protected_dirs: list[str],
+) -> None:
+    """Write the BEGIN marker with a manifest snapshot of every data
+    file currently in the protected directories. Called immediately
+    before the epoch's FIRST append — a crash before any write leaves
+    no marker at all (nothing to repair), a crash after leaves a
+    marker whose manifest diff identifies exactly the partial files."""
+    import json
+
+    snapshot = {
+        d: {
+            "exists": _path_exists(spark, d),
+            "files": _list_data_files(spark, d),
+        }
+        for d in protected_dirs
+    }
+    _mark_epoch(spark, marker_dir, epoch_id, "begin")
+    _write_text(
+        spark,
+        f"{marker_dir}/{epoch_id}.begin/manifest.json",
+        json.dumps(snapshot),
+    )
+
+
 def _epoch_guard(spark: SparkSession, marker_dir: str, epoch_id: int) -> bool:
     """Returns True if the epoch is already DONE (skip it); raises if
     it BEGAN but never finished (partially-applied multi-directory
-    appends — replaying would double-append); otherwise marks BEGIN
-    and returns False (proceed)."""
+    appends — replaying would double-append); otherwise returns False
+    (proceed — the caller marks BEGIN right before its first write)."""
     if _path_exists(spark, f"{marker_dir}/{epoch_id}.done"):
         return True
     if _path_exists(spark, f"{marker_dir}/{epoch_id}.begin"):
@@ -87,11 +158,51 @@ def _epoch_guard(spark: SparkSession, marker_dir: str, epoch_id: int) -> bool:
             f"epoch {epoch_id} began but never completed under "
             f"{marker_dir}: its appends are partially applied across "
             f"the index/store directories and re-running would "
-            f"double-append. Repair (drop the partial epoch's files or "
-            f"rebuild the store) before restarting."
+            f"double-append. Run repair_torn_epochs (or drop the "
+            f"partial epoch's files by hand) before restarting."
         )
-    _mark_epoch(spark, marker_dir, epoch_id, "begin")
     return False
+
+
+def repair_torn_epochs(
+    spark: SparkSession, marker_dir: str, protected_dirs: list[str]
+) -> list[int]:
+    """Roll back every BEGIN-without-DONE epoch under ``marker_dir``:
+    delete the files the torn epoch appended (anything in a protected
+    directory that is NOT in the BEGIN manifest's snapshot; a
+    directory the snapshot says did not exist is removed whole), then
+    clear the marker. With the stream's durable checkpoint, a restart
+    replays the same epoch id over the same input files, so the
+    repaired-and-rerun store is identical to a never-crashed run.
+    Returns the repaired epoch ids."""
+    import json
+
+    fs, hpath, jvm = _fs(spark, marker_dir)
+    if not fs.exists(hpath):
+        return []
+    torn = []
+    for st in fs.listStatus(hpath):
+        name = st.getPath().getName()
+        if not name.endswith(".begin"):
+            continue
+        epoch_id = int(name[: -len(".begin")])
+        if _path_exists(spark, f"{marker_dir}/{epoch_id}.done"):
+            continue
+        manifest = json.loads(
+            _read_text(spark, f"{marker_dir}/{epoch_id}.begin/manifest.json")
+        )
+        for d, snap in manifest.items():
+            dfs, dpath, _ = _fs(spark, d)
+            if not snap["exists"]:
+                dfs.delete(dpath, True)
+                continue
+            keep = set(snap["files"])
+            for f in _list_data_files(spark, d):
+                if f not in keep:
+                    dfs.delete(jvm.org.apache.hadoop.fs.Path(f), False)
+        fs.delete(jvm.org.apache.hadoop.fs.Path(f"{marker_dir}/{epoch_id}.begin"), True)
+        torn.append(epoch_id)
+    return sorted(torn)
 
 
 def make_maintenance_batch_fn(
@@ -142,6 +253,10 @@ def make_maintenance_batch_fn(
         # lazily-planned probe must never observe files appended after
         # it — the capstone's checkpoint rule)
         losers = losers.distinct().localCheckpoint()
+        # BEGIN only now: everything above is read-only, so a crash
+        # before this point leaves no marker and no repair debt; the
+        # manifest snapshot bounds the torn window to the two appends
+        _begin_epoch(spark, marker_dir, epoch_id, [index_dir, store_dir])
         first = not _path_exists(spark, index_dir)
         batch_index.write.mode("overwrite" if first else "append").partitionBy(
             "cid"
@@ -166,6 +281,7 @@ def run_streaming_vector_maintenance(
     nprobe: int = 4,
     max_files_per_trigger: int | None = None,
     pq_models: tuple[list[list[float]], list[list[list[float]]]] | None = None,
+    auto_repair: bool = False,
 ) -> DataFrame:
     """Stream the embeddings fixture through the maintenance loop and
     return the resulting store's manifest (cid, n_vectors).
@@ -173,11 +289,23 @@ def run_streaming_vector_maintenance(
     micro-batches (the live-arrival shape); ``None`` processes all
     available input in one trigger — over a single-file fixture that
     is ONE batch, whose output is row-identical to the batch one-shot
-    build by the capstone identity."""
+    build by the capstone identity.
+
+    The query checkpoints under ``<store>__checkpoint`` so epoch ids
+    are DURABLE: a restarted run resumes from the committed offsets
+    and a replayed epoch maps to the same input files — the property
+    the BEGIN/DONE marker guard's replay semantics rely on. The
+    index/store/marker/checkpoint directories form one unit; never
+    reuse some of them without the others. ``auto_repair`` rolls back
+    any torn epoch (crash inside the append window) before starting,
+    via ``repair_torn_epochs``."""
     from osarchiver_spark.sources.parquet import ensure_session_defaults
     from osarchiver_spark.streaming.pipeline import fixture_table_watch
 
     ensure_session_defaults(spark)
+    marker_dir = f"{store_dir.rstrip('/')}__epochs"
+    if auto_repair:
+        repair_torn_epochs(spark, marker_dir, [index_dir, store_dir])
     watch_dir, glob = fixture_table_watch(sf_dir, "embeddings")
     reader = spark.readStream.format("parquet").schema(EMBEDDINGS_RAW_SCHEMA)
     if glob:
@@ -189,7 +317,12 @@ def run_streaming_vector_maintenance(
     process_batch = make_maintenance_batch_fn(
         spark, index_dir, store_dir, centroids, threshold, nprobe, pq_models
     )
-    q = stream.writeStream.outputMode("append").foreachBatch(process_batch).start()
+    q = (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", f"{store_dir.rstrip('/')}__checkpoint")
+        .foreachBatch(process_batch)
+        .start()
+    )
     try:
         q.processAllAvailable()
     finally:

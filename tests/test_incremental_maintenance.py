@@ -291,3 +291,101 @@ def test_compact_partitioned_store_per_partition_compactness(spark, tmp_path):
     assert (b, a) == (4, 2), (b, a)  # grp=a collapsed to one file
     # second call: everything compact, no rewrite
     assert compact_partitioned_store(spark, store, "grp", target_bytes=1 << 30) == (2, 2)
+
+
+def test_compact_partitioned_store_splits_to_exact_file_counts(spark, tmp_path):
+    """The exact-task-placement shuffle (r10 ADVICE item 2): when a
+    partition needs nf > 1 output files, each (partition, salt) group
+    must land in its OWN task — exactly nf files per partition, none
+    a salt-collision merge of ~2 groups. Pinned with a target that
+    forces 4 files for the big partition and 1 for the small one."""
+    import glob
+    import os
+
+    from osarchiver_spark.operators.maintenance import compact_partitioned_store
+
+    big = spark.createDataFrame(
+        [(i, "big", "x" * 64) for i in range(4000)], "id int, grp string, pad string"
+    )
+    small = spark.createDataFrame(
+        [(i, "small", "x" * 64) for i in range(100)], "id int, grp string, pad string"
+    )
+    store = str(tmp_path / "store")
+    for d in range(8):  # fragment: 8 appends -> 8 files per partition
+        big.filter(big.id % 8 == d).coalesce(1).write.mode("append").partitionBy(
+            "grp"
+        ).parquet(store)
+    small.coalesce(1).write.mode("append").partitionBy("grp").parquet(store)
+
+    # pick a target = 1/4 of grp=big's bytes -> plan: big=4 files, small=1
+    def part_stats(p):
+        files = [
+            f
+            for f in glob.glob(f"{store}/grp={p}/*")
+            if not os.path.basename(f).startswith(("_", "."))
+        ]
+        return len(files), sum(os.path.getsize(f) for f in files)
+
+    _, big_bytes = part_stats("big")
+    target = -(-big_bytes // 4)
+
+    before_rows = sorted(
+        (r.id, r.grp) for r in spark.read.parquet(store).collect()
+    )
+    b, a = compact_partitioned_store(spark, store, "grp", target_bytes=target)
+    n_big, bytes_big = part_stats("big")
+    n_small, _ = part_stats("small")
+    assert (n_big, n_small) == (4, 1), (b, a, n_big, n_small)
+    # no salt-collision merge: every file stays near target (<=1.5x
+    # covers encoding variance; a merged 2-group file would be ~2x)
+    for f in glob.glob(f"{store}/grp=big/*"):
+        if os.path.basename(f).startswith(("_", ".")):
+            continue
+        assert os.path.getsize(f) <= target * 1.5, (os.path.getsize(f), target)
+    assert (
+        sorted((r.id, r.grp) for r in spark.read.parquet(store).collect())
+        == before_rows
+    )
+    # idempotent at the same target: per-partition counts AND max file
+    # size both pass -> no rewrite
+    assert compact_partitioned_store(spark, store, "grp", target_bytes=target) == (5, 5)
+
+
+def test_compact_partitioned_store_retriggers_on_oversized_file(spark, tmp_path):
+    """A partition whose file COUNT meets the plan but holds one
+    oversized file (the exact wound a pre-fix salt collision left)
+    must still re-trigger: the early-exit checks max file size, not
+    just counts."""
+    import glob
+    import os
+
+    from osarchiver_spark.operators.maintenance import compact_partitioned_store
+
+    df = spark.createDataFrame(
+        [(i, "g", "x" * 64) for i in range(4000)], "id int, grp string, pad string"
+    )
+    store = str(tmp_path / "store")
+    # one big file + one sliver: 2 files
+    df.filter(df.id < 3900).coalesce(1).write.mode("append").partitionBy(
+        "grp"
+    ).parquet(store)
+    df.filter(df.id >= 3900).coalesce(1).write.mode("append").partitionBy(
+        "grp"
+    ).parquet(store)
+    files = [
+        f
+        for f in glob.glob(f"{store}/grp=g/*")
+        if not os.path.basename(f).startswith(("_", "."))
+    ]
+    total = sum(os.path.getsize(f) for f in files)
+    big = max(os.path.getsize(f) for f in files)
+    # target such that plan = 2 files but the big file alone is >1.5x
+    target = -(-total // 2)
+    assert big > target * 1.5, "fixture must present an oversized file"
+
+    b, a = compact_partitioned_store(spark, store, "grp", target_bytes=target)
+    assert b == 2, b
+    for f in glob.glob(f"{store}/grp=g/*"):
+        if os.path.basename(f).startswith(("_", ".")):
+            continue
+        assert os.path.getsize(f) <= target * 1.5
