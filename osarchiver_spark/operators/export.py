@@ -423,7 +423,18 @@ def export_vector_store_indexed(
 
     ``on_stage(label, seconds)``, when given, receives per-drop
     probe/append wall timings (rehearsal instrumentation; no effect
-    on the artifacts)."""
+    on the artifacts).
+
+    Crash safety: each drop brackets its two appends with the
+    streaming loop's BEGIN/DONE markers (``<store>__epochs/``, BEGIN
+    carrying a manifest snapshot of both directories). A re-run after
+    a mid-build crash skips DONE drops whole and REFUSES on a torn
+    drop (BEGIN without DONE) until ``repair_torn_epochs`` rolls its
+    partial appends back — then the re-run completes the build
+    identically to a never-crashed one (pinned in
+    tests/test_crash_recovery.py). Consequence: out/index dirs are
+    single-use — a deliberate rebuild needs fresh (or cleared)
+    directories, matching the streaming maintainers' contract."""
     import time as _time
 
     from osarchiver_spark.operators.ivf import (
@@ -432,6 +443,11 @@ def export_vector_store_indexed(
         ivf_neardup_probe,
     )
     from osarchiver_spark.sources.parquet import load_table
+    from osarchiver_spark.streaming.vector_store import (
+        _begin_epoch,
+        _epoch_guard,
+        _mark_epoch,
+    )
 
     def _stage(label, t0):
         if on_stage is not None:
@@ -470,7 +486,10 @@ def export_vector_store_indexed(
             f"up front so no partial store is written."
         )
 
+    marker_dir = f"{store_dir.rstrip('/')}__epochs"
     for i in range(n_batches):
+        if _epoch_guard(spark, marker_dir, i):
+            continue  # resumed run: this drop's appends already landed
         batch = emb.filter(
             (F.col("vec_id") >= bounds[i]) & (F.col("vec_id") < bounds[i + 1])
         )
@@ -505,6 +524,10 @@ def export_vector_store_indexed(
         )
         _stage(f"batch{i}_probe", t0)
         t0 = _time.perf_counter()
+        # BEGIN only now: everything above is read-only, so a crash in
+        # the probe leaves no marker; the manifest snapshot bounds the
+        # torn window to the two appends below
+        _begin_epoch(spark, marker_dir, i, [index_dir, store_dir])
         batch_index.write.mode("overwrite" if i == 0 else "append").partitionBy(
             "cid"
         ).parquet(index_dir)
@@ -515,6 +538,7 @@ def export_vector_store_indexed(
             survivors, centroids, pq_models, store_dir,
             "overwrite" if i == 0 else "append",
         )
+        _mark_epoch(spark, marker_dir, i)
         _stage(f"batch{i}_append", t0)
     return _vector_manifest(spark, out_dir)
 
