@@ -363,6 +363,95 @@ SEMDEDUP_K = 8  # fixture-scale k; production contract: k ~ n / target_cluster_s
 SEMDEDUP_ITERS = 2
 SEMDEDUP_QUANT = 6  # centroid quantization — what makes the oracle replay exact
 
+IH_NPROBE = 2  # index_health probe depth (< k so read fractions are informative)
+IH_QUERY_MOD = 7  # deterministic query sample: vec_id % 7 == 0
+
+
+def q_streaming_text_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LIVE text-corpus dedup loop adjudicated end-to-end
+    (streaming/text_store.py, r10 verdict item 3 — the one r10
+    component whose semantics were only proxy-stamped): a Structured
+    Streaming job consumes the documents fixture; every micro-batch
+    computes its intra-batch MinHash-LSH pairs, probes the STANDING
+    band index via the pushed band_key IN predicate, and appends its
+    bands/rows/edges. Registered at the md5 hash family (the exact
+    oracle's sketches) with the production banding constants; the
+    accumulated pair graph equals the one-shot minhash_lsh_pairs
+    graph by the band-bucket symmetry identity — multi-batch arrival,
+    epoch replay, and crash repair are pinned in
+    tests/test_streaming_text_store.py + tests/test_crash_recovery.py."""
+    import hashlib
+    import os
+    import tempfile
+
+    from osarchiver_spark.streaming.text_store import (
+        run_streaming_text_maintenance,
+    )
+
+    global _STM_INVOCATIONS
+    _STM_INVOCATIONS += 1
+    suffix = "{}_{}_{}".format(
+        hashlib.md5(sf_dir.encode()).hexdigest()[:12],
+        spark.sparkContext.applicationId,
+        _STM_INVOCATIONS,
+    )
+    dirs = {
+        kind: os.path.join(tempfile.gettempdir(), f"stm_{kind}_{suffix}")
+        for kind in ("idx", "corpus", "pairs")
+    }
+    for d in dirs.values():
+        _reap_index_dir_at_exit(d)
+    _reap_index_dir_at_exit(dirs["pairs"] + "__epochs")
+    _reap_index_dir_at_exit(dirs["pairs"] + "__checkpoint")
+    return run_streaming_text_maintenance(
+        spark, sf_dir, dirs["idx"], dirs["corpus"], dirs["pairs"],
+        threshold=MINHASH_THRESHOLD, hash_fn="md5",
+    ).select("doc_a", "doc_b")
+
+
+_STM_INVOCATIONS = 0
+
+
+def q_index_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The retrain-trigger signals as a first-class operator
+    (operators/health.py::index_health, r10 verdict item 4): build
+    the persisted cid-partitioned store under the quantized k-means
+    model (the semdedup discipline that lets DuckDB replay the REAL
+    clustering as CTEs), then measure cell-occupancy skew and probe
+    read amplification for a deterministic query sample at
+    nprobe=2 < k=8. Every metric is an exact integer aggregate with
+    one final rounded float division, so the oracle certifies the
+    numbers a production maintenance_decision() would act on —
+    thresholds documented in operators/health.py, wired into the
+    streaming maintenance loop via maintenance_policy."""
+    import hashlib
+    import os
+    import tempfile
+
+    from osarchiver_spark.operators.health import index_health
+    from osarchiver_spark.operators.ivf import ivf_index, kmeans_fit
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = kmeans_fit(
+        emb, "vec_id", "embedding",
+        k=SEMDEDUP_K, iters=SEMDEDUP_ITERS, quantize=SEMDEDUP_QUANT,
+    )
+    idx_dir = os.path.join(
+        tempfile.gettempdir(),
+        "ih_store_{}_{}".format(
+            hashlib.md5(sf_dir.encode()).hexdigest()[:12],
+            spark.sparkContext.applicationId,
+        ),
+    )
+    _reap_index_dir_at_exit(idx_dir)
+    ivf_index(emb, "vec_id", "embedding", cents).write.mode(
+        "overwrite"
+    ).partitionBy("cid").parquet(idx_dir)
+    queries = emb.filter(F.col("vec_id") % IH_QUERY_MOD == 0)
+    return index_health(
+        spark, idx_dir, cents, queries, "vec_id", "embedding", IH_NPROBE
+    )
+
 
 def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (k-means-partitioned embedding dedup): prune every
@@ -564,6 +653,8 @@ QUERIES = {
     "dedup_embedding": q_dedup_embedding,
     "dedup_ivf_neardup_bounded": q_dedup_ivf_neardup_bounded,
     "streaming_vector_maintenance": q_streaming_vector_maintenance,
+    "index_health": q_index_health,
+    "streaming_text_maintenance": q_streaming_text_maintenance,
     "dedup_streaming": q_dedup_streaming,
     "semdedup": q_semdedup,
     "dedup_embedding_incremental": q_dedup_embedding_incremental,
@@ -978,6 +1069,52 @@ ORACLES["streaming_vector_maintenance"] = f"""
     FROM assigned a LEFT JOIN losers l ON a.vid = l.vid
     WHERE l.vid IS NULL
     GROUP BY a.cid
+"""
+
+# The live text loop's accumulated {intra} ∪ {cross} edge set equals
+# the one-shot banded pair graph (band-bucket sharing is symmetric
+# and batching-independent; the exact-Jaccard verify is the same
+# rounded expression) — so the oracle is dedup_minhash_lsh's md5
+# replay, edges only.
+ORACLES["streaming_text_maintenance"] = f"""
+    SELECT doc_a, doc_b FROM ({ORACLES["dedup_minhash_lsh"]})
+"""
+
+# index_health oracle: the quantized Lloyd's replay gives the exact
+# store (assigned = the persisted cid per vector); the probe's cell
+# ranking is the same squared-euclidean argsort (-2 q·c + |c|², ties
+# to the lowest cid) as _probe_pandas, taken to nprobe via
+# row_number. Sums CAST to BIGINT (the HUGEINT carrier lesson);
+# every output metric is exact-int arithmetic with one final float
+# division, rounded 6 on both sides.
+ORACLES["index_health"] = f"""
+    WITH {_kmeans_cte(SEMDEDUP_K, SEMDEDUP_ITERS, SEMDEDUP_QUANT)},
+    occ AS (SELECT cid, CAST(count(*) AS BIGINT) AS n
+            FROM assigned GROUP BY cid),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_cells,
+                   CAST(sum(n) AS BIGINT) AS n_vectors,
+                   CAST(max(n) AS BIGINT) AS max_cell
+            FROM occ),
+    q AS (SELECT vid, v FROM base WHERE vid % {IH_QUERY_MOD} = 0),
+    pr AS (SELECT vid, cid FROM (
+        SELECT q.vid, c.cid,
+               row_number() OVER (PARTITION BY q.vid ORDER BY
+                   -2 * list_dot_product(q.v, c.c)
+                       + list_dot_product(c.c, c.c),
+                   c.cid) AS rn
+        FROM q CROSS JOIN c{SEMDEDUP_ITERS} c) t
+        WHERE rn <= {IH_NPROBE}),
+    uni AS (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS union_rows
+            FROM occ WHERE cid IN (SELECT DISTINCT cid FROM pr)),
+    perq AS (SELECT avg(q_rows) AS mean_q_rows FROM (
+        SELECT pr.vid, CAST(sum(coalesce(occ.n, 0)) AS BIGINT) AS q_rows
+        FROM pr LEFT JOIN occ USING (cid) GROUP BY pr.vid) s)
+    SELECT tot.n_cells, tot.n_vectors,
+           round(max_cell * n_cells / n_vectors, 6) AS cell_skew,
+           round(union_rows / n_vectors, 6) AS union_read_frac,
+           round(mean_q_rows / n_vectors, 6) AS mean_query_read_frac,
+           round({IH_NPROBE} / n_cells, 6) AS balanced_read_frac
+    FROM tot, uni, perq
 """
 
 ORACLES["dedup_ivf_neardup_bounded"] = f"""

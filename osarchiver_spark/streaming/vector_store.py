@@ -282,6 +282,7 @@ def run_streaming_vector_maintenance(
     max_files_per_trigger: int | None = None,
     pq_models: tuple[list[list[float]], list[list[list[float]]]] | None = None,
     auto_repair: bool = False,
+    maintenance_policy: dict | None = None,
 ) -> DataFrame:
     """Stream the embeddings fixture through the maintenance loop and
     return the resulting store's manifest (cid, n_vectors).
@@ -298,7 +299,16 @@ def run_streaming_vector_maintenance(
     index/store/marker/checkpoint directories form one unit; never
     reuse some of them without the others. ``auto_repair`` rolls back
     any torn epoch (crash inside the append window) before starting,
-    via ``repair_torn_epochs``."""
+    via ``repair_torn_epochs``.
+
+    ``maintenance_policy`` (kwargs for
+    :func:`osarchiver_spark.operators.health.maintain_store`, e.g.
+    ``{"nprobe": 4, "target_bytes": ...}``) runs the health check
+    after the stream drains: per-drop appends fragment the store one
+    file per touched cell per epoch, and the policy's ``compact``
+    branch rewrites it layout-preserving once a cell's file count
+    crosses the threshold; drift signals come back as a ``retrain``
+    decision in the report (never auto-executed)."""
     from osarchiver_spark.sources.parquet import ensure_session_defaults
     from osarchiver_spark.streaming.pipeline import fixture_table_watch
 
@@ -327,6 +337,14 @@ def run_streaming_vector_maintenance(
         q.processAllAvailable()
     finally:
         q.stop()
+
+    if maintenance_policy is not None:
+        from osarchiver_spark.operators.health import maintain_store
+
+        maintain_store(
+            spark, store_dir, centroids,
+            index_dir=index_dir, **maintenance_policy,
+        )
 
     store = spark.read.parquet(store_dir).withColumn(
         "cid", F.col("cid").cast("int")
