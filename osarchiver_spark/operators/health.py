@@ -227,14 +227,30 @@ def maintain_store(
         .asDict()
     )
     layout = store_layout_stats(spark, store_dir)
+    # the dedup INDEX fragments faster than the store (every epoch
+    # appends ALL its cells there, survivors or not) and it is probed
+    # partition-pruned too — its worst cell counts toward the trigger
+    idx_layout = (
+        store_layout_stats(spark, index_dir) if index_dir is not None else None
+    )
+    trigger_layout = dict(layout)
+    if idx_layout is not None:
+        trigger_layout["max_files_per_partition"] = max(
+            layout["max_files_per_partition"],
+            idx_layout["max_files_per_partition"],
+        )
     decision = maintenance_decision(
         health,
-        layout,
+        trigger_layout,
         skew_retrain=skew_retrain,
         read_amp_retrain=read_amp_retrain,
         files_per_partition_compact=files_per_partition_compact,
     )
     report = {"decision": decision, "compacted": False, **health, **layout}
+    if idx_layout is not None:
+        report["index_max_files_per_partition"] = idx_layout[
+            "max_files_per_partition"
+        ]
     if decision == "compact":
         compact_partitioned_store(spark, store_dir, "cid", target_bytes)
         if index_dir is not None:

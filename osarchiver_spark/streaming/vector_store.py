@@ -283,6 +283,7 @@ def run_streaming_vector_maintenance(
     pq_models: tuple[list[list[float]], list[list[list[float]]]] | None = None,
     auto_repair: bool = False,
     maintenance_policy: dict | None = None,
+    on_epoch=None,
 ) -> DataFrame:
     """Stream the embeddings fixture through the maintenance loop and
     return the resulting store's manifest (cid, n_vectors).
@@ -327,6 +328,16 @@ def run_streaming_vector_maintenance(
     process_batch = make_maintenance_batch_fn(
         spark, index_dir, store_dir, centroids, threshold, nprobe, pq_models
     )
+    if on_epoch is not None:  # rehearsal instrumentation: per-epoch wall
+        import time as _time
+
+        inner = process_batch
+
+        def process_batch(batch_df, epoch_id):  # noqa: F811
+            t0 = _time.perf_counter()
+            inner(batch_df, epoch_id)
+            on_epoch(epoch_id, round(_time.perf_counter() - t0, 3))
+
     q = (
         stream.writeStream.outputMode("append")
         .option("checkpointLocation", f"{store_dir.rstrip('/')}__checkpoint")
