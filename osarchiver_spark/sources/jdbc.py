@@ -7,9 +7,11 @@ partitionColumn/lowerBound/upperBound/numPartitions — each executor
 gets a `pk BETWEEN lo AND hi` slice, the retention predicate pushes
 down into each slice's WHERE clause.
 
-No database exists in this container, so `read_table` only *builds*
-the reader (options are unit-tested); executing it requires a real
-JDBC URL + driver jar.
+Executed for real in tests/test_jdbc_integration.py against a
+file-backed DuckDB through its JDBC driver (keyset-parallel
+partitions, retention pushdown subquery, row parity with the
+fixture); no NETWORK database (MySQL et al.) exists in this
+container — swapping the URL/driver is the only difference.
 """
 
 from __future__ import annotations

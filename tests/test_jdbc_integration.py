@@ -1,0 +1,151 @@
+"""JDBC end-to-end against a REAL database (r10 verdict item 6):
+every prior round recorded "no DB server in the container"; this
+round a DuckDB JDBC driver jar IS present, so the whole reference
+loop — keyset-parallel retention read, idempotent archive upsert,
+chunked source delete — executes for real against a file-backed
+DuckDB through java.sql.DriverManager + Spark's JDBC source/writer.
+
+Runs in a SUBPROCESS because the JDBC jar must be on the driver
+JVM's classpath at session construction (the shared test session has
+no reason to carry it)."""
+
+from __future__ import annotations
+
+import glob
+import os
+import subprocess
+import sys
+import textwrap
+
+import pytest
+
+
+def _find_jdbc_jar() -> str | None:
+    pats = [
+        "/root/.cache/coursier/**/duckdb_jdbc*.jar",
+        os.path.expanduser("~/.m2/**/duckdb_jdbc*.jar"),
+    ]
+    for p in pats:
+        hits = glob.glob(p, recursive=True)
+        if hits:
+            return hits[0]
+    return None
+
+
+JAR = _find_jdbc_jar()
+
+SCRIPT = r"""
+import os, sys
+sys.path.insert(0, os.getcwd())
+JAR, TMP, SF = sys.argv[1], sys.argv[2], sys.argv[3]
+
+import duckdb
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+spark = (
+    SparkSession.builder.master("local[4]")
+    .config("spark.jars", JAR)
+    .config("spark.driver.extraClassPath", JAR)
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    .appName("jdbc_integration")
+    .getOrCreate()
+)
+
+from osarchiver_spark.sinks.jdbc import JdbcArchiveSink, delete_rows_chunked
+from osarchiver_spark.sources.jdbc import JdbcTable, read_table
+from osarchiver_spark.sources.parquet import load_table
+
+src_db = f"{TMP}/source.duckdb"
+dst_db = f"{TMP}/dest.duckdb"
+DRIVER = "org.duckdb.DuckDBDriver"
+
+# ---- stage the SOURCE database from the fixture (python duckdb and
+# the JDBC jar are the same storage version here: 1.0.0) ----
+orders = load_table(spark, SF, "orders").select(
+    "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+)
+pdf = orders.toPandas()
+con = duckdb.connect(src_db)
+con.execute(
+    "CREATE TABLE orders (o_orderkey BIGINT, o_custkey BIGINT, "
+    "o_orderstatus VARCHAR, o_totalprice DOUBLE, o_orderdate TIMESTAMP)"
+)
+con.execute("INSERT INTO orders SELECT * FROM pdf")
+n_all = con.execute("SELECT count(*) FROM orders").fetchone()[0]
+cutoff = "1996-06-30 00:00:00"
+n_old = con.execute(
+    f"SELECT count(*) FROM orders WHERE o_orderdate <= TIMESTAMP '{cutoff}'"
+).fetchone()[0]
+lo, hi = con.execute("SELECT min(o_orderkey), max(o_orderkey) FROM orders").fetchone()
+con.close()
+assert 0 < n_old < n_all
+
+# ---- 1. keyset-parallel retention read (sources/jdbc.py) ----
+src = JdbcTable(url=f"jdbc:duckdb:{src_db}", table="orders", primary_key="o_orderkey")
+archived = read_table(
+    spark, src, int(lo), int(hi) + 1, num_partitions=4,
+    where=f"o_orderdate <= TIMESTAMP '{cutoff}'",
+)
+# Spark strips the driver option from JdbcTable? read_table builds
+# options without 'driver'; DriverManager resolves the duckdb URL
+# because the jar is on the driver classpath.
+assert archived.rdd.getNumPartitions() == 4, archived.rdd.getNumPartitions()
+got = archived.count()
+assert got == n_old, (got, n_old)
+# parity with the parquet fixture under the same predicate
+expect = orders.filter(F.col("o_orderdate") <= F.lit(cutoff).cast("timestamp"))
+sym = archived.select("o_orderkey").exceptAll(expect.select("o_orderkey")).count() \
+    + expect.select("o_orderkey").exceptAll(archived.select("o_orderkey")).count()
+assert sym == 0, sym
+print("KEYSET_READ_OK", got)
+
+# ---- 2. idempotent archive upsert (sinks/jdbc.py) ----
+sink = JdbcArchiveSink(
+    url=f"jdbc:duckdb:{dst_db}", primary_keys={"orders": "o_orderkey"}, driver=DRIVER
+)
+sink.write("orders", archived)          # first write: creates + inserts
+n1 = sink.read(spark, "orders").count()
+sink.write("orders", archived)          # re-run: anti-join drops everything
+n2 = sink.read(spark, "orders").count()
+assert n1 == n2 == n_old, (n1, n2, n_old)
+# a later batch adds ONLY its new rows (overlap deduped by pk)
+later = read_table(spark, src, int(lo), int(hi) + 1, num_partitions=4,
+                   where="o_orderdate <= TIMESTAMP '1997-06-30 00:00:00'")
+sink.write("orders", later)
+n3 = sink.read(spark, "orders").count()
+assert n3 == later.count() > n1, (n3, later.count(), n1)
+# value round-trip: the archived rows equal the source rows
+rt = sink.read(spark, "orders")
+sym2 = rt.exceptAll(later).count() + later.exceptAll(rt).count()
+assert sym2 == 0, sym2
+print("UPSERT_OK", n1, n3)
+
+# ---- 3. chunked source delete (S19 via JDBC) ----
+keys = rt.select("o_orderkey")
+n_del = delete_rows_chunked(
+    spark, f"jdbc:duckdb:{src_db}", "orders", "o_orderkey", keys, chunk_size=97
+)
+assert n_del == n3
+remaining = read_table(spark, src, int(lo), int(hi) + 1, num_partitions=4)
+assert remaining.count() == n_all - n3, (remaining.count(), n_all, n3)
+# archived ∪ remaining == original, disjoint — the no-data-loss invariant
+assert remaining.join(rt, "o_orderkey", "inner").count() == 0
+print("DELETE_OK", n_del, remaining.count())
+print("JDBC_INTEGRATION_OK")
+"""
+
+
+@pytest.mark.skipif(JAR is None, reason="no DuckDB JDBC driver jar on this host")
+def test_jdbc_full_loop_against_real_database(tmp_path):
+    proc = subprocess.run(
+        [sys.executable, "-c", textwrap.dedent(SCRIPT), JAR, str(tmp_path),
+         "/root/testdata/sf0.01"],
+        capture_output=True, text=True, timeout=420,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert "JDBC_INTEGRATION_OK" in proc.stdout, (
+        proc.stdout[-2000:], proc.stderr[-4000:]
+    )
