@@ -144,6 +144,8 @@ HEADLINE = [
     "knn_ivf_indexed",
     # round-9 additions
     "knn_ivf_pq_indexed",
+    # round-11 additions
+    "index_health",
 ]
 
 

@@ -125,6 +125,15 @@ def export_training_set_indexed(
     text except the candidate rows the verify actually needs. Each
     drop's edges are localCheckpointed before the index append so the
     lazily-planned probe can never observe files appended after it.
+
+    Crash safety: each drop persists its edge set to a sibling pairs
+    store (``<index>__pairs``) and brackets its two appends with the
+    streaming loop's BEGIN/DONE manifest markers
+    (``<index>__epochs``) — a re-run after a mid-build crash skips
+    DONE drops (their bands AND edges are on disk), refuses on a torn
+    drop until ``repair_torn_epochs`` rolls it back, then completes
+    identically (tests/test_crash_recovery.py). Index/pairs/marker
+    dirs are single-use; rebuilds need fresh directories.
     """
     from osarchiver_spark.operators.dedup import (
         minhash_lsh_incremental_indexed,
@@ -137,6 +146,12 @@ def export_training_set_indexed(
         NUM_HASHES,
     )
     from osarchiver_spark.sources.parquet import load_table
+    from osarchiver_spark.streaming.vector_store import (
+        _begin_epoch,
+        _epoch_guard,
+        _mark_epoch,
+        _path_exists,
+    )
 
     if n_batches < 1:
         raise ValueError(f"n_batches must be >= 1: {n_batches}")
@@ -152,44 +167,49 @@ def export_training_set_indexed(
     lsh_kw = dict(
         shingle_n=3, num_hashes=NUM_HASHES, bands=BANDS, hash_fn="xxhash64"
     )
-
-    batch0 = docs.filter(
-        (F.col("doc_id") >= bounds[0]) & (F.col("doc_id") < bounds[1])
-    )
-    minhash_lsh_index(batch0, "doc_id", "text", **lsh_kw).write.mode(
-        "overwrite"
-    ).parquet(index_dir)
+    pairs_dir = f"{index_dir.rstrip('/')}__pairs"
+    marker_dir = f"{index_dir.rstrip('/')}__epochs"
     edge_cols = ["doc_a", "doc_b"]
-    edges = [
-        minhash_lsh_pairs(
-            batch0, "doc_id", "text", threshold=MINHASH_THRESHOLD, **lsh_kw
-        )
-        .select(*edge_cols)
-        .localCheckpoint()
-    ]
-    corpus = batch0
-    for i in range(1, n_batches):
+
+    for i in range(n_batches):
+        if _epoch_guard(spark, marker_dir, i):
+            continue  # resumed run: this drop's bands + edges landed
         batch = docs.filter(
             (F.col("doc_id") >= bounds[i]) & (F.col("doc_id") < bounds[i + 1])
-        )
-        cross = minhash_lsh_incremental_indexed(
-            spark.read.parquet(index_dir), corpus, batch, "doc_id", "text",
-            threshold=MINHASH_THRESHOLD, **lsh_kw,
-        ).select(
-            F.col("corpus_id").alias("doc_a"), F.col("new_id").alias("doc_b")
         )
         intra = minhash_lsh_pairs(
             batch, "doc_id", "text", threshold=MINHASH_THRESHOLD, **lsh_kw
         ).select(*edge_cols)
-        edges.append(cross.unionByName(intra).localCheckpoint())
+        if i == 0:
+            batch_edges = intra
+        else:
+            corpus = docs.filter(F.col("doc_id") < bounds[i])
+            cross = minhash_lsh_incremental_indexed(
+                spark.read.parquet(index_dir), corpus, batch, "doc_id", "text",
+                threshold=MINHASH_THRESHOLD, **lsh_kw,
+            ).select(
+                F.col("corpus_id").alias("doc_a"),
+                F.col("new_id").alias("doc_b"),
+            )
+            batch_edges = cross.unionByName(intra)
+        batch_edges = batch_edges.localCheckpoint()
+        _begin_epoch(spark, marker_dir, i, [index_dir, pairs_dir])
         minhash_lsh_index(batch, "doc_id", "text", **lsh_kw).write.mode(
-            "append"
+            "overwrite" if i == 0 else "append"
         ).parquet(index_dir)
-        corpus = corpus.unionByName(batch)
+        batch_edges.write.mode(
+            "overwrite" if not _path_exists(spark, pairs_dir) else "append"
+        ).parquet(pairs_dir)
+        _mark_epoch(spark, marker_dir, i)
 
-    pairs = edges[0]
-    for e in edges[1:]:
-        pairs = pairs.unionByName(e)
+    # an edge-free corpus writes only _SUCCESS markers; hand back a
+    # typed empty graph for that case only (streaming/text_store.py)
+    from pyspark.errors import AnalysisException
+
+    try:
+        pairs = spark.read.parquet(pairs_dir)
+    except AnalysisException:
+        pairs = spark.createDataFrame([], "doc_a long, doc_b long")
     return _finalize_export(spark, docs, pairs, out_dir, compression, pack_train)
 
 

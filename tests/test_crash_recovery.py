@@ -278,3 +278,45 @@ def test_incremental_export_mid_build_crash_is_repairable(
         n_batches=3, threshold=THRESHOLD, nprobe=3,
     )
     assert _store_rows(spark, f"{one}/store") == _store_rows(spark, store)
+
+
+def test_text_export_mid_build_crash_is_repairable(
+    spark, sf_small, tmp_path, monkeypatch
+):
+    """export_training_set_indexed now persists per-drop edges next to
+    the band index under the same BEGIN/DONE markers: crash after drop
+    1's appends (DONE lost) -> re-run refuses, repair rolls the torn
+    drop back, and the resumed build equals the one-shot export."""
+    from osarchiver_spark.operators.export import (
+        export_training_set,
+        export_training_set_indexed,
+    )
+
+    out_one = str(tmp_path / "one")
+    export_training_set(spark, sf_small, out_one)
+    one_manifest = sorted(
+        map(tuple, spark.read.parquet(f"{out_one}/manifest").collect())
+    )
+
+    out, idx = str(tmp_path / "out"), str(tmp_path / "idx")
+    state = _crash_done_marker_once(monkeypatch, vs, epoch_id=1)
+    with pytest.raises(Exception, match="injected crash"):
+        export_training_set_indexed(spark, sf_small, out, idx, n_batches=3)
+    assert state["crashed"]
+    assert os.path.isdir(f"{idx}__epochs/0.done")
+    assert os.path.isdir(f"{idx}__epochs/1.begin")
+
+    with pytest.raises(RuntimeError, match="began but never completed"):
+        export_training_set_indexed(spark, sf_small, out, idx, n_batches=3)
+
+    assert repair_torn_epochs(
+        spark, f"{idx}__epochs", [idx, f"{idx}__pairs"]
+    ) == [1]
+    m = export_training_set_indexed(spark, sf_small, out, idx, n_batches=3)
+    assert sorted(map(tuple, m.collect())) == one_manifest
+    # the resumed pair graph fed the shared tail: per-split doc sets
+    # must match the one-shot export exactly
+    for s in ("train", "val", "test"):
+        a = {r.doc_id for r in spark.read.json(f"{out_one}/{s}").collect()}
+        b = {r.doc_id for r in spark.read.json(f"{out}/{s}").collect()}
+        assert a == b, s
