@@ -373,6 +373,25 @@ def _load_sink_plugin(path: str, dst_name: str) -> type:
 
 def _build_sinks(dst: dict[str, str], dst_name: str, pks: dict[str, str]) -> list[Sink]:
     backend = dst.get("backend", "file")
+    if backend == "jdbc":
+        # the reference's real destination/db backend (db/db.py): an
+        # INSERT-if-absent archive into a live database. url= is the
+        # JDBC URL (credentials ride in it or in driver properties);
+        # executing requires the driver jar on the Spark driver
+        # classpath (sinks/jdbc.py docstring).
+        from osarchiver_spark.sinks.jdbc import JdbcArchiveSink
+
+        url = dst.get("url")
+        if not url:
+            raise ConfigError(f"[dst:{dst_name}] backend=jdbc needs url=")
+        return [
+            JdbcArchiveSink(
+                url,
+                primary_keys=dict(pks),
+                driver=dst.get("driver"),
+                batch_size=int(dst.get("batch_size", "10000")),
+            )
+        ]
     directory = dst.get("directory")
     if not directory:
         raise ConfigError(f"[dst:{dst_name}] needs directory=")

@@ -339,3 +339,41 @@ def test_cli_run_query_writes_parquet(spark, sf_small, tmp_path):
     assert back.count() > 0
     assert set(back.columns) == {"doc_id", "source", "bucket", "split"}
     assert run(["--run", "no_such_query", "--sf-dir", sf_small]) == 1
+
+
+def test_backend_jdbc_destination_builds_archive_sink():
+    """[dst:*] backend=jdbc -> JdbcArchiveSink (the reference's real
+    destination/db backend); url= is required, driver/batch_size pass
+    through. Executed for real in tests/test_jdbc_integration.py."""
+    from osarchiver_spark.sinks.jdbc import JdbcArchiveSink
+
+    ini = """
+[archiver:orders]
+src=orders
+dst=db_archive
+
+[src:orders]
+backend=parquet
+directory=/tmp/nowhere
+now=2001-12-01T00:00:00
+retention=12 MONTH
+deleted_column=o_orderdate
+primary_keys=orders:o_orderkey
+tables=orders
+
+[dst:db_archive]
+backend=jdbc
+url=jdbc:duckdb:/tmp/archive.duckdb
+driver=org.duckdb.DuckDBDriver
+batch_size=5000
+"""
+    (a,) = load_config(text=ini)
+    (sink,) = a.sinks
+    assert isinstance(sink, JdbcArchiveSink)
+    assert sink.url == "jdbc:duckdb:/tmp/archive.duckdb"
+    assert sink.driver == "org.duckdb.DuckDBDriver"
+    assert sink.batch_size == 5000
+    assert sink.primary_keys == {"orders": ["o_orderkey"]}
+
+    with pytest.raises(ConfigError, match="backend=jdbc needs url="):
+        load_config(text=ini.replace("url=jdbc:duckdb:/tmp/archive.duckdb\n", ""))

@@ -89,9 +89,9 @@ archived = read_table(
     spark, src, int(lo), int(hi) + 1, num_partitions=4,
     where=f"o_orderdate <= TIMESTAMP '{cutoff}'",
 )
-# Spark strips the driver option from JdbcTable? read_table builds
-# options without 'driver'; DriverManager resolves the duckdb URL
-# because the jar is on the driver classpath.
+# read_table builds options without an explicit 'driver';
+# DriverManager resolves the duckdb URL because the jar is on the
+# driver classpath (the documented execution requirement).
 assert archived.rdd.getNumPartitions() == 4, archived.rdd.getNumPartitions()
 got = archived.count()
 assert got == n_old, (got, n_old)
@@ -134,6 +134,57 @@ assert remaining.count() == n_all - n3, (remaining.count(), n_all, n3)
 # archived ∪ remaining == original, disjoint — the no-data-loss invariant
 assert remaining.join(rt, "o_orderkey", "inner").count() == 0
 print("DELETE_OK", n_del, remaining.count())
+
+# ---- 4. the WHOLE reference shape, INI-driven: backend=db source ->
+# backend=jdbc destination through the Archiver ----
+from osarchiver_spark.operators.archive import Archiver
+from osarchiver_spark.plans.config import load_config
+
+src2_db = f"{TMP}/source2.duckdb"
+dst2_db = f"{TMP}/dest2.duckdb"
+con = duckdb.connect(src2_db)
+con.execute(
+    "CREATE TABLE orders (o_orderkey BIGINT, o_custkey BIGINT, "
+    "o_orderstatus VARCHAR, o_totalprice DOUBLE, o_orderdate TIMESTAMP)"
+)
+con.execute("INSERT INTO orders SELECT * FROM pdf")
+con.close()
+
+ini = f'''
+[archiver:orders]
+src=orders_db
+dst=archive_db
+
+[src:orders_db]
+backend=db
+jdbc_url=jdbc:duckdb:{src2_db}
+now=1996-06-30T00:00:00
+retention=0 MONTH
+deleted_column=o_orderdate
+primary_keys=orders:o_orderkey
+tables=orders
+keyset_upper={int(hi) + 1}
+
+[dst:archive_db]
+backend=jdbc
+url=jdbc:duckdb:{dst2_db}
+driver=org.duckdb.DuckDBDriver
+'''
+(a,) = load_config(text=ini)
+dfs = a.dataframes(spark)
+assert dfs["orders"].rdd.getNumPartitions() > 1  # keyset-parallel scan
+results = Archiver(a.spec, a.sinks).run(dfs)
+assert results[0].error is None, results[0].error
+n_cfg = a.sinks[0].read(spark, "orders").count()
+n_expect = orders.filter(
+    F.col("o_orderdate") <= F.lit("1996-06-30 00:00:00").cast("timestamp")
+).count()
+assert n_cfg == results[0].archived_rows == n_expect > 0, (n_cfg, n_expect)
+# the whole pipeline is idempotent: re-run archives 0 new rows
+results2 = Archiver(a.spec, a.sinks).run(a.dataframes(spark))
+assert results2[0].error is None
+assert a.sinks[0].read(spark, "orders").count() == n_cfg
+print("CONFIG_PIPELINE_OK", n_cfg)
 print("JDBC_INTEGRATION_OK")
 """
 
