@@ -188,6 +188,19 @@ def repair_torn_epochs(
         epoch_id = int(name[: -len(".begin")])
         if _path_exists(spark, f"{marker_dir}/{epoch_id}.done"):
             continue
+        if not _path_exists(
+            spark, f"{marker_dir}/{epoch_id}.begin/manifest.json"
+        ):
+            # crash INSIDE _begin_epoch, between the marker mkdir and
+            # the manifest write: the first append comes only after
+            # _begin_epoch returns, so nothing landed — clearing the
+            # bare marker IS the complete repair
+            fs.delete(
+                jvm.org.apache.hadoop.fs.Path(f"{marker_dir}/{epoch_id}.begin"),
+                True,
+            )
+            torn.append(epoch_id)
+            continue
         manifest = json.loads(
             _read_text(spark, f"{marker_dir}/{epoch_id}.begin/manifest.json")
         )

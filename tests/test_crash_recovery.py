@@ -320,3 +320,15 @@ def test_text_export_mid_build_crash_is_repairable(
         a = {r.doc_id for r in spark.read.json(f"{out_one}/{s}").collect()}
         b = {r.doc_id for r in spark.read.json(f"{out}/{s}").collect()}
         assert a == b, s
+
+
+def test_repair_handles_manifestless_begin_marker(spark, tmp_path):
+    """Crash INSIDE _begin_epoch (marker mkdir landed, manifest write
+    did not): no append ever ran, so repair must clear the bare
+    marker and report the epoch repaired."""
+    from osarchiver_spark.streaming.vector_store import _mark_epoch
+
+    marker_dir = str(tmp_path / "markers")
+    _mark_epoch(spark, marker_dir, 3, "begin")  # bare: no manifest.json
+    assert repair_torn_epochs(spark, marker_dir, [str(tmp_path / "idx")]) == [3]
+    assert not os.path.isdir(f"{marker_dir}/3.begin")
