@@ -414,6 +414,9 @@ def test_registry_wide_plan_audit(spark):
         "bm25_retrieval": "one-row corpus (N, avgdl) stats aggregate",
         "rejection_resample_hour": "one-row min-hour-count aggregate",
         "ab_test_report": "two one-row arm aggregates",
+        "index_health": "three one-row health aggregates crossJoined "
+        "into the single report row (occupancy stats × union read × "
+        "mean per-query read; every side is one row by construction)",
     }
     offenders = {}
     for name, fn in sorted(all_queries().items()):
