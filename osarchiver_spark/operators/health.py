@@ -98,7 +98,9 @@ def index_health(
         probed.join(occ, "cid", "left")
         .groupBy("query_id")
         .agg(F.sum(F.coalesce(F.col("n"), F.lit(0))).alias("q_rows"))
-        .agg(F.avg("q_rows").alias("mean_q_rows"))
+        # empty query sample -> avg over zero rows is NULL; report 0.0
+        # so the policy reads "no probe traffic", never a None crash
+        .agg(F.coalesce(F.avg("q_rows"), F.lit(0.0)).alias("mean_q_rows"))
     )
     return (
         stats.crossJoin(union_rows)
@@ -172,10 +174,9 @@ def maintenance_decision(
     fire (reindexing rewrites the layout anyway)."""
     if health["cell_skew"] >= skew_retrain:
         return "retrain"
-    if (
-        health["mean_query_read_frac"]
-        >= read_amp_retrain * health["balanced_read_frac"]
-    ):
+    mean_read = health["mean_query_read_frac"] or 0.0  # None-safe: an
+    # empty query sample means "no probe-traffic signal", not a crash
+    if mean_read >= read_amp_retrain * health["balanced_read_frac"]:
         return "retrain"
     if (
         layout is not None

@@ -204,14 +204,25 @@ def compact_partitioned_store(
         span *= 4
     # null-safe equality so a __HIVE_DEFAULT_PARTITION__ (null) value
     # still matches its mapping row instead of being dropped
+    # the salt mixes the row's content hash with a per-row ordinal:
+    # content alone would send ALL copies of a duplicated row to one
+    # salt (a partition of near-identical rows then lands in a single
+    # >target file that NO rewrite can split — the oversized-file
+    # early-exit would re-trigger a futile full rewrite forever).
+    # monotonically_increasing_id is stable for a deterministic scan
+    # within this one job, which is all the salt needs — it routes
+    # rows, it is not persisted.
     salted = df.join(
         F.broadcast(mapping),
         F.col(partition_col).cast("string").eqNullSafe(F.col("_pv")),
     ).withColumn(
         "_salt",
-        F.pmod(F.xxhash64(F.to_json(F.struct(*data_cols))), F.col("_nf")).cast(
-            "int"
-        ),
+        F.pmod(
+            F.xxhash64(
+                F.to_json(F.struct(*data_cols)), F.monotonically_increasing_id()
+            ),
+            F.col("_nf"),
+        ).cast("int"),
     )
     if len(keys) == n_total:
         gid_map = spark.createDataFrame(

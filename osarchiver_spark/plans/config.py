@@ -390,6 +390,8 @@ def _build_sinks(dst: dict[str, str], dst_name: str, pks: dict[str, str]) -> lis
                 primary_keys=dict(pks),
                 driver=dst.get("driver"),
                 batch_size=int(dst.get("batch_size", "10000")),
+                user=dst.get("user", ""),
+                password=dst.get("password", ""),
             )
         ]
     directory = dst.get("directory")

@@ -1106,7 +1106,7 @@ ORACLES["index_health"] = f"""
         WHERE rn <= {IH_NPROBE}),
     uni AS (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS union_rows
             FROM occ WHERE cid IN (SELECT DISTINCT cid FROM pr)),
-    perq AS (SELECT avg(q_rows) AS mean_q_rows FROM (
+    perq AS (SELECT coalesce(avg(q_rows), 0.0) AS mean_q_rows FROM (
         SELECT pr.vid, CAST(sum(coalesce(occ.n, 0)) AS BIGINT) AS q_rows
         FROM pr LEFT JOIN occ USING (cid) GROUP BY pr.vid) s)
     SELECT tot.n_cells, tot.n_vectors,

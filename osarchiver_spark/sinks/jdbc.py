@@ -16,10 +16,16 @@ retention scan; this module adds the write half:
 - :func:`delete_rows_chunked` — chunked source delete driven by a
   keys DataFrame (``toLocalIterator`` pages the keys through the
   driver one chunk at a time — the reference's own pagination
-  discipline; memory is chunk-bounded, never a full collect);
+  discipline; memory is chunk-bounded, never a full collect; the
+  DELETEs are PREPARED statements, so key values never interpolate
+  into SQL text);
 - :func:`jdbc_execute` / :func:`ddl_for_schema` — direct-statement
   plumbing (DDL, DELETE) through java.sql.DriverManager, since the
   Spark JDBC writer only speaks INSERT/CREATE.
+
+Identifier quoting is dialect-aware: backticks for
+``jdbc:mysql``/``jdbc:mariadb`` URLs (the reference's engine rejects
+double quotes without ANSI_QUOTES), ANSI double quotes elsewhere.
 
 Environment note: executing any of this needs a JDBC driver jar on
 the DRIVER classpath (``spark.driver.extraClassPath`` — ``spark.jars``
@@ -27,7 +33,9 @@ alone reaches executors but not java.sql.DriverManager in the
 driver). The integration test (tests/test_jdbc_integration.py) runs
 the full loop — keyset read + retention pushdown + idempotent upsert
 + chunked delete — against a file-backed DuckDB via its JDBC driver;
-no network database exists in this container (rechecked r11).
+no network database exists in this container (rechecked r11), so
+MySQL-dialect statements are exercised only as rendered text
+(unit-tested), not against a live server.
 """
 
 from __future__ import annotations
@@ -52,11 +60,35 @@ _DDL_TYPES: dict[type, str] = {
     T.TimestampNTZType: "TIMESTAMP",
 }
 
+#: key types the prepared-statement delete can bind via setObject
+#: (py4j auto-converts these Python scalars to JVM types)
+_BINDABLE_KEY_TYPES = (
+    T.LongType, T.IntegerType, T.ShortType, T.ByteType,
+    T.StringType, T.BooleanType, T.DoubleType, T.FloatType,
+)
 
-def ddl_for_schema(table: str, schema: T.StructType, primary_key: list[str]) -> str:
+
+def quote_char(url: str) -> str:
+    """Identifier quote for the engine behind ``url``: MySQL/MariaDB
+    reject ANSI double quotes unless ANSI_QUOTES is set, so they get
+    backticks; everything else gets the standard double quote."""
+    u = url.lower()
+    if u.startswith(("jdbc:mysql:", "jdbc:mariadb:")):
+        return "`"
+    return '"'
+
+
+def _q(name: str, q: str) -> str:
+    return f"{q}{name.replace(q, q + q)}{q}"
+
+
+def ddl_for_schema(
+    table: str, schema: T.StructType, primary_key: list[str], q: str = '"'
+) -> str:
     """CREATE TABLE IF NOT EXISTS from a Spark schema (ANSI types; the
     reference reads the source's SHOW CREATE TABLE instead — Spark's
-    schema IS the contract here). Decimal keeps precision/scale."""
+    schema IS the contract here). Decimal keeps precision/scale;
+    ``q`` is the engine's identifier quote (see :func:`quote_char`)."""
     cols = []
     for f in schema.fields:
         if isinstance(f.dataType, T.DecimalType):
@@ -69,20 +101,47 @@ def ddl_for_schema(table: str, schema: T.StructType, primary_key: list[str]) -> 
                     f"{f.name!r} of type {f.dataType.simpleString()}"
                 )
         nn = "" if f.nullable else " NOT NULL"
-        cols.append(f'"{f.name}" {sql_t}{nn}')
-    pk = ", ".join(f'"{k}"' for k in primary_key)
+        cols.append(f"{_q(f.name, q)} {sql_t}{nn}")
+    pk = ", ".join(_q(k, q) for k in primary_key)
     return (
-        f'CREATE TABLE IF NOT EXISTS "{table}" ('
+        f"CREATE TABLE IF NOT EXISTS {_q(table, q)} ("
         + ", ".join(cols)
         + (f", PRIMARY KEY ({pk})" if primary_key else "")
         + ")"
     )
 
 
-def jdbc_execute(spark: SparkSession, url: str, sql: str) -> None:
-    """Execute one non-query statement (DDL/DELETE) through
+def _connect(
+    spark: SparkSession,
+    url: str,
+    driver: str | None = None,
+    user: str = "",
+    password: str = "",
+):
+    """DriverManager connection on the driver JVM. ``driver`` forces
+    Class.forName registration (jars loaded via spark.jars are not
+    SPI-visible to DriverManager); credentials use the two-arg
+    overload so they never ride inside SQL text."""
+    jvm = spark.sparkContext._jvm
+    if driver:
+        jvm.java.lang.Class.forName(driver)
+    dm = jvm.java.sql.DriverManager
+    if user or password:
+        return dm.getConnection(url, user, password)
+    return dm.getConnection(url)
+
+
+def jdbc_execute(
+    spark: SparkSession,
+    url: str,
+    sql: str,
+    driver: str | None = None,
+    user: str = "",
+    password: str = "",
+) -> None:
+    """Execute one non-query statement (DDL) through
     java.sql.DriverManager on the driver JVM."""
-    conn = spark.sparkContext._jvm.java.sql.DriverManager.getConnection(url)
+    conn = _connect(spark, url, driver, user, password)
     try:
         stmt = conn.createStatement()
         try:
@@ -100,12 +159,43 @@ def _read_jdbc(spark: SparkSession, url: str, dbtable: str, driver: str | None):
     return reader
 
 
-def _table_exists(spark: SparkSession, url: str, table: str, driver: str | None) -> bool:
+def _table_exists(
+    spark: SparkSession, url: str, table: str, driver: str | None, q: str
+) -> bool:
+    """Existence probe that does NOT swallow real faults: a failed
+    table SELECT only means "missing" if a trivial no-table SELECT
+    against the same database still succeeds — a connection/auth
+    error must propagate, or a transient fault would silently skip
+    the insert-if-absent anti-join and blind-append duplicates."""
     try:
-        _read_jdbc(spark, url, f'(SELECT 1 AS one FROM "{table}" LIMIT 1) t', driver).load().collect()
+        _read_jdbc(
+            spark, url, f"(SELECT 1 AS one FROM {_q(table, q)} WHERE 1=0) t", driver
+        ).load().collect()
         return True
-    except Exception:
+    except Exception as probe_err:
+        try:
+            _read_jdbc(spark, url, "(SELECT 1 AS one) t", driver).load().collect()
+        except Exception:
+            raise probe_err  # the DATABASE is unreachable, not the table
         return False
+
+
+def _widen_small_ints(schema: T.StructType) -> T.StructType:
+    """SMALLINT/TINYINT round-trip through Spark's JDBC reader as
+    IntegerType (generic + MySQL dialects widen), so drift-compare in
+    the widened domain or every re-archival of a Short/Byte column
+    would false-positive as drift."""
+    fields = [
+        T.StructField(
+            f.name,
+            T.IntegerType()
+            if isinstance(f.dataType, (T.ShortType, T.ByteType))
+            else f.dataType,
+            f.nullable,
+        )
+        for f in schema.fields
+    ]
+    return T.StructType(fields)
 
 
 class JdbcArchiveSink(Sink):
@@ -115,7 +205,13 @@ class JdbcArchiveSink(Sink):
     writes drift-check against the LIVE destination schema, anti-join
     away already-archived pks, and append the remainder through
     Spark's batched JDBC writer — re-running an archival is a no-op,
-    the same invariant ParquetArchiveSink pins for object storage."""
+    the same invariant ParquetArchiveSink pins for object storage.
+
+    The pk anti-join reads ONLY the key columns from the destination
+    (Spark pushes the projection into the SELECT) and, for a single
+    numeric pk, keyset-partitions that read across
+    ``read_partitions`` connections — the dest-side scan stays
+    bounded as the archive grows."""
 
     def __init__(
         self,
@@ -123,6 +219,9 @@ class JdbcArchiveSink(Sink):
         primary_keys: dict[str, str | list[str]],
         driver: str | None = None,
         batch_size: int = 10_000,
+        user: str = "",
+        password: str = "",
+        read_partitions: int = 8,
     ):
         self.url = url
         self.primary_keys = {
@@ -131,26 +230,72 @@ class JdbcArchiveSink(Sink):
         }
         self.driver = driver
         self.batch_size = batch_size
+        self.user = user
+        self.password = password
+        self.read_partitions = read_partitions
+        self.q = quote_char(url)
+
+    def _reader(self, dbtable: str):
+        return (
+            lambda spark: _read_jdbc(spark, self.url, dbtable, self.driver)
+            .option("user", self.user)
+            .option("password", self.password)
+        )
+
+    def _existing_keys(self, spark: SparkSession, table: str, pk: list[str], df):
+        """The destination's pk set, keyset-partitioned when the pk is
+        a single numeric column (bounds from a one-row aggregate)."""
+        qn = _q(table, self.q)
+        reader = self._reader(f"(SELECT {', '.join(_q(k, self.q) for k in pk)} FROM {qn}) t")(spark)
+        if len(pk) == 1 and isinstance(
+            df.schema[pk[0]].dataType,
+            (T.LongType, T.IntegerType, T.ShortType, T.ByteType),
+        ):
+            kq = _q(pk[0], self.q)
+            bounds = (
+                self._reader(
+                    f"(SELECT min({kq}) AS lo, max({kq}) AS hi FROM {qn}) b"
+                )(spark)
+                .load()
+                .first()
+            )
+            if bounds and bounds["lo"] is not None:
+                reader = (
+                    reader.option("partitionColumn", pk[0])
+                    .option("lowerBound", str(int(bounds["lo"])))
+                    .option("upperBound", str(int(bounds["hi"]) + 1))
+                    .option("numPartitions", str(self.read_partitions))
+                )
+        return reader.load()
 
     def write(self, table: str, df: DataFrame) -> None:
         spark = df.sparkSession
         pk = self.primary_keys[table]
-        if not _table_exists(spark, self.url, table, self.driver):
+        if not _table_exists(spark, self.url, table, self.driver, self.q):
             jdbc_execute(
-                spark, self.url, ddl_for_schema(table, df.schema, pk)
+                spark,
+                self.url,
+                ddl_for_schema(table, df.schema, pk, self.q),
+                self.driver,
+                self.user,
+                self.password,
             )
         else:
-            existing = _read_jdbc(
-                spark, self.url, f'"{table}"', self.driver
-            ).load()
-            check_schema_drift(df.schema, existing.schema)
+            existing = self._reader(_q(table, self.q))(spark).load()
+            check_schema_drift(
+                _widen_small_ints(df.schema), _widen_small_ints(existing.schema)
+            )
             # insert-if-absent: drop rows whose pk already landed (the
             # ON DUPLICATE KEY UPDATE pk=pk no-op upsert, restated)
-            df = df.join(existing.select(*pk), on=pk, how="left_anti")
+            df = df.join(
+                self._existing_keys(spark, table, pk, df), on=pk, how="left_anti"
+            )
         writer = (
             df.write.format("jdbc")
             .option("url", self.url)
-            .option("dbtable", f'"{table}"')
+            .option("dbtable", _q(table, self.q))
+            .option("user", self.user)
+            .option("password", self.password)
             .option("batchsize", str(self.batch_size))
             .mode("append")
         )
@@ -159,7 +304,7 @@ class JdbcArchiveSink(Sink):
         writer.save()
 
     def read(self, spark: SparkSession, table: str) -> DataFrame:
-        return _read_jdbc(spark, self.url, f'"{table}"', self.driver).load()
+        return self._reader(_q(table, self.q))(spark).load()
 
 
 def delete_rows_chunked(
@@ -169,6 +314,9 @@ def delete_rows_chunked(
     primary_key: str,
     keys: DataFrame,
     chunk_size: int = 10_000,
+    driver: str | None = None,
+    user: str = "",
+    password: str = "",
 ) -> int:
     """Delete the rows whose pk appears in ``keys`` from the SOURCE
     database, ``chunk_size`` keys per DELETE statement — the
@@ -178,36 +326,57 @@ def delete_rows_chunked(
     chunked statements bound both DB transaction size and driver
     memory). Returns the number of keys submitted.
 
-    Only the DELETE itself runs through the driver — producing
-    ``keys`` (retention scan, archive verification anti-join) stays
-    fully distributed. String keys are quoted/escaped; numeric keys
-    are rendered bare."""
-    is_string = isinstance(keys.schema[primary_key].dataType, T.StringType)
+    Each chunk executes as ONE prepared ``DELETE ... WHERE pk IN
+    (?, ..., ?)`` — values bind as parameters, never interpolate into
+    SQL text, so engine-specific string escaping (MySQL backslashes)
+    and date/number formatting cannot corrupt the statement. Key
+    types must be numeric/string/boolean (``setObject``-bindable);
+    others raise up front. Only the DELETE itself runs through the
+    driver — producing ``keys`` (retention scan, archive verification
+    anti-join) stays fully distributed."""
+    key_type = keys.schema[primary_key].dataType
+    if isinstance(key_type, T.DecimalType) and key_type.scale == 0:
+        # several JDBC dialects surface integer pks as DECIMAL(p,0)
+        # (DuckDB reports BIGINT as decimal(20,0)); normalize to long
+        # so the values bind as plain integers
+        from pyspark.sql import functions as F
 
-    def render(v) -> str:
-        if is_string:
-            return "'" + str(v).replace("'", "''") + "'"
-        return str(v)
-
+        keys = keys.withColumn(primary_key, F.col(primary_key).cast("long"))
+        key_type = keys.schema[primary_key].dataType
+    if not isinstance(key_type, _BINDABLE_KEY_TYPES):
+        raise ValueError(
+            f"delete_rows_chunked: pk type {key_type.simpleString()} is not "
+            f"prepared-statement bindable; cast the key column first"
+        )
+    q = quote_char(url)
+    conn = _connect(spark, url, driver, user, password)
     n = 0
-    chunk: list[str] = []
-
-    def flush():
-        nonlocal chunk
-        if chunk:
-            jdbc_execute(
-                spark,
-                url,
-                f'DELETE FROM "{table}" WHERE "{primary_key}" IN ('
-                + ", ".join(chunk)
-                + ")",
+    chunk: list = []
+    try:
+        def flush():
+            nonlocal chunk
+            if not chunk:
+                return
+            sql = (
+                f"DELETE FROM {_q(table, q)} WHERE {_q(primary_key, q)} IN ("
+                + ", ".join(["?"] * len(chunk))
+                + ")"
             )
+            stmt = conn.prepareStatement(sql)
+            try:
+                for i, v in enumerate(chunk, start=1):
+                    stmt.setObject(i, v)
+                stmt.executeUpdate()
+            finally:
+                stmt.close()
             chunk = []
 
-    for row in keys.select(primary_key).toLocalIterator():
-        chunk.append(render(row[0]))
-        n += 1
-        if len(chunk) >= chunk_size:
-            flush()
-    flush()
+        for row in keys.select(primary_key).toLocalIterator():
+            chunk.append(row[0])
+            n += 1
+            if len(chunk) >= chunk_size:
+                flush()
+        flush()
+    finally:
+        conn.close()
     return n

@@ -89,7 +89,12 @@ def _list_data_files(spark: SparkSession, path: str) -> list[str]:
     """Recursive listing of every file under ``path`` (full-path
     strings); empty when the directory does not exist. One FS listing
     per call — the snapshot cost per epoch is O(files in the store),
-    the same order as the write-side commit's own listing."""
+    the same order as the write-side commit's own listing.
+
+    Unlike operators/maintenance.py::data_file_stats this deliberately
+    INCLUDES hidden/underscore files (_SUCCESS et al.): the rollback
+    manifest must cover everything an append might create, or repair
+    would leave a torn epoch's commit markers behind."""
     fs, hpath, _ = _fs(spark, path)
     if not fs.exists(hpath):
         return []

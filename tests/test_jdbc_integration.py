@@ -200,3 +200,73 @@ def test_jdbc_full_loop_against_real_database(tmp_path):
     assert "JDBC_INTEGRATION_OK" in proc.stdout, (
         proc.stdout[-2000:], proc.stderr[-4000:]
     )
+
+
+def test_mysql_dialect_renders_backtick_identifiers():
+    """The reference's engine (MySQL) rejects ANSI double quotes
+    without ANSI_QUOTES; every statement this sink renders for a
+    mysql/mariadb URL must use backticks (r11 review finding). No
+    server in the container — rendered-text unit check."""
+    from pyspark.sql import types as T
+
+    from osarchiver_spark.sinks.jdbc import ddl_for_schema, quote_char
+
+    assert quote_char("jdbc:mysql://h:3306/db") == "`"
+    assert quote_char("jdbc:mariadb://h/db") == "`"
+    assert quote_char("jdbc:duckdb:/tmp/x.duckdb") == '"'
+    assert quote_char("jdbc:postgresql://h/db") == '"'
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("note", T.StringType(), True),
+        ]
+    )
+    ddl = ddl_for_schema("orders", schema, ["id"], quote_char("jdbc:mysql://h/db"))
+    assert ddl == (
+        "CREATE TABLE IF NOT EXISTS `orders` (`id` BIGINT NOT NULL, "
+        "`note` VARCHAR, PRIMARY KEY (`id`))"
+    )
+    # ANSI engines keep double quotes
+    assert ddl_for_schema("orders", schema, ["id"]).startswith(
+        'CREATE TABLE IF NOT EXISTS "orders"'
+    )
+
+
+def test_delete_rows_chunked_rejects_unbindable_key_types(spark):
+    """Date/timestamp pks can't bind through setObject from Python;
+    the delete must refuse up front instead of rendering bare (or
+    injectable) literals."""
+    from osarchiver_spark.sinks.jdbc import delete_rows_chunked
+
+    keys = spark.createDataFrame([("2024-01-01",)], "d string").selectExpr(
+        "cast(d as date) as d"
+    )
+    with pytest.raises(ValueError, match="not.*bindable"):
+        delete_rows_chunked(spark, "jdbc:duckdb:/tmp/x", "t", "d", keys)
+
+
+def test_small_int_columns_survive_drift_roundtrip():
+    """SMALLINT/TINYINT widen to IntegerType through Spark's JDBC
+    reader; the drift check must compare in the widened domain or
+    every re-archival of such a table false-positives."""
+    from pyspark.sql import types as T
+
+    from osarchiver_spark.plans.schema_drift import check_schema_drift
+    from osarchiver_spark.sinks.jdbc import _widen_small_ints
+
+    incoming = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("flag", T.ShortType(), True),
+            T.StructField("tiny", T.ByteType(), True),
+        ]
+    )
+    roundtripped = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("flag", T.IntegerType(), True),
+            T.StructField("tiny", T.IntegerType(), True),
+        ]
+    )
+    check_schema_drift(_widen_small_ints(incoming), _widen_small_ints(roundtripped))
