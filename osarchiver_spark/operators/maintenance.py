@@ -104,7 +104,7 @@ def compact_partitioned_store(
     This rewrite keeps the directory layout: per-partition byte
     counts (one fs listing) size each partition's output at
     ceil(bytes/target) files; rows re-shuffle on (partition,
-    deterministic row-hash salt) so no output file exceeds ~target
+    content-hash ⊕ row-ordinal salt) so no output file exceeds ~target
     while cells smaller than target land in ONE file each (the common
     case — a probe then opens exactly one file per pruned cell). The
     per-partition file-count map is model-sized (n_partitions rows,
@@ -162,7 +162,11 @@ def compact_partitioned_store(
     # An OVERSIZED file also triggers (n == ceil(bytes/target) can hide
     # one ~2×-target file next to a sliver — e.g. a pre-fix compaction's
     # salt collision); 1.5× slack absorbs encoding variance so a store
-    # this function just wrote never re-triggers.
+    # this function just wrote never re-triggers — at REAL targets:
+    # with target under ~2× parquet's per-file metadata floor (a few
+    # KiB) the overhead alone can exceed the slack and a rewrite
+    # cannot converge below it; production targets (128 MiB default)
+    # sit four orders of magnitude above that floor.
     if not any(
         n > n_files[v] or max_b > target_bytes * 1.5
         for v, (n, _, max_b) in per_part.items()
