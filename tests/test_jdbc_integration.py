@@ -185,6 +185,30 @@ results2 = Archiver(a.spec, a.sinks).run(a.dataframes(spark))
 assert results2[0].error is None
 assert a.sinks[0].read(spark, "orders").count() == n_cfg
 print("CONFIG_PIPELINE_OK", n_cfg)
+
+# ---- 5. restore: archived rows flow BACK into the source through
+# the same insert-if-absent sink pointed at the source DB (the
+# reference's recovery story: operators/restore.py picks candidates;
+# the upsert's anti-join makes re-insertion idempotent) ----
+restore = JdbcArchiveSink(
+    url=f"jdbc:duckdb:{src_db}", primary_keys={"orders": "o_orderkey"}, driver=DRIVER
+)
+restore.write("orders", rt)  # rt = the archived rows deleted in stage 3
+restored = read_table(spark, src, int(lo), int(hi) + 1, num_partitions=4)
+assert restored.count() == n_all, (restored.count(), n_all)
+# canonical projection (JDBC reads can widen types vs the parquet
+# fixture, e.g. BIGINT -> DECIMAL(20,0)); compare values as strings
+canon = lambda df: df.select(
+    F.col("o_orderkey").cast("long").alias("k"),
+    F.col("o_totalprice").cast("double").alias("p"),
+    F.col("o_orderdate").cast("timestamp").cast("string").alias("d"),
+)
+sym3 = canon(restored).exceptAll(canon(orders)).count() \
+    + canon(orders).exceptAll(canon(restored)).count()
+assert sym3 == 0, sym3
+restore.write("orders", rt)  # idempotent: nothing re-inserts
+assert read_table(spark, src, int(lo), int(hi) + 1, num_partitions=4).count() == n_all
+print("RESTORE_OK", n_all)
 print("JDBC_INTEGRATION_OK")
 """
 
