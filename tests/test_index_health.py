@@ -172,3 +172,31 @@ def test_streaming_loop_applies_maintenance_policy(spark, sf_small, tmp_path):
         store_layout_stats(spark, maint_store_dir)["max_files_per_partition"]
         == 1
     )
+
+
+def test_policy_classifies_the_sf10_drift_trajectory():
+    """The thresholds (SKEW_RETRAIN=3.0, READ_AMP_RETRAIN=1.5) must
+    classify the REAL sf10 measurements the rehearsal recorded
+    (BENCH_SF10_REINDEX.json): fresh build -> ok, 1-2 drifted drops ->
+    ok (amplification under 1.5x), 3 drifted drops -> retrain (skew
+    3.748, read 1.74x balanced), and the migrated store -> ok again.
+    Committed measurements, no Spark needed — this pins that the
+    defaults separate the healthy and drifted regimes an operator
+    actually observes at scale."""
+    import json
+    import pathlib
+
+    rec = json.loads(
+        (pathlib.Path(__file__).parents[1] / "BENCH_SF10_REINDEX.json").read_text()
+    )
+
+    def health_of(sig):
+        return {
+            "cell_skew": sig["cell_skew_max_over_mean"],
+            "mean_query_read_frac": sig["per_query_read_frac"],
+            "balanced_read_frac": sig["balanced_per_query_frac"],
+        }
+
+    decisions = [maintenance_decision(health_of(s)) for s in rec["drift"]]
+    assert decisions == ["ok", "ok", "ok", "retrain"], decisions
+    assert maintenance_decision(health_of(rec["after_migration"])) == "ok"
