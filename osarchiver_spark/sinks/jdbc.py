@@ -181,18 +181,22 @@ def _table_exists(
 
 
 def _widen_small_ints(schema: T.StructType) -> T.StructType:
-    """SMALLINT/TINYINT round-trip through Spark's JDBC reader as
-    IntegerType (generic + MySQL dialects widen), so drift-compare in
-    the widened domain or every re-archival of a Short/Byte column
-    would false-positive as drift."""
+    """Drift-compare in the domain JDBC reads round-trip into:
+    SMALLINT/TINYINT come back as IntegerType (generic + MySQL
+    dialects widen), and some engines surface BIGINT as
+    DECIMAL(20,0) (DuckDB). Without the widening, every re-archival
+    of such a column would false-positive as drift."""
+
+    def widen(dt: T.DataType) -> T.DataType:
+        if isinstance(dt, (T.ShortType, T.ByteType)):
+            return T.IntegerType()
+        if isinstance(dt, T.DecimalType) and (dt.precision, dt.scale) == (20, 0):
+            return T.LongType()  # the unsigned-BIGINT carrier, not a
+            # business DECIMAL (those keep their true precision/scale)
+        return dt
+
     fields = [
-        T.StructField(
-            f.name,
-            T.IntegerType()
-            if isinstance(f.dataType, (T.ShortType, T.ByteType))
-            else f.dataType,
-            f.nullable,
-        )
+        T.StructField(f.name, widen(f.dataType), f.nullable)
         for f in schema.fields
     ]
     return T.StructType(fields)

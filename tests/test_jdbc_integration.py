@@ -123,6 +123,20 @@ sym2 = rt.exceptAll(later).count() + later.exceptAll(rt).count()
 assert sym2 == 0, sym2
 print("UPSERT_OK", n1, n3)
 
+# ---- 2b. parquet-origin frames archive idempotently too: the dest
+# reads BIGINT back as decimal(20,0) here (DuckDB dialect), so this
+# pins the drift check's round-trip widening with a NON-JDBC incoming
+# schema (the common lakehouse-to-DB shape) ----
+sink_pq = JdbcArchiveSink(
+    url=f"jdbc:duckdb:{TMP}/dest_pq.duckdb",
+    primary_keys={"orders": "o_orderkey"}, driver=DRIVER,
+)
+pq_batch = orders.filter(F.col("o_orderdate") <= F.lit(cutoff).cast("timestamp"))
+sink_pq.write("orders", pq_batch)
+sink_pq.write("orders", pq_batch)  # would SchemaDriftError pre-widening
+assert sink_pq.read(spark, "orders").count() == n_old
+print("PARQUET_ORIGIN_UPSERT_OK")
+
 # ---- 3. chunked source delete (S19 via JDBC) ----
 keys = rt.select("o_orderkey")
 n_del = delete_rows_chunked(
