@@ -322,24 +322,40 @@ def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-specific estimator hash-adjudicable without faking its
     internals (pattern precedent: kmv_distinct).
 
-    Plan note: the distinct-style aggregates and the exact-percentile
-    aggregates run as SEPARATE group-bys joined on the 3-row key —
-    combining them puts the count_distinct Expand (which replicates
-    every row per aggregate family) upstream of the ObjectHashAggregate
-    percentile buffers, a 5× slowdown measured at sf0.1 (73 s → 14 s).
-    The exact side exists for adjudication; a production run wanting
-    only the sketches uses q_approx_sketches_raw (one cheap pass)."""
+    Plan note (r11 optimization round): the exact distinct count, the
+    HLL sketch and the percentile aggregates run as THREE independent
+    aggregations joined on the 3-row key. Two pathologies are avoided:
+    (a) fusing distinct + non-distinct families inserts an Expand
+    (row replication per family) upstream of the ObjectHashAggregate
+    percentile buffers — a 5× slowdown measured at sf0.1 in r4
+    (73 s → 14 s); (b) even with percentiles split out, keeping
+    approx_count_distinct in the SAME group-by as count_distinct makes
+    the Expand's first-stage aggregate key on (l_returnflag,
+    l_orderkey) — ~450k groups at sf0.1 — and every group allocates an
+    rsd=0.01 HLL++ register buffer: multi-GB allocation churn
+    (GCLocker retry warnings), measured 24-34 s at sf0.1 vs 2-5 s for
+    this shape. The exact distinct count itself uses the two-level
+    aggregation form (group by (flag, key), then by flag) instead of
+    count_distinct: no Expand anywhere, both levels map-combinable —
+    the §2.5 two-level-agg shape that also spreads the distinct-key
+    stage across the cluster at 100 TB. The exact side exists for
+    adjudication; a production run wanting only the sketches uses
+    q_approx_sketches_raw (one cheap pass)."""
     li = load_table(spark, sf_dir, "lineitem")
-    dist = li.groupBy("l_returnflag").agg(
-        F.count("*").alias("n_rows"),
-        F.count_distinct("l_orderkey").alias("exact_orders"),
+    dist = (
+        li.groupBy("l_returnflag", "l_orderkey")
+        .agg(F.count("*").alias("c"))
+        .groupBy("l_returnflag")
+        .agg(F.sum("c").alias("n_rows"), F.count("*").alias("exact_orders"))
+    )
+    hll = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_orderkey", rsd=0.01).alias("a_orders"),
     )
     pcts = li.groupBy("l_returnflag").agg(
         F.expr("percentile(l_extendedprice, array(0.49, 0.5, 0.51))").alias("ps"),
         F.percentile_approx("l_extendedprice", 0.5).alias("a_p50"),
     )
-    agg = dist.join(pcts, "l_returnflag").select(
+    agg = dist.join(hll, "l_returnflag").join(pcts, "l_returnflag").select(
         "l_returnflag",
         "n_rows",
         "exact_orders",
