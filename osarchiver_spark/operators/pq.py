@@ -71,18 +71,22 @@ def pq_joint_fit(
 
     Pass ``n_clusters=0`` to skip the coarse model (returns ``None``
     for it) — that is ``pq_train``'s path."""
-    row0 = corpus.select(as_double(F.col(vec_col)).alias("v")).first()
-    dim = len(row0.v)
-    if dim % m:
-        raise ValueError(f"dim {dim} not divisible into {m} subspaces")
-    sub = dim // m
-
     base = corpus.select(
         F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("v")
     ).cache()
     try:
         n_init = max(n_clusters, codes)
+        # dim comes from the init rows — one job populates the cache
+        # AND seeds the models, instead of a separate first() pass
+        # (r11 optimization round: each fit is a sequential chain of
+        # model-sized jobs, so every removed job is wall-clock)
         init = base.orderBy("vid").limit(n_init).collect()
+        if not init:
+            raise ValueError("pq_joint_fit: input relation has no rows")
+        dim = len(init[0].v)
+        if dim % m:
+            raise ValueError(f"dim {dim} not divisible into {m} subspaces")
+        sub = dim // m
         init_mat = np.stack([np.asarray(r.v, dtype="float64") for r in init])
         coarse = init_mat[:n_clusters].copy() if n_clusters else None
         books = [init_mat[:codes, j * sub : (j + 1) * sub].copy() for j in range(m)]

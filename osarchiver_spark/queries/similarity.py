@@ -283,10 +283,17 @@ def build_and_migrate_ivf(
     ``ivf_reindex`` the standing store into a NEW cid-partitioned
     layout — the FAISS retrain discipline (a new ``train()``
     invalidates assignments; re-``add`` everything) — and probe the
-    migrated store at ``nprobe``."""
+    migrated store at ``nprobe``.
+
+    The OLD-model leg (fit k=8 on half the corpus, build + append the
+    old-layout store) and the NEW-model fit are mutually independent,
+    so they run as concurrent driver-thread jobs (guide §2.6: actions
+    are only sequential because the driver calls them sequentially) —
+    each leg's own job chain, and therefore its math, is untouched."""
     import hashlib
     import os
     import tempfile
+    from concurrent.futures import ThreadPoolExecutor
 
     from osarchiver_spark.operators.ivf import (
         ivf_index,
@@ -297,10 +304,6 @@ def build_and_migrate_ivf(
     from osarchiver_spark.queries.dedup import _reap_index_dir_at_exit
 
     emb = load_table(spark, sf_dir, "embeddings")
-    old_model = kmeans_fit(
-        emb.filter(F.col("vec_id") % 2 == 0), "vec_id", "embedding", k=8
-    )
-    new_model = kmeans_fit(emb, "vec_id", "embedding", k=16)
 
     suffix = "{}{}_{}".format(
         dir_prefix,
@@ -314,12 +317,23 @@ def build_and_migrate_ivf(
 
     standing = emb.filter(F.col("vec_id") % 10 != 3)
     drop = emb.filter(F.col("vec_id") % 10 == 3)
-    ivf_index(standing, "vec_id", "embedding", old_model).write.mode(
-        "overwrite"
-    ).partitionBy("cid").parquet(old_dir)
-    ivf_index(drop, "vec_id", "embedding", old_model).write.mode(
-        "append"
-    ).partitionBy("cid").parquet(old_dir)
+
+    def _old_store_leg() -> None:
+        old_model = kmeans_fit(
+            emb.filter(F.col("vec_id") % 2 == 0), "vec_id", "embedding", k=8
+        )
+        ivf_index(standing, "vec_id", "embedding", old_model).write.mode(
+            "overwrite"
+        ).partitionBy("cid").parquet(old_dir)
+        ivf_index(drop, "vec_id", "embedding", old_model).write.mode(
+            "append"
+        ).partitionBy("cid").parquet(old_dir)
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_old = pool.submit(_old_store_leg)
+        f_new = pool.submit(kmeans_fit, emb, "vec_id", "embedding", 16)
+        f_old.result()
+        new_model = f_new.result()
 
     old_store = spark.read.parquet(old_dir).withColumn(
         "cid", F.col("cid").cast("int")
@@ -368,10 +382,16 @@ def build_and_migrate_ivf_pq(
     corpus (k=16), ``ivf_pq_reindex`` the standing code store into a
     NEW layout (id semi-join re-fetch + re-encode — the code index
     holds no vectors), and probe the migrated store at ``nprobe`` /
-    ``shortlist``."""
+    ``shortlist``.
+
+    The OLD-model leg (fit + build + append the old-layout code
+    store) and the NEW-model fit are independent, so they run as
+    concurrent driver-thread jobs (guide §2.6) — each leg's own job
+    chain, and therefore its math, is untouched."""
     import hashlib
     import os
     import tempfile
+    from concurrent.futures import ThreadPoolExecutor
 
     from osarchiver_spark.operators.pq import (
         _unit_expr,
@@ -384,13 +404,6 @@ def build_and_migrate_ivf_pq(
 
     emb = load_table(spark, sf_dir, "embeddings")
     emb_n = emb.select(F.col("vec_id"), _unit_expr("embedding").alias("_uv"))
-    coarse_a, books_a = pq_joint_fit(
-        emb_n.filter(F.col("vec_id") % 2 == 0), "vec_id", "_uv",
-        n_clusters=8, m=16, codes=16,
-    )
-    coarse_b, books_b = pq_joint_fit(
-        emb_n, "vec_id", "_uv", n_clusters=16, m=16, codes=16
-    )
 
     suffix = "{}{}_{}".format(
         dir_prefix,
@@ -404,12 +417,26 @@ def build_and_migrate_ivf_pq(
 
     standing = emb.filter(F.col("vec_id") % 10 != 3)
     drop = emb.filter(F.col("vec_id") % 10 == 3)
-    ivf_pq_index(standing, "vec_id", "embedding", coarse_a, books_a).write.mode(
-        "overwrite"
-    ).partitionBy("cid").parquet(old_dir)
-    ivf_pq_index(drop, "vec_id", "embedding", coarse_a, books_a).write.mode(
-        "append"
-    ).partitionBy("cid").parquet(old_dir)
+
+    def _old_store_leg() -> None:
+        coarse_a, books_a = pq_joint_fit(
+            emb_n.filter(F.col("vec_id") % 2 == 0), "vec_id", "_uv",
+            n_clusters=8, m=16, codes=16,
+        )
+        ivf_pq_index(standing, "vec_id", "embedding", coarse_a, books_a).write.mode(
+            "overwrite"
+        ).partitionBy("cid").parquet(old_dir)
+        ivf_pq_index(drop, "vec_id", "embedding", coarse_a, books_a).write.mode(
+            "append"
+        ).partitionBy("cid").parquet(old_dir)
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_old = pool.submit(_old_store_leg)
+        f_new = pool.submit(
+            pq_joint_fit, emb_n, "vec_id", "_uv", 16, 3, 16, 16
+        )
+        f_old.result()
+        coarse_b, books_b = f_new.result()
 
     old_store = spark.read.parquet(old_dir).withColumn(
         "cid", F.col("cid").cast("int")
