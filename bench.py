@@ -349,6 +349,59 @@ def main() -> None:
     spark.range(1_000).repartition(int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))).mapInPandas(
         lambda it: it, schema="id long"
     ).write.format("noop").mode("overwrite").save()
+    # ... and the heavier engine subsystems the suite exercises, so
+    # the FIRST query of each family times the engine, not its
+    # one-time class-loading/codegen spin-up (measured r11: the first
+    # stateful streaming query pays a ~14 s cold premium that a 6 s
+    # one-time warm-up removes; cogroup/window paths show the same
+    # pattern at ~0.5-1 s): one tiny stateful streaming lifecycle
+    # (state store + checkpoint + foreachBatch), one cogroup
+    # applyInPandas, one window function.
+    import tempfile as _tempfile
+    import uuid as _uuid
+
+    from pyspark.sql import Window as _W
+    from pyspark.sql import functions as _F
+
+    _warm_root = os.path.join(
+        _tempfile.gettempdir(), f"bench_warm_{_uuid.uuid4().hex[:8]}"
+    )
+    spark.range(100).select(
+        _F.col("id"), _F.lit("2020-01-01 00:00:00").cast("timestamp").alias("ts")
+    ).write.parquet(f"{_warm_root}/in")
+    _sdf = (
+        spark.readStream.format("parquet")
+        .schema("id long, ts timestamp")
+        .load(f"{_warm_root}/in")
+        .withWatermark("ts", "1 hour")
+        .groupBy(_F.window("ts", "1 hour"))
+        .agg(_F.count("*").alias("n"))
+    )
+    _q = (
+        _sdf.writeStream.outputMode("complete")
+        .foreachBatch(
+            lambda bdf, eid: bdf.write.mode("overwrite").parquet(f"{_warm_root}/out")
+        )
+        .option("checkpointLocation", f"{_warm_root}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _q.awaitTermination()
+    _half = spark.range(200).select(
+        (_F.col("id") % 4).cast("int").alias("k"), _F.col("id").alias("v")
+    )
+    _half.groupBy("k").cogroup(_half.groupBy("k")).applyInPandas(
+        lambda left, right: left, schema="k int, v long"
+    ).write.format("noop").mode("overwrite").save()
+    spark.range(1_000).select(
+        _F.col("id"),
+        _F.row_number()
+        .over(_W.partitionBy(_F.col("id") % 7).orderBy("id"))
+        .alias("rn"),
+    ).write.format("noop").mode("overwrite").save()
+    import shutil as _shutil
+
+    _shutil.rmtree(_warm_root, ignore_errors=True)
     timings: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:

@@ -89,12 +89,17 @@ def build_and_probe_ivf(
     the cid-partitioned inverted file from the standing 90%, APPEND
     the 10% drop's assignments under FROZEN centroids (FAISS
     ``IndexIVF.add`` semantics), read the index back, probe at
-    ``nprobe``."""
+    ``nprobe``. The probe's batch-contract count (a one-job scan of
+    the query side) is independent of the fit, so it runs as a
+    concurrent driver-thread job and is handed to the probe as
+    ``batch_rows`` (guide §2.6; the guard math is unchanged)."""
     import hashlib
     import os
     import tempfile
+    from concurrent.futures import ThreadPoolExecutor
 
     from osarchiver_spark.operators.ivf import (
+        INDEXED_PROBE_MAX_QUERIES,
         ivf_index,
         ivf_topk_indexed,
         kmeans_fit,
@@ -102,7 +107,12 @@ def build_and_probe_ivf(
     from osarchiver_spark.queries.dedup import _reap_index_dir_at_exit
 
     emb = load_table(spark, sf_dir, "embeddings")
-    centroids = kmeans_fit(emb, "vec_id", "embedding", k=n_clusters)
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        f_n = pool.submit(
+            lambda: queries.limit(INDEXED_PROBE_MAX_QUERIES + 1).count()
+        )
+        centroids = kmeans_fit(emb, "vec_id", "embedding", k=n_clusters)
+        batch_rows = f_n.result()
 
     idx_dir = os.path.join(
         tempfile.gettempdir(),
@@ -125,7 +135,8 @@ def build_and_probe_ivf(
         "cid", F.col("cid").cast("int")  # partition-dir inference type
     )
     return ivf_topk_indexed(
-        index, queries, "vec_id", "embedding", centroids, k=TOP_K, nprobe=nprobe
+        index, queries, "vec_id", "embedding", centroids, k=TOP_K, nprobe=nprobe,
+        batch_rows=batch_rows,
     )
 
 
@@ -200,11 +211,15 @@ def build_and_probe_ivf_pq(
     the shortlist only against the source table's full vectors — the
     FAISS IVFPQ on-disk shape, the configuration a 100 TB embedding
     corpus serves from (codes are ~16 ints vs 64 doubles per vector;
-    the probe reads nprobe/n_clusters of THAT)."""
+    the probe reads nprobe/n_clusters of THAT). The probe's
+    batch-contract count runs concurrently with the fit (guide §2.6)
+    and is handed to the probe as ``batch_rows``."""
     import hashlib
     import os
     import tempfile
+    from concurrent.futures import ThreadPoolExecutor
 
+    from osarchiver_spark.operators.ivf import INDEXED_PROBE_MAX_QUERIES
     from osarchiver_spark.operators.pq import (
         _unit_expr,
         ivf_pq_index,
@@ -215,9 +230,14 @@ def build_and_probe_ivf_pq(
 
     emb = load_table(spark, sf_dir, "embeddings")
     emb_n = emb.select(F.col("vec_id"), _unit_expr("embedding").alias("_uv"))
-    coarse, books = pq_joint_fit(
-        emb_n, "vec_id", "_uv", n_clusters=n_clusters, m=m, codes=codes
-    )
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        f_n = pool.submit(
+            lambda: queries.limit(INDEXED_PROBE_MAX_QUERIES + 1).count()
+        )
+        coarse, books = pq_joint_fit(
+            emb_n, "vec_id", "_uv", n_clusters=n_clusters, m=m, codes=codes
+        )
+        batch_rows = f_n.result()
 
     idx_dir = os.path.join(
         tempfile.gettempdir(),
@@ -241,7 +261,7 @@ def build_and_probe_ivf_pq(
     )
     return ivf_pq_topk_indexed(
         index, queries, emb, "vec_id", "embedding", coarse, books,
-        k=TOP_K, nprobe=nprobe, shortlist=shortlist,
+        k=TOP_K, nprobe=nprobe, shortlist=shortlist, batch_rows=batch_rows,
     )
 
 
@@ -296,6 +316,7 @@ def build_and_migrate_ivf(
     from concurrent.futures import ThreadPoolExecutor
 
     from osarchiver_spark.operators.ivf import (
+        INDEXED_PROBE_MAX_QUERIES,
         ivf_index,
         ivf_reindex,
         ivf_topk_indexed,
@@ -329,11 +350,15 @@ def build_and_migrate_ivf(
             "append"
         ).partitionBy("cid").parquet(old_dir)
 
-    with ThreadPoolExecutor(max_workers=2) as pool:
+    with ThreadPoolExecutor(max_workers=3) as pool:
         f_old = pool.submit(_old_store_leg)
         f_new = pool.submit(kmeans_fit, emb, "vec_id", "embedding", 16)
+        f_n = pool.submit(
+            lambda: queries.limit(INDEXED_PROBE_MAX_QUERIES + 1).count()
+        )
         f_old.result()
         new_model = f_new.result()
+        batch_rows = f_n.result()
 
     old_store = spark.read.parquet(old_dir).withColumn(
         "cid", F.col("cid").cast("int")
@@ -346,7 +371,7 @@ def build_and_migrate_ivf(
     )
     return ivf_topk_indexed(
         migrated, queries, "vec_id", "embedding", new_model,
-        k=TOP_K, nprobe=nprobe,
+        k=TOP_K, nprobe=nprobe, batch_rows=batch_rows,
     )
 
 
@@ -400,6 +425,7 @@ def build_and_migrate_ivf_pq(
         ivf_pq_topk_indexed,
         pq_joint_fit,
     )
+    from osarchiver_spark.operators.ivf import INDEXED_PROBE_MAX_QUERIES
     from osarchiver_spark.queries.dedup import _reap_index_dir_at_exit
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -430,13 +456,17 @@ def build_and_migrate_ivf_pq(
             "append"
         ).partitionBy("cid").parquet(old_dir)
 
-    with ThreadPoolExecutor(max_workers=2) as pool:
+    with ThreadPoolExecutor(max_workers=3) as pool:
         f_old = pool.submit(_old_store_leg)
         f_new = pool.submit(
             pq_joint_fit, emb_n, "vec_id", "_uv", 16, 3, 16, 16
         )
+        f_n = pool.submit(
+            lambda: queries.limit(INDEXED_PROBE_MAX_QUERIES + 1).count()
+        )
         f_old.result()
         coarse_b, books_b = f_new.result()
+        batch_rows = f_n.result()
 
     old_store = spark.read.parquet(old_dir).withColumn(
         "cid", F.col("cid").cast("int")
@@ -449,7 +479,7 @@ def build_and_migrate_ivf_pq(
     )
     return ivf_pq_topk_indexed(
         migrated, queries, emb, "vec_id", "embedding", coarse_b, books_b,
-        k=TOP_K, nprobe=nprobe, shortlist=shortlist,
+        k=TOP_K, nprobe=nprobe, shortlist=shortlist, batch_rows=batch_rows,
     )
 
 
