@@ -242,28 +242,23 @@ def minhash_lsh_index(
 PROBE_PUSHDOWN_MAX_KEYS = 8192
 
 
-def minhash_lsh_incremental_indexed(
-    index: DataFrame,
-    corpus: DataFrame,
+def prep_new_bands(
     new: DataFrame,
     id_col: str,
     text_col: str,
     shingle_n: int = 3,
     num_hashes: int = 12,
     bands: int = 4,
-    threshold: float = 0.5,
     hash_fn: str = "md5",
-) -> DataFrame:
-    """Incremental arrival-vs-corpus check against a PRE-BUILT band
-    index (minhash_lsh_index) instead of re-sketching the corpus:
-    the new batch is banded and broadcast; the index scan carries a
-    pushed band_key IN (...) predicate (when the batch's distinct
-    keys are few enough to be worth it) so the sorted index's row
-    groups prune by min/max stats; only the candidate corpus docs are
-    re-shingled for the exact-Jaccard verify. Result is identical to
-    minhash_lsh_incremental — same candidates, same verify — with the
-    corpus-wide sketch pass replaced by an indexed lookup.
-    """
+) -> tuple[DataFrame, DataFrame, list]:
+    """The probe-SIDE preparation of the indexed incremental check:
+    shingle + sketch + band the new batch (both materialized
+    transient) and collect its bounded pushdown key list. Split out of
+    :func:`minhash_lsh_incremental_indexed` because none of it touches
+    the index — a caller that is still BUILDING the index can run this
+    concurrently from a driver thread and pass the result via
+    ``prepped`` (r11 optimization round, guide-style concurrent jobs);
+    the math is byte-identical to the inline path."""
     sh_new = transient(_with_shingles(new, id_col, text_col, shingle_n))
     rows = num_hashes // bands
     # transient: nb is consumed TWICE (the pushdown-key collect below
@@ -289,6 +284,43 @@ def minhash_lsh_incremental_indexed(
         .limit(PROBE_PUSHDOWN_MAX_KEYS + 1)
         .collect()
     ]
+    return sh_new, nb, keys
+
+
+def minhash_lsh_incremental_indexed(
+    index: DataFrame,
+    corpus: DataFrame,
+    new: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    num_hashes: int = 12,
+    bands: int = 4,
+    threshold: float = 0.5,
+    hash_fn: str = "md5",
+    prepped: tuple[DataFrame, DataFrame, list] | None = None,
+) -> DataFrame:
+    """Incremental arrival-vs-corpus check against a PRE-BUILT band
+    index (minhash_lsh_index) instead of re-sketching the corpus:
+    the new batch is banded and broadcast; the index scan carries a
+    pushed band_key IN (...) predicate (when the batch's distinct
+    keys are few enough to be worth it) so the sorted index's row
+    groups prune by min/max stats; only the candidate corpus docs are
+    re-shingled for the exact-Jaccard verify. Result is identical to
+    minhash_lsh_incremental — same candidates, same verify — with the
+    corpus-wide sketch pass replaced by an indexed lookup.
+
+    ``prepped``: an optional :func:`prep_new_bands` result computed
+    ahead of time (e.g. concurrently with the index build); must have
+    been produced with the same new/shingle/hash parameters.
+    """
+    sh_new, nb, keys = (
+        prepped
+        if prepped is not None
+        else prep_new_bands(
+            new, id_col, text_col, shingle_n, num_hashes, bands, hash_fn
+        )
+    )
     probe_src = index
     if len(keys) <= PROBE_PUSHDOWN_MAX_KEYS:
         probe_src = index.filter(F.col("band_key").isin(keys))

@@ -125,10 +125,12 @@ def q_dedup_incremental_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     import hashlib
     import os
     import tempfile
+    from concurrent.futures import ThreadPoolExecutor
 
     from osarchiver_spark.operators.dedup import (
         minhash_lsh_incremental_indexed,
         minhash_lsh_index,
+        prep_new_bands,
     )
 
     docs = load_table(spark, sf_dir, "documents")
@@ -150,15 +152,29 @@ def q_dedup_incremental_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     _reap_index_dir_at_exit(idx_dir)
-    minhash_lsh_index(
-        corpus, "doc_id", "text",
-        shingle_n=3, num_hashes=NUM_HASHES, bands=BANDS, num_files=8,
-    ).write.mode("overwrite").parquet(idx_dir)
+
+    # the index build (corpus side) and the probe-side prep (new-batch
+    # shingle/sketch/band + key collect) share no inputs, so they run
+    # as concurrent driver-thread jobs (r11 optimization round; the
+    # probe itself still only starts once the index files exist)
+    def _build_index() -> None:
+        minhash_lsh_index(
+            corpus, "doc_id", "text",
+            shingle_n=3, num_hashes=NUM_HASHES, bands=BANDS, num_files=8,
+        ).write.mode("overwrite").parquet(idx_dir)
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_idx = pool.submit(_build_index)
+        f_prep = pool.submit(
+            prep_new_bands, new, "doc_id", "text", 3, NUM_HASHES, BANDS
+        )
+        f_idx.result()
+        prepped = f_prep.result()
     index = spark.read.parquet(idx_dir)
     return minhash_lsh_incremental_indexed(
         index, corpus, new, "doc_id", "text",
         shingle_n=3, num_hashes=NUM_HASHES, bands=BANDS,
-        threshold=MINHASH_THRESHOLD,
+        threshold=MINHASH_THRESHOLD, prepped=prepped,
     )
 
 
