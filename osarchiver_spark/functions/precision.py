@@ -43,6 +43,27 @@ def exact_round(col: Column, ndigits: int) -> Column:
     return F.floor(col * F.lit(scale) + F.lit(0.5)) / F.lit(scale)
 
 
+def round_half_up_py(x: float, ndigits: int) -> float:
+    """Driver-side replica of Spark's ``F.round`` on DoubleType.
+
+    Spark rounds the SHORTEST decimal representation of the double
+    with HALF_UP (``BigDecimal.valueOf`` goes through
+    ``Double.toString``); Python's ``repr`` produces the same shortest
+    round-trip string, so ``Decimal(repr(x))`` + ``ROUND_HALF_UP``
+    reproduces Spark's result bit-for-bit. Used by the driver-side
+    trainer loops (operators/boost.py) whose per-round quantization
+    was previously an ``F.round`` over the distributed relation — the
+    collapse to model-sized sufficient statistics must keep the exact
+    rounding semantics or the declared query outputs would drift."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(
+        Decimal(repr(float(x))).quantize(
+            Decimal(1).scaleb(-ndigits), rounding=ROUND_HALF_UP
+        )
+    )
+
+
 def quantize(col: Column, ndigits: int) -> Column:
     """Quantize a double onto an integer grid (bigint) so downstream
     sums are exact integer arithmetic — accumulation-order-proof."""

@@ -3,17 +3,20 @@ member of the iterative trainer family (k-means, BPE, PageRank,
 logistic GD, ALS).
 
 Boosts one-split stumps over the same quality-gate distillation task
-as operators/lr.py. Each round is:
+as operators/lr.py. Execution shape (r11 optimization round): the
+76-stump grid (2 features × 19 thresholds × 2 polarities) sees a row
+only through its (theta-bucket(x1), theta-bucket(x2), y) cell — at
+most 20·20·2 = 800 cells at ANY corpus size — and rows sharing a
+cell share one weight trajectory, so training is:
 
-1. one aggregation of the weighted error of every candidate stump —
-   the data crossed with a 76-row literal stump grid (2 features ×
-   19 thresholds × 2 polarities, model-sized broadcast), grouped per
-   stump: ONE map-combinable pass;
-2. an argmin collect of a single stump row (the model-sized-collect
-   rule), α = ½·ln((1−ε)/ε);
-3. a row-local weight update w ← w·exp(−α·y·h) and one global-sum
-   normalization — the weights stay a COLUMN on the distributed
-   relation; nothing data-sized ever reaches the driver.
+1. ONE map-combinable aggregation collecting the cell counts (the
+   model-sized sufficient statistic — the only corpus pass);
+2. the whole boosting loop (per-round weighted-error argmin,
+   α = ½·ln((1−ε)/ε), weight renormalization) over the 800-cell
+   table on the driver, replicating the distributed plan's
+   quantization bit-for-bit (see adaboost_train);
+3. the final weights re-attach to the relation as a lazy model-sized
+   broadcast join — nothing data-sized ever reaches the driver.
 
 Determinism/oracle: ε is rounded (9 dp) before the argmin with a
 total (ε, feature, θ, polarity) tie-break, α is quantized (6 dp) and
@@ -74,18 +77,18 @@ def boost_features(docs: DataFrame) -> DataFrame:
     return f.select("source", (F.col("y") * 2.0 - 1.0).alias("y"), "x1", "x2")
 
 
-def _stump_grid(spark: SparkSession) -> DataFrame:
-    rows = [
-        (fid, float(theta), pol)
-        for fid in (1, 2)
-        for theta in THETA_GRID
-        for pol in (1.0, -1.0)
-    ]
-    return spark.createDataFrame(rows, "fid int, theta double, pol double")
-
-
 def _h(feature_col, theta: float, pol: float):
     return F.when(feature_col >= F.lit(theta), F.lit(pol)).otherwise(F.lit(-pol))
+
+
+def _theta_bucket(feature_col) -> "F.Column":
+    """``b = #{theta in THETA_GRID : x >= theta}`` — the grid is
+    sorted ascending, so ``x >= theta_j  <=>  b >= j`` (1-based j):
+    the bucket index carries EXACTLY the information every stump in
+    the grid can extract from x, nothing more."""
+    return sum(
+        (feature_col >= F.lit(float(t))).cast("int") for t in THETA_GRID
+    )
 
 
 def adaboost_train(
@@ -93,77 +96,97 @@ def adaboost_train(
 ) -> tuple[list[Stump], DataFrame]:
     """Returns (model, weighted_feats): model = one (round, feature,
     theta, polarity, eps, alpha) tuple per round; weighted_feats =
-    the final weighted relation (persisted) for inspection."""
+    the final weighted relation (persisted handle) for inspection.
+
+    Sufficient-statistics form (r11 optimization round, guide §1.2
+    "fix the distributed algorithm first" / §8 "decide with small
+    rows"): every stump in the 76-stump grid sees a row only through
+    (theta-bucket(x1), theta-bucket(x2), y) — 20 × 20 × 2 = at most
+    800 cells REGARDLESS of corpus size — and rows in the same cell
+    start with the same weight (1/n) and receive identical updates,
+    so they share one weight trajectory forever. The whole boosting
+    loop therefore needs ONE corpus pass (a map-combinable cell
+    count); the per-round eps/argmin/renormalization runs over the
+    model-sized cell table on the driver — the same bounded-collect
+    rule as the k-means centroid partials. The previous form ran
+    2 jobs per round over the full relation plus a persist chain
+    (2 × rounds + 2 corpus-sized jobs; at 100 TB, 12 corpus scans
+    where one suffices).
+
+    Exactness: the driver math replicates the distributed plan's
+    quantization bit-for-bit — eps and the weights round via
+    round_half_up_py (the documented replica of F.round on doubles),
+    alpha via the shared _clamped_alpha. The only divergence channel
+    is double-summation order (cells × cnt·w vs rows × w), which both
+    the old form (engine partial-agg order) and the SQL oracle
+    already tolerate by design: eps is rounded at 1e-9 and weights at
+    1e-12 precisely so ~1e-16 summation noise cannot reach a stored
+    value. Bit-equality with the pass-based form is pinned at
+    sf0.001/sf0.01/sf0.1 (numpy reference in tests/test_boost.py and
+    the DuckDB oracle replay)."""
+    import numpy as np
+
+    from osarchiver_spark.functions.precision import round_half_up_py
+
     spark = docs.sparkSession
-    grid = F.broadcast(_stump_grid(spark))
-    # base keeps its own handle: the rotation below wraps it in
-    # withColumn frames, and unpersisting a CHILD plan never releases
-    # the parent cache entry — without this handle every call leaked
-    # the features relation (caught by the no-accumulation pin in
-    # tests/test_plans.py)
-    base = boost_features(docs).persist()
-    n = base.count()
-    if n == 0:
-        return [], base
-    d = base.withColumn("w", F.lit(1.0 / n))
+    feats = boost_features(docs)
+    cells = (
+        feats.groupBy(
+            _theta_bucket(F.col("x1")).alias("b1"),
+            _theta_bucket(F.col("x2")).alias("b2"),
+            F.col("y"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()  # <= 800 rows by construction (20 x 20 x 2)
+    )
+    if not cells:
+        return [], feats
+    B = {
+        1: np.array([r["b1"] for r in cells]),
+        2: np.array([r["b2"] for r in cells]),
+    }
+    Y = np.array([r["y"] for r in cells])
+    CNT = np.array([r["cnt"] for r in cells], dtype="float64")
+    n = CNT.sum()
+    w = np.full(len(cells), 1.0 / n)
     model: list[Stump] = []
-    prev = None
-    try:
-        for t in range(1, rounds + 1):
-            h_grid = F.when(
-                F.when(F.col("fid") == 1, F.col("x1")).otherwise(F.col("x2"))
-                >= F.col("theta"),
-                F.col("pol"),
-            ).otherwise(-F.col("pol"))
-            best = (
-                d.crossJoin(grid)
-                .groupBy("fid", "theta", "pol")
-                .agg(
-                    F.round(
-                        F.sum(F.when(h_grid != F.col("y"), F.col("w")).otherwise(0.0)),
-                        EPS_QUANT,
-                    ).alias("eps")
-                )
-                .orderBy("eps", "fid", "theta", "pol")
-                .limit(1)
-                .collect()[0]
-            )
-            if prev is not None:
-                prev.unpersist()
-                prev = None
-            fid, theta, pol, eps = (
-                int(best["fid"]),
-                float(best["theta"]),
-                float(best["pol"]),
-                float(best["eps"]),
-            )
-            alpha = _clamped_alpha(eps)
-            model.append((t, fid, theta, pol, eps, alpha))
-            feat_col = F.col("x1") if fid == 1 else F.col("x2")
-            unnorm = F.col("w") * F.exp(
-                F.lit(-alpha) * F.col("y") * _h(feat_col, theta, pol)
-            )
-            d2 = d.withColumn("w", unnorm)
-            z = float(d2.agg(F.sum("w")).collect()[0][0])  # one scalar per round
-            d_next = d2.withColumn(
-                "w", F.round(F.col("w") / F.lit(z), WEIGHT_QUANT)
-            ).persist()
-            prev, d = d, d_next
-        # release everything but the final frame: the loop frees round
-        # t-2 at round t, so the second-to-last frame AND the base
-        # features are still pinned when it exits
-        d.count()  # materialize the final frame before dropping its parents
-        if prev is not None:
-            prev.unpersist()
-            prev = None
-        base.unpersist()
-        return model, d
-    except Exception:
-        if prev is not None:
-            prev.unpersist()
-        base.unpersist()
-        d.unpersist()
-        raise
+    for t in range(1, rounds + 1):
+        cw = CNT * w
+        best = None
+        for fid in (1, 2):
+            bv = B[fid]
+            for j, theta in enumerate(THETA_GRID, start=1):
+                for pol in (-1.0, 1.0):
+                    h = np.where(bv >= j, pol, -pol)
+                    eps = round_half_up_py(float(cw[h != Y].sum()), EPS_QUANT)
+                    key = (eps, fid, float(theta), pol)
+                    if best is None or key < best[0]:
+                        best = (key, h)  # lexicographic min == the
+                        # old orderBy(eps, fid, theta, pol).limit(1)
+        (eps, fid, theta, pol), h = best
+        alpha = _clamped_alpha(eps)
+        model.append((t, fid, theta, pol, eps, alpha))
+        w = w * np.exp(-alpha * Y * h)
+        z = float((CNT * w).sum())
+        w = np.array([round_half_up_py(v / z, WEIGHT_QUANT) for v in w])
+    # re-attach the final per-cell weights to the relation lazily
+    # (model-sized broadcast join) — same columns and values as the
+    # old persisted final frame; persist() keeps the caller contract
+    # (callers unpersist it), nothing materializes unless consumed
+    wmap = spark.createDataFrame(
+        [
+            (int(r["b1"]), int(r["b2"]), float(r["y"]), float(wv))
+            for r, wv in zip(cells, w)
+        ],
+        "b1 int, b2 int, y double, w double",
+    )
+    weighted = (
+        feats.withColumn("b1", _theta_bucket(F.col("x1")))
+        .withColumn("b2", _theta_bucket(F.col("x2")))
+        .join(F.broadcast(wmap), ["b1", "b2", "y"])
+        .select("source", "y", "x1", "x2", "w")
+    )
+    return model, weighted.persist()
 
 
 def adaboost_score_by_source(docs: DataFrame, model: list[Stump] | None = None) -> DataFrame:

@@ -10,16 +10,17 @@ threshold from two of its signals (see lr_features) — the pattern a
 pipeline uses to replace an expensive quality classifier with a
 cheap linear gate at corpus scale.
 
-The 100 TB shape:
+The 100 TB shape (r11 optimization round):
 
 - features are whole-stage-codegen column expressions (no Python
   anywhere — not even Arrow);
-- one gradient step = one aggregation over the persisted feature
-  relation producing ONE row of d+1 sums; nothing data-sized ever
-  reaches the driver;
-- the weight vector lives in the driver loop and re-enters each step
-  as literals folded into codegen — the same model-in-closure pattern
-  as the k-means centroid matrix.
+- ONE map-combinable aggregation collects the (y, x1, x2, count)
+  sufficient-statistic cells (bounded: the features are count
+  ratios, and an oversized cell space falls back to the original
+  one-aggregation-per-step distributed loop);
+- the full GD loop runs over the model-sized cell table on the
+  driver — the same bounded-collect pattern as the k-means centroid
+  partials, with one corpus pass instead of one per iteration.
 
 Determinism/oracle: weights are quantized (rounded) after every
 update, so cross-engine summation-order noise (~1e-15 after the /n
@@ -83,6 +84,18 @@ def _sigmoid(z: Column) -> Column:
     return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
 
 
+#: Sufficient-statistic collapse bound for lr_train: the gradient
+#: depends on rows only through (y, x1, x2), so training iterates
+#: over the distinct-cell table when it fits comfortably on the
+#: driver (2^18 cells ≈ 10 MB collected) and falls back to the
+#: original per-iteration distributed aggregation above that. The
+#: features are count ratios (stopword hits / token count and a
+#: capped token count), so the cell count grows with the distinct
+#: (hits, n_tokens) pairs — ~760 cells at sf0.1's 5k docs — not with
+#: the corpus.
+LR_CELL_CAP = 1 << 18
+
+
 def lr_train(
     docs: DataFrame,
     learning_rate: float = LEARNING_RATE,
@@ -91,13 +104,69 @@ def lr_train(
 ) -> tuple[list[tuple[int, float, float, float]], tuple[float, float, float]]:
     """Full-batch GD from zero weights. Returns (trajectory, final):
     trajectory = one (step, bias, w_stopword, w_len) row per step
-    (post-update, quantized), final = the last weights."""
-    feats = lr_features(docs).persist()
+    (post-update, quantized), final = the last weights.
+
+    Sufficient-statistics form (r11 optimization round, guide §1.2):
+    the gradient is Σ rows (y − σ(z))·(1, x1, x2), which rows with
+    identical (y, x1, x2) contribute identically to — so ONE
+    map-combinable cell count replaces ``iterations`` sequential
+    corpus aggregations (21 corpus-sized jobs → 1; the GD loop runs
+    over the cell table on the driver, python-round semantics
+    unchanged). Oversized cell spaces (> LR_CELL_CAP, impossible for
+    these bounded count-ratio features but guarded anyway) fall back
+    to the original per-iteration distributed loop — identical math
+    either way: the only divergence channel is double-summation
+    order, which the post-update 1e-6 quantization absorbs exactly
+    as it absorbed engine partial-agg order before (bit-equality
+    pinned at sf0.001/sf0.01/sf0.1 against the numpy reference and
+    the DuckDB oracle replay)."""
+    import numpy as np
+
+    feats = lr_features(docs)
+    cells = (
+        feats.groupBy("y", "x1", "x2")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .limit(LR_CELL_CAP + 1)
+        .collect()
+    )
+    if not cells:  # empty corpus: the zero model, no steps
+        return [], (0.0, 0.0, 0.0)
+    if len(cells) > LR_CELL_CAP:  # cell space exceeds the driver
+        # budget: run the distributed per-iteration form instead
+        return _lr_train_passes(feats, learning_rate, iterations, quantize)
+    Y = np.array([r["y"] for r in cells])
+    X1 = np.array([r["x1"] for r in cells])
+    X2 = np.array([r["x2"] for r in cells])
+    CNT = np.array([r["cnt"] for r in cells], dtype="float64")
+    n = float(CNT.sum())  # exact: counts << 2^53
+    b = w1 = w2 = 0.0
+    traj: list[tuple[int, float, float, float]] = []
+    for step in range(1, iterations + 1):
+        z = b + w1 * X1 + w2 * X2
+        resid = Y - 1.0 / (1.0 + np.exp(-z))
+        b = round(b + learning_rate * float((CNT * resid).sum()) / n, quantize)
+        w1 = round(w1 + learning_rate * float((CNT * resid * X1).sum()) / n, quantize)
+        w2 = round(w2 + learning_rate * float((CNT * resid * X2).sum()) / n, quantize)
+        traj.append((step, b, w1, w2))
+    return traj, (b, w1, w2)
+
+
+def _lr_train_passes(
+    feats: DataFrame,
+    learning_rate: float,
+    iterations: int,
+    quantize: int,
+) -> tuple[list[tuple[int, float, float, float]], tuple[float, float, float]]:
+    """The original distributed GD loop — one aggregation + one
+    single-row collect per iteration over the persisted feature
+    relation. Kept as lr_train's fallback when the cell table
+    exceeds LR_CELL_CAP."""
+    feats = feats.persist()
     try:
         n = feats.count()
         b = w1 = w2 = 0.0
         traj: list[tuple[int, float, float, float]] = []
-        if n == 0:  # empty corpus: the zero model, no steps
+        if n == 0:
             return traj, (b, w1, w2)
         for step in range(1, iterations + 1):
             z = F.lit(b) + F.lit(w1) * F.col("x1") + F.lit(w2) * F.col("x2")
