@@ -52,10 +52,38 @@ def ensure_session_defaults(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
+# Session-scoped schema catalog: parquet schema INFERENCE reads file
+# footers through a driver-side job on every `spark.read.parquet`
+# call, which at ~2 scans per registry query was costing ~0.2 s per
+# load_table call locally (measured r11 optimization round: a
+# 20-iteration A/B of inferred vs explicit-schema reads, 4.57 s vs
+# 1.11 s) — and at scale re-reads footers of every file per query.
+# Real catalogs (metastore, Iceberg/Delta manifests) exist precisely
+# so readers don't re-infer; this dict is that catalog for the
+# fixture tables. Keyed by (applicationId, path, mtime): a new
+# session, a different directory, or a rewritten table re-infers.
+# Only METADATA is cached — every query still scans the parquet data.
+_SCHEMA_CACHE: dict[tuple[str, str, int], object] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Lazy parquet scan; filters/projections push down via Catalyst."""
+    """Lazy parquet scan; filters/projections push down via Catalyst.
+    Schema comes from the session-scoped catalog cache above (first
+    read infers and records it)."""
     ensure_session_defaults(spark)
-    df = spark.read.parquet(table_path(sf_dir, name))
+    path = table_path(sf_dir, name)
+    try:
+        mtime = int(os.path.getmtime(path))
+    except OSError:  # non-local URI (or racing writer): don't cache
+        mtime = -1
+    key = (spark.sparkContext.applicationId, os.path.abspath(path), mtime)
+    schema = _SCHEMA_CACHE.get(key) if mtime >= 0 else None
+    if schema is None:
+        df = spark.read.parquet(path)
+        if mtime >= 0:
+            _SCHEMA_CACHE[key] = df.schema
+    else:
+        df = spark.read.schema(schema).parquet(path)
     for col in _NANOS_TS_COLUMNS.get(name, []):
         if dict(df.dtypes).get(col) == "bigint":
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))

@@ -29,6 +29,53 @@ from pyspark.sql import types as T
 from osarchiver_spark.functions.precision import cent_sum
 from osarchiver_spark.sources.parquet import table_path
 
+#: Streaming state-store partition sizing (r11 optimization round).
+#: A stateful streaming operator creates ONE state-store instance per
+#: shuffle partition, each paying fixed per-micro-batch overhead
+#: (delta/commit files, snapshot+maintenance work, and for the
+#: applyInPandasWithState ops a Python worker round-trip) that is
+#: INDEPENDENT of how much state it holds. Sizing the streaming
+#: shuffle to the session's batch parallelism (32 here) therefore
+#: buys nothing for the suite's window/sketch aggs — whose whole
+#: state is O(100) rows — and costs 4x the per-batch fixed work:
+#: measured at sf0.1, streaming_incremental_rollup 6.6 s -> 2.5 s and
+#: streaming_tumbling 2.0 s -> 1.2 s at 8 partitions (guide §2.2
+#: "fewer, larger partitions"; state stores are partitions whose
+#: per-unit overhead is unusually high). The right count scales with
+#: STATE VOLUME, not cores — so the default is a constant, identical
+#: under the driver's lower-core bench run, and a genuinely large
+#: deployment raises it via this env var (or keeps its own session
+#: conf: the wrapper only narrows, never widens).
+STREAM_STATE_PARTITIONS_ENV = "SPARK_GRAFT_STREAM_STATE_PARTITIONS"
+
+
+def _stream_state_partitions() -> int:
+    return int(os.environ.get(STREAM_STATE_PARTITIONS_ENV, "8"))
+
+
+class stream_state_partitions:
+    """Context manager: pin ``spark.sql.shuffle.partitions`` to the
+    state-sized streaming value around a streaming query's
+    plan+start+drain, restoring the session's batch value on exit.
+    The partition count is captured into the query's checkpoint at
+    first start, so resumed/incremental runs stay self-consistent
+    regardless of the session value at resume time. Only narrows:
+    a session already at or below the target is left untouched."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+
+    def __enter__(self):
+        self.prev = self.spark.conf.get("spark.sql.shuffle.partitions")
+        target = _stream_state_partitions()
+        if int(self.prev) > target:
+            self.spark.conf.set("spark.sql.shuffle.partitions", str(target))
+        return self
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.prev)
+        return False
+
 
 def drain_stream_to_parquet(
     df: DataFrame, output_mode: str, name_prefix: str
@@ -53,11 +100,12 @@ def drain_stream_to_parquet(
     def write_batch(batch_df: DataFrame, _epoch_id: int) -> None:
         batch_df.write.mode(write_mode).parquet(out_dir)
 
-    q = df.writeStream.outputMode(output_mode).foreachBatch(write_batch).start()
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with stream_state_partitions(spark):
+        q = df.writeStream.outputMode(output_mode).foreachBatch(write_batch).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     if not _hadoop_path_exists(spark, out_dir):  # stream produced no batches
         return spark.createDataFrame([], df.schema)
     return spark.read.parquet(out_dir)
@@ -386,14 +434,15 @@ def incremental_stream_rollup(
     def write_batch(batch_df: DataFrame, _epoch_id: int) -> None:
         batch_df.write.mode("overwrite").parquet(out_dir)
 
-    q = (
-        agg.writeStream.outputMode("complete")
-        .foreachBatch(write_batch)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with stream_state_partitions(spark):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .foreachBatch(write_batch)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.read.parquet(out_dir).select(
         F.col("window.start").alias("window_start"), "event_type", "n", "sum_value"
     )

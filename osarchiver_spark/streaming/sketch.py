@@ -91,14 +91,17 @@ def incremental_stream_kmv(
     def write_batch(batch_df: DataFrame, _epoch_id: int) -> None:
         batch_df.write.mode("overwrite").parquet(out_dir)
 
-    q = (
-        est.writeStream.outputMode("append")
-        .foreachBatch(write_batch)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    from osarchiver_spark.streaming.pipeline import stream_state_partitions
+
+    with stream_state_partitions(spark):
+        q = (
+            est.writeStream.outputMode("append")
+            .foreachBatch(write_batch)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.read.parquet(out_dir)
 
 
