@@ -97,8 +97,31 @@ def exact_quantile_nums(
     """
     df = df.filter(F.col(int_col).isNotNull())
     hist = df.groupBy(group_col, int_col).agg(F.count(F.lit(1)).alias("cnt"))
+    return exact_quantile_nums_hist(hist, group_col, int_col, "cnt", quantiles)
+
+
+def exact_quantile_nums_hist(
+    hist: DataFrame,
+    group_col: str,
+    int_col: str,
+    cnt_col: str,
+    quantiles: dict[str, object],
+) -> DataFrame:
+    """:func:`exact_quantile_nums` starting from a PRE-AGGREGATED
+    value histogram ``(group_col, int_col, cnt_col)`` with positive
+    counts — the shape that lets several quantile reports over the
+    same fact scan share ONE histogram aggregation (r11 optimization
+    round: ``q_sampled_percentiles`` computes sample and full-data
+    percentiles from one scan by counting both populations per value
+    cell, instead of scanning + shuffling the fact table once per
+    report; the shared first Exchange is deduplicated by Spark's
+    exchange reuse). Zero-count cells MUST be filtered by the caller:
+    the selection scans for ``cum >= idx + k`` tolerate them only
+    when they are not the running maximum, so exclusion is the safe
+    contract (and matches what grouping the filtered rows would have
+    produced)."""
     w = W.partitionBy(group_col).orderBy(int_col)
-    cums = hist.withColumn("cum", F.sum("cnt").over(w))
+    cums = hist.withColumn("cum", F.sum(cnt_col).over(w))
     # Group total as a whole-partition window over the SAME key: the
     # cumsum window already exchanged by group_col, so this adds zero
     # shuffles, vs the former groupBy(totals) + broadcast-join round
@@ -123,6 +146,59 @@ def exact_quantile_nums(
         )
         aggs.append(num.cast("long").alias(f"{name}_num"))
         aggs.append(F.lit(b).cast("long").alias(f"{name}_den"))
+    return j.groupBy(group_col).agg(*aggs)
+
+
+def exact_quantile_nums_multi(
+    hist: DataFrame,
+    group_col: str,
+    int_col: str,
+    specs: dict[str, tuple[str, dict[str, object]]],
+) -> DataFrame:
+    """Exact quantile numerators for SEVERAL count populations over
+    ONE value histogram, in one window pass (r11 optimization round).
+
+    ``hist`` holds one row per (group, value) with one count column
+    per population; ``specs`` maps each count column to
+    ``(n_alias, {name: q})``. All populations share the single
+    (group)-partitioned value-ordered window — one shuffle and one
+    sort total — instead of one scan + shuffle per population (the
+    shape ``q_sampled_percentiles`` had: sample and full-data
+    percentiles each re-aggregated the fact table).
+
+    Zero-count cells of a population are provably inert: a cell with
+    cnt 0 carries the same cumsum as its predecessor, so the
+    ``cum >= idx + k`` selections (min over values at-or-after a
+    rank) either already contain the smaller predecessor value or
+    exclude the cell — ``v_lo``/``v_hi`` match the filtered
+    per-population histogram exactly. A population with zero TOTAL
+    count yields NULL numerators (callers drop or guard such
+    groups — the two-sided join shape this replaces dropped them).
+    NULL values must already be excluded from ``hist``."""
+    w = W.partitionBy(group_col).orderBy(int_col)
+    j = hist
+    for cnt_col in specs:
+        j = j.withColumn(f"_cum_{cnt_col}", F.sum(cnt_col).over(w))
+    for cnt_col in specs:
+        j = j.withColumn(
+            f"_n_{cnt_col}",
+            F.max(f"_cum_{cnt_col}").over(W.partitionBy(group_col)),
+        )
+    aggs: list[Column] = []
+    for cnt_col, (n_alias, quantiles) in specs.items():
+        cum = F.col(f"_cum_{cnt_col}")
+        n = F.col(f"_n_{cnt_col}")
+        aggs.append(F.max(n).cast("long").alias(n_alias))
+        for name, q in quantiles.items():
+            a, b = _as_ratio(q)
+            pos = (n - 1) * F.lit(a)
+            rem = pos % F.lit(b)
+            idx = ((pos - rem) / F.lit(b)).cast("long")
+            v_lo = F.min(F.when(cum >= idx + 1, F.col(int_col)))
+            v_hi = F.min(F.when(cum >= idx + 2, F.col(int_col)))
+            num = F.lit(b) * v_lo + (F.coalesce(v_hi, v_lo) - v_lo) * F.max(rem)
+            aggs.append(num.cast("long").alias(f"{name}_num"))
+            aggs.append(F.lit(b).cast("long").alias(f"{name}_den"))
     return j.groupBy(group_col).agg(*aggs)
 
 

@@ -260,7 +260,7 @@ def q_sampled_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     survives), then the exact interpolated percentile on the sample;
     error vs the full-data exact value is bounded by the usual
     order-statistic bounds and reported side-by-side."""
-    from osarchiver_spark.operators.quantiles import exact_quantile_nums
+    from osarchiver_spark.operators.quantiles import exact_quantile_nums_multi
 
     li = load_table(spark, sf_dir, "lineitem")
     keep = F.substring(F.md5(F.col("l_orderkey").cast("string")), 1, 8) < SAMPLE_RATE_HEX
@@ -269,25 +269,38 @@ def q_sampled_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # exact integer-rational order statistics (r07 hardening — see
     # q_percentiles): sample_p50/p95 at b=2/b=20, exact_p50 at b=2;
-    # num·(100/b) is the value in 1e-4 dollars exactly
-    samp = exact_quantile_nums(
-        src.filter(F.col("k")).select("l_returnflag", "c"),
-        "l_returnflag", "c", {"sample_p50": (1, 2), "sample_p95": (19, 20)},
-    ).select(
+    # num·(100/b) is the value in 1e-4 dollars exactly. ONE histogram
+    # pass counts both populations per (flag, cent) cell and ONE
+    # window pass carries both cumsums (exact_quantile_nums_multi,
+    # r11 optimization round) — one scan + one shuffle total, where
+    # the former two-leg shape re-scanned and re-shuffled lineitem
+    # per population and joined at the end. Counts are integers, so
+    # the shared-histogram order statistics are identical; the
+    # n_sample > 0 filter reproduces the old inner join's drop of
+    # sample-empty groups (impossible on real data at a 16% rate,
+    # guarded anyway).
+    hist = (
+        src.filter(F.col("c").isNotNull())
+        .groupBy("l_returnflag", "c")
+        .agg(
+            F.count(F.lit(1)).alias("cnt_full"),
+            F.sum(F.when(F.col("k"), 1).otherwise(0)).alias("cnt_samp"),
+        )
+    )
+    qn = exact_quantile_nums_multi(
+        hist, "l_returnflag", "c",
+        {
+            "cnt_samp": ("n_sample", {"sample_p50": (1, 2), "sample_p95": (19, 20)}),
+            "cnt_full": ("n_rows", {"exact_p50": (1, 2)}),
+        },
+    )
+    return qn.filter(F.col("n_sample") > 0).select(
         "l_returnflag",
-        F.col("n").alias("n_sample"),
+        "n_rows",
+        "n_sample",
         ((F.col("sample_p50_num") * F.lit(50)).cast("double") / F.lit(10000.0)).alias("sample_p50"),
         ((F.col("sample_p95_num") * F.lit(5)).cast("double") / F.lit(10000.0)).alias("sample_p95"),
-    )
-    full = exact_quantile_nums(
-        src.select("l_returnflag", "c"), "l_returnflag", "c", {"exact_p50": (1, 2)}
-    ).select(
-        "l_returnflag",
-        F.col("n").alias("n_rows"),
         ((F.col("exact_p50_num") * F.lit(50)).cast("double") / F.lit(10000.0)).alias("exact_p50"),
-    )
-    return samp.join(full, "l_returnflag").select(
-        "l_returnflag", "n_rows", "n_sample", "sample_p50", "sample_p95", "exact_p50"
     )
 
 
