@@ -301,6 +301,30 @@ def guard_batch(
         )
 
 
+def prep_indexed_probe(
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[list[float]],
+    nprobe: int,
+) -> tuple[DataFrame, list[int]]:
+    """The QUERY-side half of an indexed probe: materialize the probe
+    frame once (transient — executor-local, auto-released) and collect
+    its model-sized cid set. Factored out of
+    :func:`ivf_topk_indexed`/:func:`ivf_neardup_probe` (r11
+    optimization round) so (a) chain builders can run it as a
+    concurrent driver-thread job while the index store is still being
+    written — the two legs share no inputs (guide §2.6) — and (b) a
+    caller probing the SAME batch against several indexes (the
+    streaming maintenance loop's intra + cross probes) computes the
+    probe pass and cid collect once instead of per probe."""
+    from osarchiver_spark.operators.cache import transient
+
+    probed = transient(_probe_pandas(queries, id_col, vec_col, centroids, nprobe))
+    cids = sorted(r["cid"] for r in probed.select("cid").distinct().collect())
+    return probed, cids
+
+
 def ivf_topk_indexed(
     index: DataFrame,
     queries: DataFrame,
@@ -311,6 +335,7 @@ def ivf_topk_indexed(
     nprobe: int = 4,
     max_batch_rows: int | None = INDEXED_PROBE_MAX_QUERIES,
     batch_rows: int | None = None,
+    prepped: tuple[DataFrame, list[int]] | None = None,
 ) -> DataFrame:
     """Probe an EXISTING inverted file (:func:`ivf_index` read back
     from its cid-partitioned layout) — per-drop ANN cost that is
@@ -330,11 +355,8 @@ def ivf_topk_indexed(
     :func:`guard_batch`)."""
     guard_batch(queries, max_batch_rows, "ivf_topk_indexed", batch_rows)
 
-    from osarchiver_spark.operators.cache import transient
-
-    probed = transient(_probe_pandas(queries, id_col, vec_col, centroids, nprobe))
-    cids = sorted(
-        r["cid"] for r in probed.select("cid").distinct().collect()
+    probed, cids = prepped if prepped is not None else prep_indexed_probe(
+        queries, id_col, vec_col, centroids, nprobe
     )
     pruned = index.filter(F.col("cid").isin(cids))
 
@@ -353,6 +375,7 @@ def ivf_neardup_probe(
     nprobe: int = 4,
     max_batch_rows: int | None = INDEXED_PROBE_MAX_QUERIES,
     batch_rows: int | None = None,
+    prepped: tuple[DataFrame, list[int]] | None = None,
 ) -> DataFrame:
     """Near-duplicate candidates of a query batch against a persisted
     inverted file (:func:`ivf_index` layout): every indexed vector
@@ -381,9 +404,9 @@ def ivf_neardup_probe(
     guard_batch(queries, max_batch_rows, "ivf_neardup_probe", batch_rows)
 
     from osarchiver_spark.operators.blas import cogroup_threshold_cosine
-    from osarchiver_spark.operators.cache import transient
 
-    probed = transient(_probe_pandas(queries, id_col, vec_col, centroids, nprobe))
-    cids = sorted(r["cid"] for r in probed.select("cid").distinct().collect())
+    probed, cids = prepped if prepped is not None else prep_indexed_probe(
+        queries, id_col, vec_col, centroids, nprobe
+    )
     pruned = index.filter(F.col("cid").isin(cids))
     return cogroup_threshold_cosine(probed, pruned, "cid", threshold)

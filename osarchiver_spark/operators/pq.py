@@ -516,6 +516,29 @@ def ivf_pq_reindex(
     return ivf_pq_index(members, id_col, vec_col, new_coarse, new_books)
 
 
+def prep_pq_indexed_probe(
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    coarse: list[list[float]],
+    nprobe: int,
+) -> tuple[DataFrame, list[int]]:
+    """PQ twin of :func:`~osarchiver_spark.operators.ivf.
+    prep_indexed_probe`: normalize + probe the query side once
+    (transient) and collect the model-sized cid set — runnable as a
+    concurrent driver-thread job while the code store is written
+    (guide §2.6)."""
+    from osarchiver_spark.operators.cache import transient
+
+    id_type = queries.schema[id_col].dataType
+    qbase = queries.select(
+        F.col(id_col).alias("query_id"), _unit_expr(vec_col).alias("qv")
+    )
+    probed = transient(_probe_coarse(qbase, coarse, nprobe, id_type))
+    cids = sorted(r["cid"] for r in probed.select("cid").distinct().collect())
+    return probed, cids
+
+
 def ivf_pq_topk_indexed(
     index: DataFrame,
     queries: DataFrame,
@@ -529,6 +552,7 @@ def ivf_pq_topk_indexed(
     shortlist: int = 32,
     max_batch_rows: int | None = _IVF_DEFAULT_MAX_QUERIES,
     batch_rows: int | None = None,
+    prepped: tuple[DataFrame, list[int]] | None = None,
 ) -> DataFrame:
     """Probe an EXISTING compressed inverted file (:func:`ivf_pq_index`
     read back from its cid-partitioned layout): per-drop ANN cost that
@@ -546,17 +570,14 @@ def ivf_pq_topk_indexed(
     INDEXED_PROBE_MAX_QUERIES`; ``None`` disables) fails oversized
     query batches with one truncated scan — or for free when the
     caller passes an already-known ``batch_rows``."""
-    from osarchiver_spark.operators.cache import transient
     from osarchiver_spark.operators.ivf import guard_batch
 
     guard_batch(queries, max_batch_rows, "ivf_pq_topk_indexed", batch_rows)
 
-    id_type = queries.schema[id_col].dataType
-    qbase = queries.select(
-        F.col(id_col).alias("query_id"), _unit_expr(vec_col).alias("qv")
+    probed, cids = prepped if prepped is not None else prep_pq_indexed_probe(
+        queries, id_col, vec_col, coarse, nprobe
     )
-    probed = transient(_probe_coarse(qbase, coarse, nprobe, id_type))
-    cids = sorted(r["cid"] for r in probed.select("cid").distinct().collect())
+    id_type = queries.schema[id_col].dataType
     pruned = index.filter(F.col("cid").isin(cids))
     short = _adc_shortlist(probed, pruned, books, shortlist, id_type)
     # re-rank reads qv from the materialized probe (distinct per

@@ -43,6 +43,16 @@ def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 LSH_ORACLE_PROBE_HAMMING = 5
 IVF_ORACLE_NPROBE = 16  # == n_clusters: probe everything => exact
 
+# Explicit read-back schemas for the persisted index stores (r11
+# optimization round): schema inference on read-back cost a
+# driver-side footer job per chain, and the partition-column type
+# inference forced a cast — the store layouts are fixed by
+# ivf_index/ivf_pq_index, so the reads declare them (cid arrives int
+# directly; guide §6 "verify pruning/pushdown", inference adds
+# nothing but latency here).
+IVF_STORE_SCHEMA = "neighbor_id bigint, v array<double>, cid int"
+PQ_STORE_SCHEMA = "neighbor_id bigint, code array<int>, cid int"
+
 
 def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
@@ -103,6 +113,7 @@ def build_and_probe_ivf(
         ivf_index,
         ivf_topk_indexed,
         kmeans_fit,
+        prep_indexed_probe,
     )
     from osarchiver_spark.queries.dedup import _reap_index_dir_at_exit
 
@@ -125,18 +136,24 @@ def build_and_probe_ivf(
     _reap_index_dir_at_exit(idx_dir)
     standing = emb.filter(F.col("vec_id") % 10 != 3)
     drop = emb.filter(F.col("vec_id") % 10 == 3)
-    ivf_index(standing, "vec_id", "embedding", centroids).write.mode(
-        "overwrite"
-    ).partitionBy("cid").parquet(idx_dir)
-    ivf_index(drop, "vec_id", "embedding", centroids).write.mode(
-        "append"
-    ).partitionBy("cid").parquet(idx_dir)
-    index = spark.read.parquet(idx_dir).withColumn(
-        "cid", F.col("cid").cast("int")  # partition-dir inference type
-    )
+    # the query-side probe (model + queries only) shares no inputs
+    # with the store writes — run it as a concurrent driver-thread
+    # job that back-fills the writes' task tails (guide §2.6)
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        f_probe = pool.submit(
+            prep_indexed_probe, queries, "vec_id", "embedding", centroids, nprobe
+        )
+        ivf_index(standing, "vec_id", "embedding", centroids).write.mode(
+            "overwrite"
+        ).partitionBy("cid").parquet(idx_dir)
+        ivf_index(drop, "vec_id", "embedding", centroids).write.mode(
+            "append"
+        ).partitionBy("cid").parquet(idx_dir)
+        prepped = f_probe.result()
+    index = spark.read.schema(IVF_STORE_SCHEMA).parquet(idx_dir)
     return ivf_topk_indexed(
         index, queries, "vec_id", "embedding", centroids, k=TOP_K, nprobe=nprobe,
-        batch_rows=batch_rows,
+        batch_rows=batch_rows, prepped=prepped,
     )
 
 
@@ -250,18 +267,26 @@ def build_and_probe_ivf_pq(
     _reap_index_dir_at_exit(idx_dir)
     standing = emb.filter(F.col("vec_id") % 10 != 3)
     drop = emb.filter(F.col("vec_id") % 10 == 3)
-    ivf_pq_index(standing, "vec_id", "embedding", coarse, books).write.mode(
-        "overwrite"
-    ).partitionBy("cid").parquet(idx_dir)
-    ivf_pq_index(drop, "vec_id", "embedding", coarse, books).write.mode(
-        "append"
-    ).partitionBy("cid").parquet(idx_dir)
-    index = spark.read.parquet(idx_dir).withColumn(
-        "cid", F.col("cid").cast("int")  # partition-dir inference type
-    )
+    # probe leg (model + queries only) concurrent with the code-store
+    # writes (guide §2.6)
+    from osarchiver_spark.operators.pq import prep_pq_indexed_probe
+
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        f_probe = pool.submit(
+            prep_pq_indexed_probe, queries, "vec_id", "embedding", coarse, nprobe
+        )
+        ivf_pq_index(standing, "vec_id", "embedding", coarse, books).write.mode(
+            "overwrite"
+        ).partitionBy("cid").parquet(idx_dir)
+        ivf_pq_index(drop, "vec_id", "embedding", coarse, books).write.mode(
+            "append"
+        ).partitionBy("cid").parquet(idx_dir)
+        prepped = f_probe.result()
+    index = spark.read.schema(PQ_STORE_SCHEMA).parquet(idx_dir)
     return ivf_pq_topk_indexed(
         index, queries, emb, "vec_id", "embedding", coarse, books,
         k=TOP_K, nprobe=nprobe, shortlist=shortlist, batch_rows=batch_rows,
+        prepped=prepped,
     )
 
 
@@ -360,18 +385,23 @@ def build_and_migrate_ivf(
         new_model = f_new.result()
         batch_rows = f_n.result()
 
-    old_store = spark.read.parquet(old_dir).withColumn(
-        "cid", F.col("cid").cast("int")
-    )
-    ivf_reindex(old_store, new_model).write.mode("overwrite").partitionBy(
-        "cid"
-    ).parquet(new_dir)
-    migrated = spark.read.parquet(new_dir).withColumn(
-        "cid", F.col("cid").cast("int")
-    )
+    from osarchiver_spark.operators.ivf import prep_indexed_probe
+
+    old_store = spark.read.schema(IVF_STORE_SCHEMA).parquet(old_dir)
+    # probe leg needs only the NEW model + queries: concurrent with
+    # the reindex write (guide §2.6)
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        f_probe = pool.submit(
+            prep_indexed_probe, queries, "vec_id", "embedding", new_model, nprobe
+        )
+        ivf_reindex(old_store, new_model).write.mode("overwrite").partitionBy(
+            "cid"
+        ).parquet(new_dir)
+        prepped = f_probe.result()
+    migrated = spark.read.schema(IVF_STORE_SCHEMA).parquet(new_dir)
     return ivf_topk_indexed(
         migrated, queries, "vec_id", "embedding", new_model,
-        k=TOP_K, nprobe=nprobe, batch_rows=batch_rows,
+        k=TOP_K, nprobe=nprobe, batch_rows=batch_rows, prepped=prepped,
     )
 
 
@@ -468,18 +498,24 @@ def build_and_migrate_ivf_pq(
         coarse_b, books_b = f_new.result()
         batch_rows = f_n.result()
 
-    old_store = spark.read.parquet(old_dir).withColumn(
-        "cid", F.col("cid").cast("int")
-    )
-    ivf_pq_reindex(
-        old_store, emb, "vec_id", "embedding", coarse_b, books_b
-    ).write.mode("overwrite").partitionBy("cid").parquet(new_dir)
-    migrated = spark.read.parquet(new_dir).withColumn(
-        "cid", F.col("cid").cast("int")
-    )
+    from osarchiver_spark.operators.pq import prep_pq_indexed_probe
+
+    old_store = spark.read.schema(PQ_STORE_SCHEMA).parquet(old_dir)
+    # probe leg needs only the NEW model + queries: concurrent with
+    # the re-encode/migrate write (guide §2.6)
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        f_probe = pool.submit(
+            prep_pq_indexed_probe, queries, "vec_id", "embedding", coarse_b, nprobe
+        )
+        ivf_pq_reindex(
+            old_store, emb, "vec_id", "embedding", coarse_b, books_b
+        ).write.mode("overwrite").partitionBy("cid").parquet(new_dir)
+        prepped = f_probe.result()
+    migrated = spark.read.schema(PQ_STORE_SCHEMA).parquet(new_dir)
     return ivf_pq_topk_indexed(
         migrated, queries, emb, "vec_id", "embedding", coarse_b, books_b,
         k=TOP_K, nprobe=nprobe, shortlist=shortlist, batch_rows=batch_rows,
+        prepped=prepped,
     )
 
 

@@ -239,23 +239,35 @@ def make_maintenance_batch_fn(
     given — the batch exports' serving-format knob, same semantics);
     skips epochs already marked done."""
     from osarchiver_spark.operators.export import _write_store
-    from osarchiver_spark.operators.ivf import ivf_index, ivf_neardup_probe
+    from osarchiver_spark.operators.ivf import (
+        ivf_index,
+        ivf_neardup_probe,
+        prep_indexed_probe,
+    )
 
     marker_dir = f"{store_dir.rstrip('/')}__epochs"
 
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
         if _epoch_guard(spark, marker_dir, epoch_id):
             return  # replayed epoch: its appends already landed
-        n = batch_df.count()
+        batch = batch_df.localCheckpoint()  # stream-sourced frames
+        # cannot be re-planned after the trigger; pin the rows once
+        # (checkpoint FIRST, then count the pinned blocks — the old
+        # count-then-checkpoint order computed the batch twice)
+        n = batch.count()
         if n == 0:
             _mark_epoch(spark, marker_dir, epoch_id)
             return
-        batch = batch_df.localCheckpoint()  # stream-sourced frames
-        # cannot be re-planned after the trigger; pin the rows once
         batch_index = ivf_index(batch, "vec_id", "embedding", centroids)
+        # the intra and cross probes share the SAME query side and
+        # frozen model, so the probe pass + cid collect runs ONCE and
+        # feeds both (prep_indexed_probe; r11 optimization round)
+        prepped = prep_indexed_probe(
+            batch, "vec_id", "embedding", centroids, nprobe
+        )
         intra = ivf_neardup_probe(
             batch_index, batch, "vec_id", "embedding", centroids,
-            threshold=threshold, nprobe=nprobe, batch_rows=n,
+            threshold=threshold, nprobe=nprobe, batch_rows=n, prepped=prepped,
         ).filter(F.col("neighbor_id") < F.col("query_id"))
         losers = intra.select(F.col("query_id").alias("vec_id"))
         if _path_exists(spark, index_dir):
@@ -264,7 +276,7 @@ def make_maintenance_batch_fn(
             )
             cross = ivf_neardup_probe(
                 standing, batch, "vec_id", "embedding", centroids,
-                threshold=threshold, nprobe=nprobe, batch_rows=n,
+                threshold=threshold, nprobe=nprobe, batch_rows=n, prepped=prepped,
             )  # first-arrival-wins: ANY standing match is a loss
             losers = losers.unionByName(cross.select(F.col("query_id").alias("vec_id")))
         # materialize losers BEFORE appending this batch's cells (the
