@@ -423,6 +423,16 @@ def main() -> None:
         # query N+1 (each timing stands alone); the no-accumulation
         # pin in tests/test_plans.py keeps the registry honest
         spark.catalog.clearCache()
+        # transient (localCheckpoint) blocks and broadcasts only free
+        # once the PYTHON references are collected (the ContextCleaner
+        # acts on JVM weak refs that py4j keeps alive until then) — an
+        # explicit collect stops query N's executor-storage residue
+        # from aging the session under queries N+1.. (r11 optimization
+        # round: isolated steady-state vs in-suite gap was 1.5-2x)
+        del df
+        import gc
+
+        gc.collect()
     full = json.dumps(
         {
             "metric": "osarchiver_spark headline suite wall time",
