@@ -515,21 +515,31 @@ def export_vector_store_indexed(
         )
         n_batch = counts.get(i, 0)
         batch_index = ivf_index(batch, "vec_id", "embedding", centroids)
+        # intra + cross probe the SAME drop: one probe pass + cid
+        # collect feeds both (prep_indexed_probe, r11 round)
+        from osarchiver_spark.operators.ivf import (
+            IVF_STORE_SCHEMA,
+            prep_indexed_probe,
+        )
+
+        prepped = prep_indexed_probe(
+            batch, "vec_id", "embedding", centroids, nprobe
+        )
         intra = ivf_neardup_probe(
             batch_index, batch, "vec_id", "embedding", centroids,
             threshold=threshold, nprobe=nprobe,
             max_batch_rows=max_batch_rows, batch_rows=n_batch,
+            prepped=prepped,
         )
         if i == 0:
             pairs = intra
         else:
-            standing = spark.read.parquet(index_dir).withColumn(
-                "cid", F.col("cid").cast("int")
-            )
+            standing = spark.read.schema(IVF_STORE_SCHEMA).parquet(index_dir)
             cross = ivf_neardup_probe(
                 standing, batch, "vec_id", "embedding", centroids,
                 threshold=threshold, nprobe=nprobe,
                 max_batch_rows=max_batch_rows, batch_rows=n_batch,
+                prepped=prepped,
             )
             pairs = intra.unionByName(cross)
         # materialize this drop's losers BEFORE appending its cells to

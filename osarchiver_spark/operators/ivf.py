@@ -209,6 +209,14 @@ def ivf_topk(
     return _global_topk(cogroup_topk_cosine(probed, c_assigned, "cid", k), k)
 
 
+#: Fixed on-disk layout of an ivf_index store (cid is the partition
+#: directory column). Readers should declare it instead of
+#: re-inferring footers + casting the inferred partition type —
+#: the streaming maintenance loop re-read the GROWING index with
+#: inference every micro-batch before r11's optimization round.
+IVF_STORE_SCHEMA = "neighbor_id bigint, v array<double>, cid int"
+
+
 def ivf_index(
     corpus: DataFrame, id_col: str, vec_col: str, centroids: list[list[float]]
 ) -> DataFrame:

@@ -448,6 +448,12 @@ def ivf_pq_topk(
     return _exact_rerank(short, qbase, corpus, id_col, vec_col, k)
 
 
+#: Fixed on-disk layout of an ivf_pq_index code store (cid is the
+#: partition directory column) — the PQ twin of
+#: :data:`~osarchiver_spark.operators.ivf.IVF_STORE_SCHEMA`.
+PQ_STORE_SCHEMA = "neighbor_id bigint, code array<int>, cid int"
+
+
 def ivf_pq_index(
     corpus: DataFrame,
     id_col: str,

@@ -157,20 +157,23 @@ def q_dedup_incremental_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shingle/sketch/band + key collect) share no inputs, so they run
     # as concurrent driver-thread jobs (r11 optimization round; the
     # probe itself still only starts once the index files exist)
-    def _build_index() -> None:
-        minhash_lsh_index(
-            corpus, "doc_id", "text",
-            shingle_n=3, num_hashes=NUM_HASHES, bands=BANDS, num_files=8,
-        ).write.mode("overwrite").parquet(idx_dir)
+    built = minhash_lsh_index(
+        corpus, "doc_id", "text",
+        shingle_n=3, num_hashes=NUM_HASHES, bands=BANDS, num_files=8,
+    )
 
     with ThreadPoolExecutor(max_workers=2) as pool:
-        f_idx = pool.submit(_build_index)
+        f_idx = pool.submit(
+            lambda: built.write.mode("overwrite").parquet(idx_dir)
+        )
         f_prep = pool.submit(
             prep_new_bands, new, "doc_id", "text", 3, NUM_HASHES, BANDS
         )
         f_idx.result()
         prepped = f_prep.result()
-    index = spark.read.parquet(idx_dir)
+    # read back with the builder's own (analysis-only) schema: no
+    # footer re-inference job on the freshly written index (r11 round)
+    index = spark.read.schema(built.schema).parquet(idx_dir)
     return minhash_lsh_incremental_indexed(
         index, corpus, new, "doc_id", "text",
         shingle_n=3, num_hashes=NUM_HASHES, bands=BANDS,

@@ -50,8 +50,8 @@ IVF_ORACLE_NPROBE = 16  # == n_clusters: probe everything => exact
 # ivf_index/ivf_pq_index, so the reads declare them (cid arrives int
 # directly; guide §6 "verify pruning/pushdown", inference adds
 # nothing but latency here).
-IVF_STORE_SCHEMA = "neighbor_id bigint, v array<double>, cid int"
-PQ_STORE_SCHEMA = "neighbor_id bigint, code array<int>, cid int"
+from osarchiver_spark.operators.ivf import IVF_STORE_SCHEMA  # noqa: E402
+from osarchiver_spark.operators.pq import PQ_STORE_SCHEMA  # noqa: E402
 
 
 def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -90,8 +90,14 @@ def make_text_maintenance_batch_fn(
             batch, "doc_id", "text", threshold=threshold, **lsh_kw
         ).select(*edge_cols)
         if _path_exists(spark, index_dir):
-            standing = spark.read.parquet(index_dir)
-            corpus = spark.read.parquet(corpus_dir)
+            # declared layouts: re-inferring the GROWING index/corpus
+            # dirs' footers every micro-batch is pure latency (r11
+            # optimization round; minhash_lsh_index's fixed columns,
+            # long doc ids per DOCUMENTS_RAW_SCHEMA)
+            standing = spark.read.schema(
+                "corpus_id bigint, band_idx int, band_key string"
+            ).parquet(index_dir)
+            corpus = spark.read.schema(DOCUMENTS_RAW_SCHEMA).parquet(corpus_dir)
             cross = minhash_lsh_incremental_indexed(
                 standing, corpus, batch, "doc_id", "text",
                 threshold=threshold, **lsh_kw,

@@ -271,9 +271,11 @@ def make_maintenance_batch_fn(
         ).filter(F.col("neighbor_id") < F.col("query_id"))
         losers = intra.select(F.col("query_id").alias("vec_id"))
         if _path_exists(spark, index_dir):
-            standing = spark.read.parquet(index_dir).withColumn(
-                "cid", F.col("cid").cast("int")
-            )
+            from osarchiver_spark.operators.ivf import IVF_STORE_SCHEMA
+
+            # declared layout: re-inferring the GROWING index dir's
+            # footers every micro-batch is pure latency (r11 round)
+            standing = spark.read.schema(IVF_STORE_SCHEMA).parquet(index_dir)
             cross = ivf_neardup_probe(
                 standing, batch, "vec_id", "embedding", centroids,
                 threshold=threshold, nprobe=nprobe, batch_rows=n, prepped=prepped,
