@@ -51,6 +51,17 @@ MERGE_SCHEMA = T.StructType(
     ]
 )
 
+#: (token, freq, syms) — the vocabulary relation shape shared by the
+#: distributed loop's DataFrame lineage and the driver-collapsed
+#: path's reconstructed local relation.
+VOCAB_SCHEMA = T.StructType(
+    [
+        T.StructField("token", T.StringType()),
+        T.StructField("freq", T.LongType()),
+        T.StructField("syms", T.ArrayType(T.StringType())),
+    ]
+)
+
 
 def _char_syms(token: Column) -> Column:
     """Split a token into single-character symbols (code points —
@@ -101,10 +112,106 @@ def bpe_vocab(docs: DataFrame, text_col: str = "text", lowercase: bool = True) -
     )
 
 
+#: Sufficient-statistic collapse bound for the BPE trainer (the
+#: LR_CELL_CAP pattern, r12 optimization round): every merge step's
+#: argmax depends on the corpus only through the (token, freq)
+#: vocabulary table, so when that table fits comfortably on the
+#: driver the whole merge loop runs there over ONE collected copy —
+#: one corpus pass + one vocab collect instead of n_merges sequential
+#: vocab-sized Spark jobs. Above the cap (web-scale vocabularies),
+#: the original distributed per-step loop runs unchanged.
+BPE_VOCAB_CAP = 1 << 18
+
+
+def _merge_fold_py(syms: list[str], a: str, b: str) -> list[str]:
+    """Driver-side twin of :func:`_merge_fold`: left-to-right greedy
+    non-overlapping merge of (a, b) -> a+b. Semantically identical to
+    the F.aggregate fold (check the accumulated tail, append or
+    replace) — pinned against it in tests/test_bpe.py."""
+    acc: list[str] = []
+    for x in syms:
+        if acc and acc[-1] == a and x == b:
+            acc[-1] = a + b
+        else:
+            acc.append(x)
+    return acc
+
+
+def _bpe_driver_loop(
+    vocab: list[tuple[str, int]], n_merges: int
+) -> tuple[list[tuple[int, str, str, int]], list[list[str]]]:
+    """The merge loop over a driver-held vocabulary: incrementally
+    maintained integer pair counts (only tokens containing the merged
+    pair are re-counted — Sennrich's reference trick), argmax
+    tie-broken (count desc, sym_a asc, sym_b asc) exactly like the
+    distributed ``orderBy(desc(n), a, b)``: Python str comparison is
+    code-point order == Spark's UTF8 byte order, and all counts are
+    exact integers, so the two forms are bit-identical. Returns
+    (merges, final segmentations aligned with ``vocab``)."""
+    from collections import defaultdict
+
+    segs = [list(tok) for tok, _ in vocab]
+    freqs = [f for _, f in vocab]
+    pair_n: dict[tuple[str, str], int] = defaultdict(int)
+    pair_toks: dict[tuple[str, str], set[int]] = defaultdict(set)
+    for i, ss in enumerate(segs):
+        f = freqs[i]
+        for p in zip(ss, ss[1:]):
+            pair_n[p] += f
+            pair_toks[p].add(i)
+    merges: list[tuple[int, str, str, int]] = []
+    for step in range(1, n_merges + 1):
+        if not pair_n:
+            break  # vocabulary fully merged — nothing adjacent left
+        (a, b), n = min(pair_n.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((step, a, b, int(n)))
+        for i in list(pair_toks.get((a, b), ())):
+            ss, f = segs[i], freqs[i]
+            for p in zip(ss, ss[1:]):
+                pair_n[p] -= f
+                if pair_n[p] == 0:
+                    del pair_n[p]
+                s = pair_toks.get(p)
+                if s is not None:
+                    s.discard(i)
+                    if not s:
+                        del pair_toks[p]
+            ss = _merge_fold_py(ss, a, b)
+            segs[i] = ss
+            for p in zip(ss, ss[1:]):
+                pair_n[p] += f
+                pair_toks[p].add(i)
+    return merges, segs
+
+
+def _train_collapsed(
+    docs: DataFrame, text_col: str, n_merges: int, lowercase: bool
+) -> tuple[list[tuple[int, str, str, int]], list[tuple[str, int, list[str]]]] | None:
+    """Sufficient-statistic BPE training (guide §1.2/§8 "decide with
+    small rows"): ONE corpus pass builds the (token, freq) vocabulary,
+    ONE capped collect brings it to the driver, and the whole merge
+    loop runs there. Returns (merges, final (token, freq, syms) rows)
+    or ``None`` when the vocabulary exceeds :data:`BPE_VOCAB_CAP`
+    (callers fall back to the distributed per-step loop)."""
+    rows = (
+        bpe_vocab(docs, text_col, lowercase=lowercase)
+        .select("token", "freq")
+        .limit(BPE_VOCAB_CAP + 1)
+        .collect()
+    )
+    if len(rows) > BPE_VOCAB_CAP:
+        return None
+    vocab = [(r["token"], int(r["freq"])) for r in rows]
+    merges, segs = _bpe_driver_loop(vocab, n_merges)
+    return merges, [(t, f, ss) for (t, f), ss in zip(vocab, segs)]
+
+
 def _train_loop(
     docs: DataFrame, text_col: str, n_merges: int, lowercase: bool
 ) -> tuple[list[tuple[int, str, str, int]], DataFrame, DataFrame | None, bool]:
-    """The shared merge loop. Returns (merges, vocab, parent, cached):
+    """The distributed per-step merge loop — the fallback when the
+    vocabulary exceeds :data:`BPE_VOCAB_CAP`. Returns (merges, vocab,
+    parent, cached):
 
     - on a full run, ``vocab`` is the LAZY final generation (one
       un-materialized fold on top of ``parent``, the cached and
@@ -176,6 +283,14 @@ def bpe_train(
     the fold chain) and nothing is left pinned — callers that only
     want ``merges`` skip a full vocabulary materialization."""
     spark = docs.sparkSession
+    collapsed = _train_collapsed(docs, text_col, n_merges, lowercase)
+    if collapsed is not None:
+        merges, vocab_rows = collapsed
+        merges_df = spark.createDataFrame(merges, MERGE_SCHEMA)
+        vocab_df = spark.createDataFrame(vocab_rows, VOCAB_SCHEMA)
+        # a driver-local relation: "materialized" by construction and
+        # unpersist() is a no-op, so both with_vocab contracts hold
+        return merges_df, vocab_df
     merges, v, parent, cached = _train_loop(docs, text_col, n_merges, lowercase)
     merges_df = spark.createDataFrame(merges, MERGE_SCHEMA)
     if not with_vocab:
@@ -205,19 +320,36 @@ def bpe_segment_counts(
     training pipeline provisions from. Documents never see the merge
     loop: they equi-join the segmented vocabulary."""
     if vocab is None:
-        # only the (token, n_syms) projection is needed for the join,
-        # so skip bpe_train's full-vocab materialization: checkpoint
-        # the projection straight off the loop's lazy final fold (one
-        # pass over the cached parent generation), then release every
-        # loop cache before returning
-        from osarchiver_spark.operators.cache import transient
+        collapsed = _train_collapsed(docs, text_col, n_merges, lowercase)
+        if collapsed is not None:
+            # driver-trained segmentation re-enters as a vocab-sized
+            # local relation: broadcast-joinable, nothing cached
+            _, vocab_rows = collapsed
+            seg = docs.sparkSession.createDataFrame(
+                [(t, len(ss)) for t, _, ss in vocab_rows],
+                T.StructType(
+                    [
+                        T.StructField("token", T.StringType()),
+                        T.StructField("n_syms", T.IntegerType()),
+                    ]
+                ),
+            )
+        else:
+            # only the (token, n_syms) projection is needed for the
+            # join, so skip bpe_train's full-vocab materialization:
+            # checkpoint the projection straight off the loop's lazy
+            # final fold (one pass over the cached parent generation),
+            # then release every loop cache before returning
+            from osarchiver_spark.operators.cache import transient
 
-        _, v, parent, cached = _train_loop(docs, text_col, n_merges, lowercase)
-        seg = transient(v.select("token", F.size("syms").alias("n_syms")), eager=True)
-        if parent is not None:
-            parent.unpersist()
-        if cached:
-            v.unpersist()
+            _, v, parent, cached = _train_loop(docs, text_col, n_merges, lowercase)
+            seg = transient(
+                v.select("token", F.size("syms").alias("n_syms")), eager=True
+            )
+            if parent is not None:
+                parent.unpersist()
+            if cached:
+                v.unpersist()
     else:
         seg = vocab.select("token", F.size("syms").alias("n_syms"))
     text = F.lower(F.col(text_col)) if lowercase else F.col(text_col)

@@ -128,3 +128,77 @@ def test_segment_oracle_carries_forward_when_merges_run_dry(spark):
     want = {r[0]: (r[1], r[2]) for r in rows}
     assert rows, "oracle returned zero rows on a merges-run-dry corpus"
     assert got == want
+
+
+def test_driver_loop_matches_naive_recount():
+    """The collapsed trainer's incrementally-maintained pair counts
+    (only tokens containing the merged pair are re-counted) must equal
+    a full recount every step — merges AND final segmentations — on
+    randomized vocabularies including repeated-symbol runs."""
+    import random
+
+    from osarchiver_spark.operators.bpe import _bpe_driver_loop, _merge_fold_py
+
+    def naive(vocab, n_merges):
+        import collections
+
+        segs = [list(t) for t, _ in vocab]
+        merges = []
+        for step in range(1, n_merges + 1):
+            pc = collections.Counter()
+            for (_, f), ss in zip(vocab, segs):
+                for p in zip(ss, ss[1:]):
+                    pc[p] += f
+            if not pc:
+                break
+            (a, b), n = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+            merges.append((step, a, b, n))
+            segs = [_merge_fold_py(ss, a, b) for ss in segs]
+        return merges, segs
+
+    rng = random.Random(20260818)
+    alphabet = "abcde"
+    for trial in range(20):
+        vocab = []
+        seen = set()
+        for _ in range(rng.randint(1, 40)):
+            w = "".join(
+                rng.choice(alphabet) for _ in range(rng.randint(1, 9))
+            )
+            if w in seen:
+                continue
+            seen.add(w)
+            vocab.append((w, rng.randint(1, 50)))
+        n_merges = rng.randint(1, 12)
+        assert _bpe_driver_loop(vocab, n_merges) == naive(vocab, n_merges), (
+            f"trial {trial}: incremental pair maintenance diverged"
+        )
+
+
+def test_collapsed_matches_distributed_loop(spark, monkeypatch):
+    """Forcing the cap to 0 exercises the distributed fallback; its
+    merges and final vocabulary must be identical to the collapsed
+    driver path on the same corpus (the bit-exactness the oracle
+    hash relies on)."""
+    import osarchiver_spark.operators.bpe as bpe_mod
+
+    texts = [
+        "low low low low low",
+        "lower lower newest newest newest",
+        "newest newest newest widest widest",
+        "ab ab abab aaaa",
+    ]
+    docs = spark.createDataFrame(list(enumerate(texts)), DOC_SCHEMA)
+    merges_c, vocab_c = bpe_train(docs, "text", n_merges=6)
+    got_c = [tuple(r) for r in merges_c.collect()]
+    segs_c = {r["token"]: (r["freq"], list(r["syms"])) for r in vocab_c.collect()}
+    vocab_c.unpersist()
+
+    monkeypatch.setattr(bpe_mod, "BPE_VOCAB_CAP", 0)
+    merges_d, vocab_d = bpe_train(docs, "text", n_merges=6)
+    got_d = [tuple(r) for r in merges_d.collect()]
+    segs_d = {r["token"]: (r["freq"], list(r["syms"])) for r in vocab_d.collect()}
+    vocab_d.unpersist()
+
+    assert got_c == got_d
+    assert segs_c == segs_d
