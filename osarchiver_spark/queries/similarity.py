@@ -84,6 +84,44 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _staged_store_build(standing_index: DataFrame, drop_index: DataFrame, idx_dir: str) -> None:
+    """Write the standing store and the drop batch CONCURRENTLY (r12
+    optimization round, guide §2.6 + the staged-publish discipline):
+    concurrent writers to one parquet root are unsafe, so the drop
+    batch lands in its own staging root while the standing overwrite
+    runs, and its cid=* part files are then MOVED into the standing
+    layout — a metadata-only publish. Row-identical to the former
+    sequential ``mode("append")`` (same two write batches under the
+    same frozen models; Spark part-file names carry a job-unique UUID
+    so moves cannot collide), but the drop's scan/assign/encode job no
+    longer waits behind the standing write's commit — the commit wall
+    this removes locally is the same one a 100 TB store append pays.
+    Re-certified against the append==one-shot oracle by every ANN
+    chain's bit-exact parity run."""
+    import os
+    import shutil
+    from concurrent.futures import ThreadPoolExecutor
+
+    stage_dir = idx_dir.rstrip("/") + "__stage"
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        f_drop = pool.submit(
+            lambda: drop_index.write.mode("overwrite")
+            .partitionBy("cid")
+            .parquet(stage_dir)
+        )
+        standing_index.write.mode("overwrite").partitionBy("cid").parquet(idx_dir)
+        f_drop.result()
+    for entry in os.listdir(stage_dir):
+        if not entry.startswith("cid="):
+            continue  # root _SUCCESS/marker files stay behind
+        src = os.path.join(stage_dir, entry)
+        dst = os.path.join(idx_dir, entry)
+        os.makedirs(dst, exist_ok=True)
+        for fname in os.listdir(src):
+            os.replace(os.path.join(src, fname), os.path.join(dst, fname))
+    shutil.rmtree(stage_dir, ignore_errors=True)
+
+
 def build_and_probe_ivf(
     spark: SparkSession,
     sf_dir: str,
@@ -110,6 +148,7 @@ def build_and_probe_ivf(
 
     from osarchiver_spark.operators.ivf import (
         INDEXED_PROBE_MAX_QUERIES,
+        guard_batch,
         ivf_index,
         ivf_topk_indexed,
         kmeans_fit,
@@ -124,6 +163,10 @@ def build_and_probe_ivf(
         )
         centroids = kmeans_fit(emb, "vec_id", "embedding", k=n_clusters)
         batch_rows = f_n.result()
+    # enforce the batch contract BEFORE the probe frame is prepped in
+    # a side thread: an oversized batch must fail fast, not after its
+    # queries×nprobe frame was materialized into executor storage
+    guard_batch(queries, INDEXED_PROBE_MAX_QUERIES, "ivf_topk_indexed", batch_rows)
 
     idx_dir = os.path.join(
         tempfile.gettempdir(),
@@ -138,17 +181,17 @@ def build_and_probe_ivf(
     drop = emb.filter(F.col("vec_id") % 10 == 3)
     # the query-side probe (model + queries only) shares no inputs
     # with the store writes — run it as a concurrent driver-thread
-    # job that back-fills the writes' task tails (guide §2.6)
+    # job that back-fills the writes' task tails (guide §2.6); the
+    # standing write and the drop's staged write overlap too
     with ThreadPoolExecutor(max_workers=1) as pool:
         f_probe = pool.submit(
             prep_indexed_probe, queries, "vec_id", "embedding", centroids, nprobe
         )
-        ivf_index(standing, "vec_id", "embedding", centroids).write.mode(
-            "overwrite"
-        ).partitionBy("cid").parquet(idx_dir)
-        ivf_index(drop, "vec_id", "embedding", centroids).write.mode(
-            "append"
-        ).partitionBy("cid").parquet(idx_dir)
+        _staged_store_build(
+            ivf_index(standing, "vec_id", "embedding", centroids),
+            ivf_index(drop, "vec_id", "embedding", centroids),
+            idx_dir,
+        )
         prepped = f_probe.result()
     index = spark.read.schema(IVF_STORE_SCHEMA).parquet(idx_dir)
     return ivf_topk_indexed(
@@ -255,6 +298,11 @@ def build_and_probe_ivf_pq(
             emb_n, "vec_id", "_uv", n_clusters=n_clusters, m=m, codes=codes
         )
         batch_rows = f_n.result()
+    # fail oversized batches BEFORE the probe frame is prepped in a
+    # side thread (the guard exists to precede that materialization)
+    from osarchiver_spark.operators.ivf import guard_batch
+
+    guard_batch(queries, INDEXED_PROBE_MAX_QUERIES, "ivf_pq_topk_indexed", batch_rows)
 
     idx_dir = os.path.join(
         tempfile.gettempdir(),
@@ -268,19 +316,18 @@ def build_and_probe_ivf_pq(
     standing = emb.filter(F.col("vec_id") % 10 != 3)
     drop = emb.filter(F.col("vec_id") % 10 == 3)
     # probe leg (model + queries only) concurrent with the code-store
-    # writes (guide §2.6)
+    # writes (guide §2.6); standing + staged drop writes overlap too
     from osarchiver_spark.operators.pq import prep_pq_indexed_probe
 
     with ThreadPoolExecutor(max_workers=1) as pool:
         f_probe = pool.submit(
             prep_pq_indexed_probe, queries, "vec_id", "embedding", coarse, nprobe
         )
-        ivf_pq_index(standing, "vec_id", "embedding", coarse, books).write.mode(
-            "overwrite"
-        ).partitionBy("cid").parquet(idx_dir)
-        ivf_pq_index(drop, "vec_id", "embedding", coarse, books).write.mode(
-            "append"
-        ).partitionBy("cid").parquet(idx_dir)
+        _staged_store_build(
+            ivf_pq_index(standing, "vec_id", "embedding", coarse, books),
+            ivf_pq_index(drop, "vec_id", "embedding", coarse, books),
+            idx_dir,
+        )
         prepped = f_probe.result()
     index = spark.read.schema(PQ_STORE_SCHEMA).parquet(idx_dir)
     return ivf_pq_topk_indexed(
@@ -368,12 +415,11 @@ def build_and_migrate_ivf(
         old_model = kmeans_fit(
             emb.filter(F.col("vec_id") % 2 == 0), "vec_id", "embedding", k=8
         )
-        ivf_index(standing, "vec_id", "embedding", old_model).write.mode(
-            "overwrite"
-        ).partitionBy("cid").parquet(old_dir)
-        ivf_index(drop, "vec_id", "embedding", old_model).write.mode(
-            "append"
-        ).partitionBy("cid").parquet(old_dir)
+        _staged_store_build(
+            ivf_index(standing, "vec_id", "embedding", old_model),
+            ivf_index(drop, "vec_id", "embedding", old_model),
+            old_dir,
+        )
 
     with ThreadPoolExecutor(max_workers=3) as pool:
         f_old = pool.submit(_old_store_leg)
@@ -385,7 +431,9 @@ def build_and_migrate_ivf(
         new_model = f_new.result()
         batch_rows = f_n.result()
 
-    from osarchiver_spark.operators.ivf import prep_indexed_probe
+    from osarchiver_spark.operators.ivf import guard_batch, prep_indexed_probe
+
+    guard_batch(queries, INDEXED_PROBE_MAX_QUERIES, "ivf_topk_indexed", batch_rows)
 
     old_store = spark.read.schema(IVF_STORE_SCHEMA).parquet(old_dir)
     # probe leg needs only the NEW model + queries: concurrent with
@@ -479,12 +527,11 @@ def build_and_migrate_ivf_pq(
             emb_n.filter(F.col("vec_id") % 2 == 0), "vec_id", "_uv",
             n_clusters=8, m=16, codes=16,
         )
-        ivf_pq_index(standing, "vec_id", "embedding", coarse_a, books_a).write.mode(
-            "overwrite"
-        ).partitionBy("cid").parquet(old_dir)
-        ivf_pq_index(drop, "vec_id", "embedding", coarse_a, books_a).write.mode(
-            "append"
-        ).partitionBy("cid").parquet(old_dir)
+        _staged_store_build(
+            ivf_pq_index(standing, "vec_id", "embedding", coarse_a, books_a),
+            ivf_pq_index(drop, "vec_id", "embedding", coarse_a, books_a),
+            old_dir,
+        )
 
     with ThreadPoolExecutor(max_workers=3) as pool:
         f_old = pool.submit(_old_store_leg)
@@ -498,7 +545,10 @@ def build_and_migrate_ivf_pq(
         coarse_b, books_b = f_new.result()
         batch_rows = f_n.result()
 
+    from osarchiver_spark.operators.ivf import guard_batch
     from osarchiver_spark.operators.pq import prep_pq_indexed_probe
+
+    guard_batch(queries, INDEXED_PROBE_MAX_QUERIES, "ivf_pq_topk_indexed", batch_rows)
 
     old_store = spark.read.schema(PQ_STORE_SCHEMA).parquet(old_dir)
     # probe leg needs only the NEW model + queries: concurrent with
