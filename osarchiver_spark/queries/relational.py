@@ -355,6 +355,11 @@ def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     adjudication; a production run wanting only the sketches uses
     q_approx_sketches_raw (one cheap pass)."""
     li = load_table(spark, sf_dir, "lineitem")
+    # Non-null precondition (ADVICE r11): unlike count_distinct, the
+    # two-level form counts a NULL-key group as one distinct value.
+    # l_orderkey is a TPC-H primary-key component (never NULL), so the
+    # shapes agree here; reusing this pattern on a nullable key needs
+    # a key.isNotNull filter before the first-level groupBy.
     dist = (
         li.groupBy("l_returnflag", "l_orderkey")
         .agg(F.count("*").alias("c"))

@@ -73,7 +73,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_session_defaults(spark)
     path = table_path(sf_dir, name)
     try:
-        mtime = int(os.path.getmtime(path))
+        # nanosecond mtime: a table rewritten within the same second
+        # must not serve the stale cached schema (ADVICE r11)
+        mtime = os.stat(path).st_mtime_ns
     except OSError:  # non-local URI (or racing writer): don't cache
         mtime = -1
     key = (spark.sparkContext.applicationId, os.path.abspath(path), mtime)

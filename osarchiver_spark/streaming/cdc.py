@@ -81,13 +81,24 @@ def run_streaming_cdc_upsert(
     target_dir: str,
     path_glob: str | None = None,
     max_files_per_trigger: int = 1,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Drive the changelog files in ``watch_dir`` through the
     streaming engine one file per micro-batch and maintain the
     materialized state at ``target_dir``; returns the final state as a
     batch DataFrame. ``maxFilesPerTrigger=1`` forces real multi-batch
     execution so cross-batch reconciliation is exercised, not just the
-    single-batch collapse."""
+    single-batch collapse.
+
+    ``checkpoint_dir`` (default ``<target_dir>__ckpt``) makes the
+    pipeline RESTARTABLE: a re-invocation after a crash — or a later
+    run over a grown changelog — resumes from the recorded source
+    offsets instead of re-reading every file (re-application would be
+    a seq-guarded no-op for state, but a full changelog re-read is
+    exactly the cost a restart must not pay). Pinned in
+    tests/test_cdc.py::test_resume_after_kill_processes_only_new_files."""
+    if checkpoint_dir is None:
+        checkpoint_dir = f"{target_dir.rstrip('/')}__ckpt"
     reader = (
         spark.readStream.format("parquet")
         .schema(schema)
@@ -117,7 +128,12 @@ def run_streaming_cdc_upsert(
         sp.read.parquet(tmp).write.mode("overwrite").parquet(target_dir)
         shutil.rmtree(tmp, ignore_errors=True)
 
-    q = stream.writeStream.outputMode("append").foreachBatch(apply_batch).start()
+    q = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
     try:
         q.processAllAvailable()
     finally:

@@ -60,7 +60,18 @@ class stream_state_partitions:
     The partition count is captured into the query's checkpoint at
     first start, so resumed/incremental runs stay self-consistent
     regardless of the session value at resume time. Only narrows:
-    a session already at or below the target is left untouched."""
+    a session already at or below the target is left untouched.
+
+    Concurrency contract (ADVICE r11): the narrowed value is
+    session-global for the drain window, so a batch job planned from
+    ANOTHER driver thread during that window would silently run at
+    the streaming partition count. Every drain in this package runs
+    single-threaded on its query's critical path (the §2.6 thread
+    overlaps live in the batch-only ANN/dedup builders, never around
+    a drain); callers embedding these drains in their own thread
+    pools must either serialize them with concurrent batch planning
+    or build the streaming frame in a cloned session
+    (``spark.newSession()``) and narrow that clone instead."""
 
     def __init__(self, spark: SparkSession):
         self.spark = spark

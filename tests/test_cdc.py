@@ -61,3 +61,39 @@ def test_streaming_cdc_reconciles_across_batches(spark, tmp_path):
     )
     out = {(r.k, r.v, r.last_seq) for r in final.collect()}
     assert out == EXPECT
+
+
+def test_resume_after_kill_processes_only_new_files(spark, tmp_path):
+    """Restartability pin (r12): the checkpointed pipeline resumes
+    from recorded offsets — a second invocation after new changelog
+    files land (or after a crash) processes ONLY the unseen files,
+    and the maintained state still equals the one-shot batch apply."""
+    import os
+
+    watch = tmp_path / "log"
+    watch.mkdir()
+    log = spark.createDataFrame(ROWS, CHANGELOG_SCHEMA)
+    log.filter(F.col("seq") <= 3).coalesce(1).write.parquet(str(watch / "a.parquet"))
+    log.filter(F.col("seq") == 7).coalesce(1).write.parquet(str(watch / "b.parquet"))
+    state = str(tmp_path / "state")
+    first = run_streaming_cdc_upsert(
+        spark, str(watch), CHANGELOG_SCHEMA, "k", "seq", state
+    )
+    first.collect()
+    ckpt_offsets = str(tmp_path / "state__ckpt" / "offsets")
+    batches_first = {f for f in os.listdir(ckpt_offsets) if not f.startswith(".")}
+    assert batches_first, "checkpoint must record committed batches"
+    # late files arrive; the re-invocation (a restart of the same
+    # logical pipeline: same watch/target/checkpoint) must resume
+    log.filter((F.col("seq") >= 4) & (F.col("seq") <= 6)).coalesce(1).write.parquet(
+        str(watch / "c.parquet")
+    )
+    final = run_streaming_cdc_upsert(
+        spark, str(watch), CHANGELOG_SCHEMA, "k", "seq", state
+    )
+    out = {(r.k, r.v, r.last_seq) for r in final.collect()}
+    assert out == EXPECT
+    batches_final = {f for f in os.listdir(ckpt_offsets) if not f.startswith(".")}
+    new_batches = batches_final - batches_first
+    # exactly ONE new micro-batch: the new file, not a re-read of a+b
+    assert len(new_batches) == 1, (batches_first, batches_final)

@@ -55,3 +55,26 @@ def test_score_counts_consistent(spark):
         assert 0 <= r["n_pred_pos"] <= r["n"]
         assert 0 <= r["n_correct"] <= r["n"]
         assert abs(r["accuracy"] - r["n_correct"] / r["n"]) < 1e-6
+
+
+def test_cell_form_matches_distributed_pass_form(spark):
+    """The sufficient-statistic (cell) trainer and the distributed
+    per-iteration fallback must produce the identical trajectory and
+    final weights (the bit-exactness the oracle hash relies on when
+    the cell cap ever forces the fallback)."""
+    from osarchiver_spark.operators.lr import _lr_train_passes
+
+    docs = load_table(spark, SF, "documents")
+    traj_cells, final_cells = lr_train(docs)
+    from osarchiver_spark.operators.lr import (
+        ITERATIONS,
+        LEARNING_RATE,
+        QUANTIZE,
+        lr_features,
+    )
+
+    traj_pass, final_pass = _lr_train_passes(
+        lr_features(docs), LEARNING_RATE, ITERATIONS, QUANTIZE
+    )
+    assert traj_cells == traj_pass
+    assert final_cells == final_pass

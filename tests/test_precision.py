@@ -258,3 +258,30 @@ def test_pinned_ln_staged_ctes_are_bit_identical_to_one_shot():
         s = con.execute(staged, [x]).fetchone()[0]
         o = con.execute(one_shot, [x]).fetchone()[0]
         assert bits(s) == bits(o), (x, s.hex(), o.hex())
+
+
+def test_round_half_up_py_matches_spark_round(spark):
+    """round_half_up_py is documented as a bit-for-bit replica of
+    Spark's F.round on DoubleType (shortest-repr HALF_UP); the
+    driver-collapsed trainer loops rely on that. Pin it directly on
+    boundary-heavy values at every quantization the trainers use."""
+    import random
+
+    from osarchiver_spark.functions.precision import round_half_up_py
+
+    xs = [
+        0.5, -0.5, 1.5, 2.5, -2.5, 0.05, -0.05, 2.675, -2.675, 1.005,
+        0.285, 1e-13, -1e-13, 0.1 + 0.2, 1.0 / 3.0, 123456.789999999,
+        5e-10, -5e-10, 4.999999999e-10, 0.0, -0.0, 1e15 + 0.5,
+    ]
+    rng = random.Random(12)
+    xs += [rng.uniform(-2, 2) for _ in range(200)]
+    xs += [rng.uniform(-1e-9, 1e-9) for _ in range(100)]
+    df = spark.createDataFrame([(float(x),) for x in xs], "x double")
+    for nd in (0, 6, 9, 12):
+        got = [
+            r["r"]
+            for r in df.select(F.round(F.col("x"), nd).alias("r")).collect()
+        ]
+        want = [round_half_up_py(x, nd) for x in xs]
+        assert got == want, f"divergence at ndigits={nd}"

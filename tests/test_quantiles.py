@@ -148,3 +148,73 @@ def test_exact_quantiles_plan_is_single_shuffle_no_join(spark):
     n_exchanges = plan.count(") Exchange")
     assert n_exchanges == 2, plan
     assert plan.count("hashpartitioning") == 2, plan
+
+
+def test_multi_population_matches_single_with_zero_count_cells(spark):
+    """exact_quantile_nums_multi over a shared histogram (zero-count
+    cells included for the sparser population) must equal
+    exact_quantile_nums_hist run on each population's own FILTERED
+    histogram — the inertness argument in its docstring, pinned."""
+    import random
+
+    from osarchiver_spark.operators.quantiles import (
+        exact_quantile_nums_hist,
+        exact_quantile_nums_multi,
+    )
+
+    rng = random.Random(77)
+    rows = []
+    for g in ("a", "b", "c"):
+        for v in range(1, 30):
+            ca = rng.choice([0, 0, 1, 2, 5])   # plenty of zero cells
+            cb = rng.choice([0, 1, 3])
+            if ca or cb:
+                rows.append((g, v, ca, cb))
+    hist = spark.createDataFrame(rows, "g string, v long, ca long, cb long")
+    qlevels = {"p25": 0.25, "p50": 0.5, "p99": 0.99}
+    # per-population quantile NAMES must be distinct (they become
+    # output column names)
+    multi = exact_quantile_nums_multi(
+        hist, "g", "v",
+        {
+            "ca": ("n_a", {f"a_{k}": q for k, q in qlevels.items()}),
+            "cb": ("n_b", {f"b_{k}": q for k, q in qlevels.items()}),
+        },
+    ).collect()
+    got = {r["g"]: r.asDict() for r in multi}
+    for cnt, n_alias, pfx in (("ca", "n_a", "a_"), ("cb", "n_b", "b_")):
+        single = exact_quantile_nums_hist(
+            hist.filter(F.col(cnt) > 0), "g", "v", cnt, qlevels
+        ).collect()
+        for r in single:
+            m = got[r["g"]]
+            assert m[n_alias] == r["n"]
+            for name in qlevels:
+                assert m[f"{pfx}{name}_num"] == r[f"{name}_num"], (cnt, r["g"], name)
+                assert m[f"{pfx}{name}_den"] == r[f"{name}_den"]
+
+
+def test_multi_population_zero_total_yields_null_numerators(spark):
+    """A population with zero TOTAL count in a group must yield NULL
+    numerators (the documented caller contract — the join shape it
+    replaced dropped such groups), never a crash or a bogus value."""
+    from osarchiver_spark.operators.quantiles import exact_quantile_nums_multi
+
+    hist = spark.createDataFrame(
+        [("g1", 1, 2, 0), ("g1", 5, 3, 0), ("g2", 2, 1, 4)],
+        "g string, v long, ca long, cb long",
+    )
+    out = {
+        r["g"]: r.asDict()
+        for r in exact_quantile_nums_multi(
+            hist, "g", "v",
+            {"ca": ("n_a", {"a50": 0.5}), "cb": ("n_b", {"b50": 0.5})},
+        ).collect()
+    }
+    # ca in g1 is populated: {1:2, 5:3} -> n=5, p50 = value at rank 3 = 5
+    assert out["g1"]["n_a"] == 5 and out["g1"]["a50_num"] == 2 * 5
+    # cb in g1: zero total -> NULL numerator, den still the literal
+    assert out["g1"]["n_b"] == 0
+    assert out["g1"]["b50_num"] is None and out["g1"]["b50_den"] == 2
+    # g2 has both populated
+    assert out["g2"]["n_a"] == 1 and out["g2"]["n_b"] == 4
