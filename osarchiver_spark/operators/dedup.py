@@ -438,7 +438,13 @@ def simhash_candidates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     sketch. Candidates come from a groupable equi-join on the sketch
     value — the classic 'hamming distance 0 block' of a
     multi-probe scheme (rotations would add distance 1-2 probes)."""
-    sk = _simhash_sketches(df, id_col, text_col)
+    # materialize the sketch table ONCE (doc-count × ~16 bytes): the
+    # self-join's two sides otherwise each recompute the whole
+    # corpus-sized tokenize+hash+vote pipeline (r12 optimization
+    # round: the plan showed zero exchange reuse across the join —
+    # 2 corpus passes where 1 suffices; at 100 TB that is a full
+    # corpus scan saved for a sketch table of a few GB)
+    sk = transient(_simhash_sketches(df, id_col, text_col))
     a = sk.select(F.col("doc_id").alias("doc_a"), "simhash")
     b = sk.select(F.col("doc_id").alias("doc_b"), "simhash")
     return (
@@ -471,7 +477,9 @@ def simhash_multiprobe_pairs(
     blocks; the block key keeps the self-join an equi-join (AQE
     splits hot blocks)."""
     n_blocks = max_hamming + 1
-    sk = _simhash_sketches(df, id_col, text_col)
+    # one sketch materialization feeds both self-join sides (see
+    # simhash_candidates — same 2-passes-to-1 collapse)
+    sk = transient(_simhash_sketches(df, id_col, text_col))
 
     # block i covers bits [lo, lo+width): widths as even as possible
     widths = [n_bits // n_blocks + (1 if i < n_bits % n_blocks else 0) for i in range(n_blocks)]
@@ -552,7 +560,9 @@ def simhash64_multiprobe_pairs(
         out = out.bitwiseOR(
             F.when(F.col(f"_v{p}") > 0, F.shiftleft(one, p)).otherwise(F.lit(0).cast("bigint"))
         )
-    sk = agg.select("doc_id", out.alias("simhash"))
+    # one sketch materialization feeds both self-join sides (see
+    # simhash_candidates — same 2-passes-to-1 collapse)
+    sk = transient(agg.select("doc_id", out.alias("simhash")))
 
     n_bits = 64
     widths = [n_bits // n_blocks + (1 if i < n_bits % n_blocks else 0) for i in range(n_blocks)]

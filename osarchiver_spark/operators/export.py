@@ -558,16 +558,25 @@ def export_vector_store_indexed(
         # the probe leaves no marker; the manifest snapshot bounds the
         # torn window to the two appends below
         _begin_epoch(spark, marker_dir, i, [index_dir, store_dir])
-        batch_index.write.mode("overwrite" if i == 0 else "append").partitionBy(
-            "cid"
-        ).parquet(index_dir)
-        survivors = batch.join(losers, "vec_id", "left_anti")
-        # the DEDUP index above always stores full vectors (the probe
-        # needs them); pq_models shapes only the serving artifact
-        _write_store(
-            survivors, centroids, pq_models, store_dir,
-            "overwrite" if i == 0 else "append",
-        )
+        # the two appends target DIFFERENT directories and read only
+        # pinned checkpoints — overlap them (guide §2.6; r12 round;
+        # BEGIN/DONE brackets both, repair semantics unchanged)
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            f_idx = pool.submit(
+                lambda i=i: batch_index.write.mode(
+                    "overwrite" if i == 0 else "append"
+                ).partitionBy("cid").parquet(index_dir)
+            )
+            survivors = batch.join(losers, "vec_id", "left_anti")
+            # the DEDUP index always stores full vectors (the probe
+            # needs them); pq_models shapes only the serving artifact
+            _write_store(
+                survivors, centroids, pq_models, store_dir,
+                "overwrite" if i == 0 else "append",
+            )
+            f_idx.result()
         _mark_epoch(spark, marker_dir, i)
         _stage(f"batch{i}_append", t0)
     return _vector_manifest(spark, out_dir)

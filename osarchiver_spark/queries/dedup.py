@@ -312,7 +312,10 @@ def q_dedup_ivf_neardup_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     ivf_index(emb, "vec_id", "embedding", cents).write.mode(
         "overwrite"
     ).partitionBy("cid").parquet(idx_dir)
-    index = spark.read.parquet(idx_dir).withColumn("cid", F.col("cid").cast("int"))
+    from osarchiver_spark.operators.ivf import IVF_STORE_SCHEMA
+
+    # declared store layout: no footer re-inference, cid arrives int
+    index = spark.read.schema(IVF_STORE_SCHEMA).parquet(idx_dir)
     return ivf_neardup_probe(
         index, emb, "vec_id", "embedding", cents,
         threshold=EMBED_THRESHOLD, nprobe=IVF_NEARDUP_CLUSTERS,

@@ -290,14 +290,23 @@ def make_maintenance_batch_fn(
         # manifest snapshot bounds the torn window to the two appends
         _begin_epoch(spark, marker_dir, epoch_id, [index_dir, store_dir])
         first = not _path_exists(spark, index_dir)
-        batch_index.write.mode("overwrite" if first else "append").partitionBy(
-            "cid"
-        ).parquet(index_dir)
-        survivors = batch.join(losers, "vec_id", "left_anti")
-        _write_store(
-            survivors, centroids, pq_models, store_dir,
-            "overwrite" if not _path_exists(spark, store_dir) else "append",
-        )
+        store_mode = "overwrite" if not _path_exists(spark, store_dir) else "append"
+        # the two appends target DIFFERENT directories and both read
+        # only pinned checkpoints (batch, losers), so they overlap as
+        # concurrent driver-thread jobs (guide §2.6; r12 round) — the
+        # BEGIN/DONE manifest brackets both regardless of order, so
+        # torn-epoch repair semantics are unchanged
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            f_idx = pool.submit(
+                lambda: batch_index.write.mode(
+                    "overwrite" if first else "append"
+                ).partitionBy("cid").parquet(index_dir)
+            )
+            survivors = batch.join(losers, "vec_id", "left_anti")
+            _write_store(survivors, centroids, pq_models, store_dir, store_mode)
+            f_idx.result()
         _mark_epoch(spark, marker_dir, epoch_id)
 
     return process_batch
