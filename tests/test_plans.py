@@ -8,9 +8,27 @@ from __future__ import annotations
 import contextlib
 import io
 
+import pytest
+
 from osarchiver_spark.queries import all_queries
 
 SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def registry_frames(spark):
+    """Every registry query's DataFrame, built ONCE for the whole
+    module (r12 optimization round): the registry-wide plan audit and
+    the scalar-output sweep each re-built all ~220 frames — and
+    building a frame runs its EAGER substeps (k-means fits, store
+    writes, streaming drains), so the duplicate build cost ~65 s of
+    suite wall. Plan/schema inspection is read-only, so one shared
+    build serves both."""
+    frames = {}
+    for name, fn in sorted(all_queries().items()):
+        frames[name] = fn(spark, SF)
+        spark.catalog.clearCache()
+    return frames
 
 
 def _formatted(spark, name: str) -> str:
@@ -193,17 +211,17 @@ def test_no_python_udfs_in_core_queries(spark):
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
 
 
-def test_oracle_query_outputs_are_scalar_only(spark):
+def test_oracle_query_outputs_are_scalar_only(spark, registry_frames):
     # the driver's canonicalizer sorts/factorizes result columns in
     # pandas: array/map/struct/binary columns crash it (round-2
     # frame_sample failure). Every oracle-checked query must emit
     # scalar columns only — explode to rows or array_join instead.
-    from osarchiver_spark.queries import all_oracles, all_queries
+    from osarchiver_spark.queries import all_oracles
 
-    Q, O = all_queries(), all_oracles()
+    O = all_oracles()
     offenders = []
     for name in O:
-        for f in Q[name](spark, SF).schema.fields:
+        for f in registry_frames[name].schema.fields:
             t = f.dataType.simpleString()
             if any(k in t for k in ("array", "map", "struct", "binary")):
                 offenders.append((name, f.name, t))
@@ -371,7 +389,7 @@ def test_entity_resolution_production_purges_oversized_blocks(spark):
     assert "CartesianProduct" not in plan
 
 
-def test_registry_wide_plan_audit(spark):
+def test_registry_wide_plan_audit(spark, registry_frames):
     """Registry-wide scale-smell scan over every batch query's
     optimized plan: CartesianProduct is banned outright, and
     BroadcastNestedLoopJoin may appear only where the build side is a
@@ -419,10 +437,9 @@ def test_registry_wide_plan_audit(spark):
         "mean per-query read; every side is one row by construction)",
     }
     offenders = {}
-    for name, fn in sorted(all_queries().items()):
+    for name, df in sorted(registry_frames.items()):
         if name.startswith("streaming_"):
             continue  # execute eagerly; their own tests pin behavior
-        df = fn(spark, SF)
         buf = io.StringIO()
         with contextlib.redirect_stdout(buf):
             df.explain("formatted")
@@ -444,7 +461,6 @@ def test_registry_wide_plan_audit(spark):
         ]
         if complex_cols:
             offenders[name] = f"non-scalar output columns {complex_cols}"
-        spark.catalog.clearCache()
     assert not offenders, offenders
 
 
