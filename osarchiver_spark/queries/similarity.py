@@ -102,7 +102,12 @@ def _staged_store_build(standing_index: DataFrame, drop_index: DataFrame, idx_di
     import shutil
     from concurrent.futures import ThreadPoolExecutor
 
+    from osarchiver_spark.queries.dedup import _reap_index_dir_at_exit
+
     stage_dir = idx_dir.rstrip("/") + "__stage"
+    # a crash between the staged write and the publish below must not
+    # leak the staging root past process exit
+    _reap_index_dir_at_exit(stage_dir)
     with ThreadPoolExecutor(max_workers=1) as pool:
         f_drop = pool.submit(
             lambda: drop_index.write.mode("overwrite")

@@ -491,3 +491,51 @@ def test_brute_force_topk_oversized_query_set_fails_loudly(spark):
     )
     with pytest.raises(ValueError, match="max_query_rows"):
         brute_force_topk(corpus, queries, "vid", "v", k=1, max_query_rows=3)
+
+
+def test_staged_store_build_equals_sequential_append(spark, tmp_path):
+    """_staged_store_build (r12: concurrent staged drop write +
+    file-move publish) must land a store row-identical to the former
+    sequential overwrite+append — including when the drop batch is
+    empty or introduces cid partitions the standing write did not."""
+    from osarchiver_spark.queries.similarity import _staged_store_build
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, "neighbor_id long, v array<double>, cid int"
+        )
+
+    standing = mk([(i, [float(i), 0.0], i % 3) for i in range(30)])
+    # drop hits cid 0..3: cid=3 is NEW relative to the standing write
+    drop = mk([(100 + i, [0.0, float(i)], i % 4) for i in range(12)])
+
+    seq_dir = str(tmp_path / "seq")
+    standing.write.mode("overwrite").partitionBy("cid").parquet(seq_dir)
+    drop.write.mode("append").partitionBy("cid").parquet(seq_dir)
+
+    staged_dir = str(tmp_path / "staged")
+    _staged_store_build(standing, drop, staged_dir)
+
+    schema = "neighbor_id bigint, v array<double>, cid int"
+    seq = sorted(
+        (r.neighbor_id, tuple(r.v), r.cid)
+        for r in spark.read.schema(schema).parquet(seq_dir).collect()
+    )
+    stg = sorted(
+        (r.neighbor_id, tuple(r.v), r.cid)
+        for r in spark.read.schema(schema).parquet(staged_dir).collect()
+    )
+    assert stg == seq and len(stg) == 42
+    import os
+
+    assert not os.path.exists(staged_dir + "__stage")  # publish cleans up
+
+    # empty drop: publish is a no-op, store equals the standing write
+    empty_dir = str(tmp_path / "empty")
+    _staged_store_build(standing, drop.limit(0), empty_dir)
+    got = sorted(
+        (r.neighbor_id, tuple(r.v), r.cid)
+        for r in spark.read.schema(schema).parquet(empty_dir).collect()
+    )
+    want = sorted((i, (float(i), 0.0), i % 3) for i in range(30))
+    assert got == want
