@@ -105,6 +105,12 @@ def main() -> None:
                         df._jdf.queryExecution(), "formatted"
                     ))
             spark.catalog.clearCache()
+            # same residue hygiene as bench.py: release py4j-held
+            # references so checkpoint blocks free between reps
+            del df
+            import gc
+
+            gc.collect()
         out[name] = walls
         print(json.dumps({name: walls}), flush=True)
     print(json.dumps({"all": out}))
