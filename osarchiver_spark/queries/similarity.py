@@ -97,7 +97,12 @@ def _staged_store_build(standing_index: DataFrame, drop_index: DataFrame, idx_di
     longer waits behind the standing write's commit — the commit wall
     this removes locally is the same one a 100 TB store append pays.
     Re-certified against the append==one-shot oracle by every ANN
-    chain's bit-exact parity run."""
+    chain's bit-exact parity run.
+
+    Implementation is local-fs (os.replace): the chain stores always
+    live under the local temp dir. On HDFS/object stores the same
+    publish is a FileSystem.rename / manifest swap — the discipline,
+    not the syscall, is what transfers."""
     import os
     import shutil
     from concurrent.futures import ThreadPoolExecutor
